@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** Relational coverage (SURVEY.md §2B X6): the join/window/set-op/grouping
+  * categories the reference never exercises, over the TPC-H-ish tables.
+  * Scale posture: only genuinely small dims (region/nation) are broadcast
+  * explicitly; fact-fact joins shuffle on their keys and AQE handles the
+  * rest. All aggregates use the decimal-exact double pattern.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tsLit(s: String) = to_timestamp(lit(s))
+  private def oneMinusDisc =
+    (lit(1) - rate2(col("l_discount"))).cast(DecimalType(4, 2))
+
+  /** TPC-H Q3-style shipping priority: 3-way join, grouped revenue, top-10. */
+  private val q3: Q = (s, d) => {
+    val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = orders(s, d).filter(col("o_orderdate") < tsLit("1998-06-01 00:00:00"))
+    val l = lineitem(s, d).filter(col("l_shipdate") > tsLit("1998-06-01 00:00:00"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(dec2(col("l_extendedprice")) * oneMinusDisc).cast(DoubleType).as("revenue"))
+      .select(
+        col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: 6-way join (region/nation broadcast), per-nation
+    * revenue where customer and supplier share a nation.
+    */
+  private val q5: Q = (s, d) => {
+    val l = lineitem(s, d)
+    val o = orders(s, d)
+    val c = customer(s, d)
+    val su = supplier(s, d)
+    val n = broadcast(nation(s, d))
+    val r = broadcast(region(s, d))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, l("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
+      .join(n, su("s_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec2(col("l_extendedprice")) * oneMinusDisc).cast(DoubleType).as("revenue"),
+        countDistinct(col("l_suppkey")).as("n_supp"))
+      .orderBy("n_name")
+  }
+
+  /** TPC-H Q18-style: HAVING on an exact decimal sum, then join back. */
+  private val q18: Q = (s, d) => {
+    val big = lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sum(dec2(col("l_quantity"))).as("tot_dec"))
+      .filter(col("tot_dec") > 150)
+    val o = orders(s, d)
+    val c = customer(s, d)
+    big
+      .join(o, big("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(
+        col("c_name"),
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        col("tot_dec").cast(DoubleType).as("tot_qty"))
+      .orderBy(desc("tot_qty"), asc("o_orderkey"))
+      .limit(20)
+  }
+
+  /** Window ranking: top-3 customers by balance per nation. */
+  private val windowTopCustomers: Q = (s, d) => {
+    val w = Window
+      .partitionBy("n_name")
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("n_name", "rk", "c_custkey", "c_acctbal")
+      .orderBy("n_name", "rk")
+  }
+
+  /** Set operations: semi-join customer set vs a segment set — counts of
+    * UNION / INTERSECT / EXCEPT (distinct semantics, matching SQL).
+    */
+  private val setOpsCustomers: Q = (s, d) => {
+    val c = customer(s, d)
+    val o = orders(s, d)
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey").distinct()
+    val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+    withOrders.agg(count(lit(1)).as("n_semi"))
+      .crossJoin(withOrders.intersect(auto).agg(count(lit(1)).as("n_intersect")))
+      .crossJoin(withOrders.except(auto).agg(count(lit(1)).as("n_except")))
+      .crossJoin(withOrders.union(auto).distinct().agg(count(lit(1)).as("n_union")))
+  }
+
+  /** ROLLUP over order status x priority; rollup-nulls coalesced to a
+    * sentinel so ordering is engine-independent (Spark sorts nulls first,
+    * DuckDB last).
+    */
+  private val rollupOrders: Q = (s, d) =>
+    orders(s, d)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n"),
+        col("total_price"))
+      .orderBy("status", "priority")
+
+  /** Event-time hourly aggregation (the batch shape of the streaming
+    * windowed agg in graft.streaming).
+    */
+  private val eventsHourly: Q = (s, d) =>
+    events(s, d)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("hour", "event_type")
+
+  /** Sessionization: 30-minute-gap sessions per user via lag().
+    * Ordering uses millisecond-truncated time + event_id so both engines
+    * see identical sort keys (events.ts is nanos in parquet; Spark reads
+    * micros — ms truncation is the common grain).
+    */
+  private val eventsSessionize: Q = (s, d) => {
+    val ev = events(s, d).withColumn("ms", unix_millis(col("ts")))
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    ev.withColumn("prev_ms", lag("ms", 1).over(w))
+      .withColumn(
+        "new_sess",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** Broadcast-hash join: lineitem x part, per-brand quantities. */
+  private val partBrandQty: Q = (s, d) =>
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(dsum(col("l_quantity")).as("qty"), count(lit(1)).as("n"))
+      .orderBy("p_brand")
+
+  val queries: Map[String, Q] = Map(
+    "q3_shipping_priority" -> q3,
+    "q5_nation_revenue" -> q5,
+    "q18_large_orders" -> q18,
+    "window_top_customers" -> windowTopCustomers,
+    "set_ops_customers" -> setOpsCustomers,
+    "rollup_orders" -> rollupOrders,
+    "events_hourly" -> eventsHourly,
+    "events_sessionize" -> eventsSessionize,
+    "part_brand_qty" -> partBrandQty
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT l_suppkey) AS n_supp
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS tot_dec
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+        |SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        |  CAST(tot_dec AS DOUBLE) AS tot_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |ORDER BY tot_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+    "window_top_customers" ->
+      """SELECT n_name, rk, c_custkey, c_acctbal FROM (
+        |  SELECT n_name, c_custkey, c_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin,
+    "set_ops_customers" ->
+      """WITH wo AS (SELECT DISTINCT c_custkey FROM customer
+        |    WHERE c_custkey IN (SELECT o_custkey FROM orders)),
+        |  au AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+        |SELECT (SELECT COUNT(*) FROM wo) AS n_semi,
+        |  (SELECT COUNT(*) FROM (SELECT * FROM wo INTERSECT SELECT * FROM au)) AS n_intersect,
+        |  (SELECT COUNT(*) FROM (SELECT * FROM wo EXCEPT SELECT * FROM au)) AS n_except,
+        |  (SELECT COUNT(*) FROM (SELECT * FROM wo UNION SELECT * FROM au)) AS n_union""".stripMargin,
+    "rollup_orders" ->
+      """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+        |  COALESCE(o_orderpriority, '(all)') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "events_sessionize" ->
+      """WITH x AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |  y AS (SELECT user_id, ms,
+        |    lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms
+        |  FROM x)
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM y GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "part_brand_qty" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+  )
+}
