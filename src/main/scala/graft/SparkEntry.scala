@@ -14,10 +14,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReferenceQueries.queries ++ RelationalQueries.queries
+    ReferenceQueries.queries ++ RelationalQueries.queries ++
+      TextQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ReferenceQueries.oracle ++ RelationalQueries.oracle
+    ReferenceQueries.oracle ++ RelationalQueries.oracle ++
+      TextQueries.oracle ++ DedupQueries.oracle ++
+      SimilarityQueries.oracle ++ MultimodalQueries.oracle
 }

@@ -1,0 +1,41 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding-vector operators over `ArrayType(FloatType)` columns
+  * (SURVEY.md §2B X3/X5). Built on higher-order functions — no UDFs, no
+  * driver collects — so they distribute trivially.
+  *
+  * Determinism contract: the dot product is an explicit LEFT FOLD in
+  * double space. DuckDB's `list_dot_product` over double-cast lists is
+  * also a sequential fold, so cosine scores are bit-identical across
+  * engines (verified empirically) — the oracle can compare raw doubles.
+  */
+object Vectors {
+
+  /** float[] -> double[] (exact widening). */
+  def toDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
+
+  /** Left-fold dot product of two double[] columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosine(a,b) = dot / (|a| * |b|) — mirror this exact association in
+    * SQL: `dp / (sqrt(na) * sqrt(nb))`.
+    */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Random-hyperplane-free LSH bucket: the sign pattern of the first
+    * `bits` components. Portable to plain SQL (no hash function needed),
+    * deterministic, and at scale turns an O(n^2) similarity pass into
+    * per-bucket local work after one hash-partition shuffle on the bucket
+    * key. Recall loss at bucket boundaries is inherent to single-probe
+    * LSH and mirrored exactly by the oracle.
+    */
+  def signBucket(v: Column, bits: Int): Column =
+    concat((1 to bits).map(i => when(element_at(v, i) > 0f, lit("1")).otherwise(lit("0"))): _*)
+}

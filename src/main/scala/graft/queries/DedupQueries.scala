@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+import graft.ext.{Dedup, TextStats, Vectors}
+
+/** Dedup-family queries (X1/X2). The test corpus has no natural dups, so
+  * each query injects deterministic duplicates/near-duplicates first (the
+  * same injection is mirrored in the oracle SQL). MinHash/SimHash use
+  * xxhash64 (no DuckDB equivalent) and get rows-only checks.
+  */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** documents + whole-copy dups for every 5th doc. */
+  private def dupCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    docs.union(
+      docs
+        .filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  /** normalized documents + first-word-dropped near-copies for every 7th. */
+  private def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .select(col("doc_id"), TextStats.normText(col("text")).as("t"))
+    base.union(
+      base
+        .filter(col("doc_id") % 7 === 0)
+        .select(
+          (col("doc_id") + 200000).as("doc_id"),
+          expr("substring(t, instr(t, ' ') + 1)").as("t")))
+  }
+
+  /** embeddings + identical-vector copies for every 9th vector. */
+  private def dupVectors(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    e.union(
+      e.filter(col("vec_id") % 9 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+  }
+
+  private val exact: Q = (s, d) =>
+    Dedup
+      .exactDedup(dupCorpus(s, d), Seq("text"), "doc_id")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").cast(LongType).as("id_sum"))
+
+  private val ngramJaccard: Q = (s, d) => {
+    val sh = Dedup.wordShingles(nearDupCorpus(s, d), "doc_id", "t", 5)
+    Dedup
+      .jaccardPairs(sh, "doc_id", 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val minhashLsh: Q = (s, d) => {
+    val sh = Dedup.wordShingles(nearDupCorpus(s, d), "doc_id", "t", 5)
+    val cand = Dedup.lshCandidates(Dedup.minhashSignature(sh, "doc_id", 32), "doc_id", 32, 4)
+    val truePairs = Dedup.jaccardPairs(sh, "doc_id", 0.5).select("id_a", "id_b")
+    cand
+      .agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(cand.join(truePairs, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_verified")))
+      .crossJoin(truePairs.agg(count(lit(1)).as("n_true")))
+  }
+
+  private val simhash: Q = (s, d) => {
+    val sim = Dedup.simhash64(nearDupCorpus(s, d), "doc_id", "t")
+    Dedup
+      .simhashPairs(sim, "doc_id", 8)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        min("hamming").as("min_hamming"),
+        sum("id_a").cast(LongType).as("a_sum"))
+  }
+
+  private val embeddingNearDup: Q = (s, d) => {
+    val base = dupVectors(s, d)
+      .withColumn("bucket", Vectors.signBucket(col("embedding"), 4))
+      .withColumn("v", Vectors.toDouble(col("embedding")))
+    val n = base.withColumn("nrm", Vectors.l2Norm(col("v")))
+    val a = n.select(col("vec_id").as("id_a"), col("bucket"), col("v").as("va"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("id_b"), col("bucket"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.9)
+      .select("id_a", "id_b", "cos")
+      .orderBy("id_a", "id_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> exact,
+    "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_simhash" -> simhash,
+    "dedup_embedding" -> embeddingNearDup
+  )
+
+  private val corpusSql =
+    """base AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+      |corpus AS (SELECT doc_id, t FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 200000, substr(t, strpos(t, ' ') + 1) FROM base WHERE doc_id % 7 = 0),
+      |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM corpus),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
+      |    i -> array_to_string(toks[i:i+4], ' '))) AS shingle
+      |  FROM tk WHERE len(toks) >= 5))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents
+        |    UNION ALL
+        |    SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0),
+        |  d AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM all_docs)
+        |SELECT COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM d WHERE rn = 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $corpusSql,
+        |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, common,
+        |  CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) AS jaccard
+        |FROM pairs
+        |  JOIN counts ca ON ca.doc_id = id_a
+        |  JOIN counts cb ON cb.doc_id = id_b
+        |WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding" ->
+      """WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+        |    UNION ALL
+        |    SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 9 = 0),
+        |  base AS (SELECT vec_id,
+        |    concat(CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END,
+        |           CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END,
+        |           CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END,
+        |           CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END) AS bucket,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM corpus),
+        |  n AS (SELECT vec_id, bucket, v, sqrt(list_dot_product(v, v)) AS nrm FROM base)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+        |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin
+  )
+}

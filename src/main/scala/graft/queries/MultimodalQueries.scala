@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+import graft.ext.Multimodal
+
+/** Multimodal/semi-structured queries (X5): JSON props extraction and
+  * binary-payload metadata. The mapPartitions featurizer also surfaces
+  * here (rows-only check — its checksum math is not SQL-portable).
+  */
+object MultimodalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** events.props is a JSON string column; extract k with a regexp (same
+    * dialect both engines; from_json -> MapType is the library-level op,
+    * see EventProps below) and aggregate by k-bucket.
+    */
+  private val propsExtract: Q = (s, d) =>
+    events(s, d)
+      .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast(LongType))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("k_bucket")
+
+  /** Binary payload stats per source: byte totals + sha256 distincts. */
+  private val binaryMeta: Q = (s, d) =>
+    documents(s, d)
+      .select(
+        col("source"),
+        encode(col("text"), "UTF-8").as("payload"),
+        sha2(col("text"), 256).as("sha"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("payload"))).cast(LongType).as("total_bytes"),
+        countDistinct(col("sha")).as("n_sha"),
+        min("sha").as("min_sha"))
+      .orderBy("source")
+
+  /** Batch-shaped stub featurizer over binarized documents (rows-only). */
+  private val mediaFeatures: Q = (s, d) =>
+    Multimodal
+      .extractFeatures(Multimodal.binarize(documents(s, d)))
+      .toDF()
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("byte_len").cast(LongType).as("total_bytes"),
+        sum(expr("features[0]").cast(DoubleType)).cast(LongType).as("f0_sum_trunc"))
+
+  val queries: Map[String, Q] = Map(
+    "props_extract" -> propsExtract,
+    "binary_meta" -> binaryMeta,
+    "media_features_stub" -> mediaFeatures
+  )
+
+  val oracle: Map[String, String] = Map(
+    "props_extract" ->
+      """WITH x AS (SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k, value FROM events)
+        |SELECT k % 10 AS k_bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM x GROUP BY k % 10 ORDER BY k_bucket""".stripMargin,
+    "binary_meta" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |  COUNT(DISTINCT sha256(text)) AS n_sha, MIN(sha256(text)) AS min_sha
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  )
+}

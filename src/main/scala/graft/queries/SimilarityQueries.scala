@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ext.Vectors
+
+/** Similarity-search queries (X3): brute-force cosine top-k as the exact
+  * baseline, sign-bucket LSH as the scale path. Query set is fixed
+  * (vec_id < 10) so cost is O(queries x corpus), never corpus^2.
+  */
+object SimilarityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def normed(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("v", Vectors.toDouble(col("embedding")))
+      .withColumn("nrm", Vectors.l2Norm(col("v")))
+
+  private val bruteTopK: Q = (s, d) => {
+    val base = normed(s, d)
+    val q = base.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .filter(col("query_id") < 10)
+    val c = base.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    q.join(c, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("query_id", "rk", "neighbor_id", "cos")
+      .orderBy("query_id", "rk")
+  }
+
+  private val lshTopK: Q = (s, d) => {
+    val base = normed(s, d)
+      .withColumn("bucket", Vectors.signBucket(col("embedding"), 4))
+    val q = base
+      .select(col("vec_id").as("query_id"), col("bucket"), col("v").as("qv"), col("nrm").as("qn"))
+      .filter(col("query_id") < 10)
+    val c = base.select(col("vec_id").as("neighbor_id"), col("bucket"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    q.join(c, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("query_id", "rk", "neighbor_id", "cos")
+      .orderBy("query_id", "rk")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sim_topk_brute" -> bruteTopK,
+    "sim_topk_lsh" -> lshTopK
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sim_topk_brute" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |  m AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),
+        |  p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+        |    FROM m q JOIN m c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
+        |  r AS (SELECT query_id, neighbor_id, cos,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM p)
+        |SELECT query_id, rk, neighbor_id, cos FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "sim_topk_lsh" ->
+      """WITH n AS (SELECT vec_id,
+        |    concat(CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END,
+        |           CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END,
+        |           CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END,
+        |           CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END) AS bucket,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |  m AS (SELECT vec_id, bucket, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),
+        |  p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+        |    FROM m q JOIN m c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+        |    WHERE q.vec_id < 10),
+        |  r AS (SELECT query_id, neighbor_id, cos,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM p)
+        |SELECT query_id, rk, neighbor_id, cos FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+  )
+}

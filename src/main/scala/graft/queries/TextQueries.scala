@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+import graft.ext.TextStats._
+
+/** Text-analysis queries (X4) over `documents`, all DuckDB-mirrored. */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val tokenStats: Q = (s, d) =>
+    documents(s, d)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).cast(LongType).as("sum_tokens"),
+        sum(regexTokenCount(col("text"))).cast(LongType).as("sum_rtokens"),
+        (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"))
+      .orderBy("lang")
+
+  private val quality: Q = (s, d) =>
+    documents(s, d)
+      .select(floor(qualityScore(col("text")) * 10).cast(LongType).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  private val langId: Q = (s, d) =>
+    documents(s, d)
+      .select(col("lang"), langPred(col("text")).as("pred"))
+      .groupBy("lang", "pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred")
+
+  private val fingerprints: Q = (s, d) =>
+    documents(s, d)
+      .select(col("source"), fingerprint(col("text")).as("fp"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_fp"),
+        min("fp").as("min_fp"))
+      .orderBy("source")
+
+  val queries: Map[String, Q] = Map(
+    "text_token_stats" -> tokenStats,
+    "text_quality_hist" -> quality,
+    "text_langid_confusion" -> langId,
+    "text_fingerprints" -> fingerprints
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_token_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS sum_rtokens,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_quality_hist" ->
+      """WITH m AS (SELECT
+        |    CAST(length(text) AS DOUBLE) AS chars,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS toks,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to)\b')) AS DOUBLE) AS stop,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS punct
+        |  FROM documents),
+        |q AS (SELECT least(chars / 500.0, 1.0) * 0.4 + (1.0 - punct / chars) * 0.4
+        |        + least(stop / toks * 5.0, 1.0) * 0.2 AS score FROM m)
+        |SELECT CAST(floor(score * 10) AS BIGINT) AS bucket, COUNT(*) AS n
+        |FROM q GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "text_langid_confusion" ->
+      """WITH c AS (SELECT lang,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of)\b')) AS c_en,
+        |    len(regexp_extract_all(lower(text), '\b(stream|batch|merge)\b')) AS c_de,
+        |    len(regexp_extract_all(lower(text), '\b(data|table|row)\b')) AS c_es,
+        |    len(regexp_extract_all(lower(text), '\b(join|filter|group)\b')) AS c_fr,
+        |    len(regexp_extract_all(lower(text), '\b(spark|hash|key)\b')) AS c_zh
+        |  FROM documents),
+        |p AS (SELECT lang, CASE
+        |    WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+        |    WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+        |    WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+        |    WHEN c_fr >= c_zh THEN 'fr'
+        |    ELSE 'zh' END AS pred FROM c)
+        |SELECT lang, pred, COUNT(*) AS n FROM p GROUP BY lang, pred ORDER BY lang, pred""".stripMargin,
+    "text_fingerprints" ->
+      """WITH f AS (SELECT source,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_fp, MIN(fp) AS min_fp
+        |FROM f GROUP BY source ORDER BY source""".stripMargin
+  )
+}
