@@ -16,6 +16,15 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** Semi-structured props: JSON string -> MapType(String,String). The
+    * typed library op behind the oracle-checked regexp query
+    * (events.props per SURVEY.md §1).
+    */
+  def parseProps(events: DataFrame, propsCol: String = "props"): DataFrame =
+    events.withColumn(
+      s"${propsCol}_map",
+      from_json(col(propsCol), MapType(StringType, StringType)))
+
   /** Wrap a text table into the multimodal layout: opaque binary payload +
     * typed metadata struct. Image/audio/video payloads would arrive in
     * exactly this shape from a binary-file source
