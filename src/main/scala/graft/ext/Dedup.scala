@@ -98,23 +98,19 @@ object Dedup {
       .distinct()
   }
 
-  /** X2 — 64-bit SimHash per document from whitespace tokens: per-bit
-    * sign-sum of token hashes, assembled into one long. Pure aggregation
-    * (64 conditional-sum columns in a single pass), no explode-per-bit.
+  /** X2 — 64-bit SimHash per document from whitespace tokens, computed by
+    * a native per-row expression ([[org.apache.spark.sql.graftnative.SimHash64]]).
+    * Narrow projection — zero shuffle, tokens never leave the row. (The
+    * first implementation exploded tokens into a 64-conditional-sum
+    * aggregation: one shuffle + a giant codegen unit; the expression
+    * removes both.)
     */
-  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df
-      .select(col(idCol), explode(split(TextStats.normText(col(textCol)), " ")).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-    }
-    val agg = tok.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until 64)
-      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((x, y) => x + y)
-    agg.select(col(idCol), simhash.as("simhash"))
-  }
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      org.apache.spark.sql.graftnative.TextExpressions
+        .simhash64(split(TextStats.normText(col(textCol)), " "))
+        .as("simhash"))
 
   /** SimHash near-dup candidates: band the 64 bits into 4 x 16-bit keys;
     * docs sharing any band are candidates (Hamming<=3 pairs must share one

@@ -55,14 +55,24 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** 16 hashes in 8 bands of 2: band-match probability at jaccard 0.5 is
+    * 1-(1-0.25)^8 ≈ 0.90 (vs 0.40 for 8x4) with half the signature
+    * expressions; false-positive bands only cost verification, which runs
+    * on candidates anyway. Two output branches (candidates, true pairs
+    * outer-joined with the candidate flag) instead of three keeps plan
+    * compilation — the dominant cost at small scale — down.
+    */
   private val minhashLsh: Q = (s, d) => {
     val sh = Dedup.wordShingles(nearDupCorpus(s, d), "doc_id", "t", 5)
-    val cand = Dedup.lshCandidates(Dedup.minhashSignature(sh, "doc_id", 32), "doc_id", 32, 4)
+    val cand = Dedup.lshCandidates(Dedup.minhashSignature(sh, "doc_id", 16), "doc_id", 16, 2)
     val truePairs = Dedup.jaccardPairs(sh, "doc_id", 0.5).select("id_a", "id_b")
+    val flagged = truePairs.join(
+      cand.withColumn("is_cand", lit(1L)), Seq("id_a", "id_b"), "left")
     cand
       .agg(count(lit(1)).as("n_candidates"))
-      .crossJoin(cand.join(truePairs, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_verified")))
-      .crossJoin(truePairs.agg(count(lit(1)).as("n_true")))
+      .crossJoin(flagged.agg(
+        count(lit(1)).as("n_true"),
+        sum(coalesce(col("is_cand"), lit(0L))).as("n_verified")))
   }
 
   private val simhash: Q = (s, d) => {
