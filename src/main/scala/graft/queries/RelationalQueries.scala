@@ -158,7 +158,32 @@ object RelationalQueries {
       .agg(dsum(col("l_quantity")).as("qty"), count(lit(1)).as("n"))
       .orderBy("p_brand")
 
+  /** As-of join (backward, inclusive): each error event picks up the most
+    * recent purchase of the same user — union-tag + running-last, one
+    * shuffle (see graft.ops.AsOfJoin). ms-grain times for cross-engine
+    * ordering parity.
+    */
+  private val asofPurchase: Q = (s, d) => {
+    val ev = events(s, d).withColumn("ms", unix_millis(col("ts")))
+    val errors = ev
+      .filter(col("event_type") === "error")
+      .select("user_id", "event_id", "ms")
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ms"), col("value"), col("ms").as("pms"))
+    graft.ops.AsOfJoin
+      .asOfJoin(errors, purchases, Seq("user_id"), "ms", "ms", Seq("value", "pms"), "event_id")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_errors"),
+        sum(when(col("asof_value").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        dsum(col("asof_value")).as("matched_value"),
+        sum(col("ms") - col("asof_pms")).cast(LongType).as("lag_ms_sum"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_asof_purchase" -> asofPurchase,
     "q3_shipping_priority" -> q3,
     "q5_nation_revenue" -> q5,
     "q18_large_orders" -> q18,
@@ -171,6 +196,24 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_asof_purchase" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type, value FROM events),
+        |u AS (
+        |  SELECT user_id, ms, event_id, 1 AS is_left,
+        |    CAST(NULL AS DOUBLE) AS pval, CAST(NULL AS BIGINT) AS pms
+        |  FROM e WHERE event_type = 'error'
+        |  UNION ALL
+        |  SELECT user_id, ms, event_id, 0, value, ms FROM e WHERE event_type = 'purchase'),
+        |w AS (SELECT user_id, ms, is_left,
+        |    last_value(pval IGNORE NULLS) OVER win AS asof_value,
+        |    last_value(pms IGNORE NULLS) OVER win AS asof_pms
+        |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY ms, is_left, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, COUNT(*) AS n_errors,
+        |  CAST(SUM(CASE WHEN asof_value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  CAST(SUM(CAST(asof_value AS DECIMAL(12,2))) AS DOUBLE) AS matched_value,
+        |  CAST(SUM(ms - asof_pms) AS BIGINT) AS lag_ms_sum
+        |FROM w WHERE is_left = 1 GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS revenue
