@@ -1,0 +1,86 @@
+package graft.props
+
+import graft.ext.{Dedup, Vectors}
+import graft.ops.ModeFill
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based invariants (SURVEY.md §5.3). Small generated inputs —
+  * each property runs a real Spark job, so sizes stay tiny.
+  */
+object OperatorProps extends Properties("graft.operators") {
+
+  private lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import scala.jdk.CollectionConverters._
+
+  private val cellGen: Gen[Option[String]] =
+    Gen.frequency(3 -> Gen.oneOf("a", "b", "c").map(Some(_)), 1 -> Gen.const(None))
+  private val tableGen: Gen[List[Option[String]]] =
+    Gen.listOfN(12, cellGen).suchThat(_.nonEmpty)
+
+  property("modeFill never changes non-null cells") = forAll(tableGen) { rows =>
+    import spark.implicits._
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "c")
+    val out = ModeFill.fillNullsWithMode(df, Seq("c")).orderBy("id")
+      .collect().map(r => Option(r.getString(1)))
+    rows.zip(out).forall { case (before, after) => before.forall(b => after.contains(b)) }
+  }
+
+  property("modeFill leaves no nulls when a non-null value strictly wins") = forAll(tableGen) { rows =>
+    import spark.implicits._
+    val counts = rows.groupBy(identity).view.mapValues(_.size)
+    val nullCount = counts.getOrElse(None, 0)
+    val maxNonNull = counts.collect { case (Some(_), n) => n }.maxOption.getOrElse(0)
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "c")
+    val out = ModeFill.fillNullsWithMode(df, Seq("c")).collect().map(r => Option(r.getString(1)))
+    if (maxNonNull > nullCount) out.forall(_.isDefined)
+    else true
+  }
+
+  private val docGen: Gen[List[String]] = Gen.listOfN(
+    6,
+    Gen.listOfN(8, Gen.oneOf("the", "fox", "dog", "ran", "far", "big")).map(_.mkString(" ")))
+
+  property("exactDedup is idempotent and keeps one row per distinct text") = forAll(docGen) { texts =>
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "t")
+    val once = Dedup.exactDedup(df, Seq("t"), "doc_id")
+    val twice = Dedup.exactDedup(once, Seq("t"), "doc_id")
+    once.count() == texts.distinct.size && twice.count() == once.count()
+  }
+
+  property("simhash is token-order invariant") = forAll(docGen) { texts =>
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "t")
+    val rev = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t.split(" ").reverse.mkString(" ")) }
+      .toDF("doc_id", "t")
+    val a = Dedup.simhash64(df, "doc_id", "t").orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    val b = Dedup.simhash64(rev, "doc_id", "t").orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    a == b
+  }
+
+  private val vecGen: Gen[List[Float]] =
+    Gen.listOfN(8, Gen.chooseNum(-1.0f, 1.0f)).suchThat(v => v.exists(_ != 0.0f))
+
+  property("cosine is symmetric and cosine(v,v) ~ 1") = forAll(vecGen, vecGen) { (x, y) =>
+    import spark.implicits._
+    val df = Seq((x.toArray, y.toArray)).toDF("a", "b")
+      .select(
+        Vectors.cosine(Vectors.toDouble(col("a")), Vectors.toDouble(col("b"))).as("ab"),
+        Vectors.cosine(Vectors.toDouble(col("b")), Vectors.toDouble(col("a"))).as("ba"),
+        Vectors.cosine(Vectors.toDouble(col("a")), Vectors.toDouble(col("a"))).as("aa"))
+    val r = df.first()
+    math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12 && math.abs(r.getDouble(2) - 1.0) < 1e-9
+  }
+}
