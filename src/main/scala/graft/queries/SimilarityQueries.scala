@@ -50,12 +50,63 @@ object SimilarityQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** IVF-style ANN: assign every vector to the nearest of k seed
+    * centroids (deterministic stand-in for trained k-means centers —
+    * vec_id < 8), then search only the query's cell. At scale: centroids
+    * broadcast, one shuffle on cell id, per-cell local top-k — corpus^2
+    * never materializes. Single-probe recall loss is mirrored by the
+    * oracle, which performs the identical assignment.
+    */
+  private val ivfTopK: Q = (s, d) => {
+    val base = normed(s, d)
+    val cent = broadcast(
+      base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn")))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cos_c"), asc("cid"))
+    val assigned = base
+      .crossJoin(cent)
+      .withColumn("cos_c", Vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("rk_c", row_number().over(wAssign))
+      .filter(col("rk_c") === 1)
+      .select(col("vec_id"), col("cid").as("cell"), col("v"), col("nrm"))
+    val q = assigned
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("cell"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = assigned
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("v").as("cv2"), col("nrm").as("cn2"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    q.join(c, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", Vectors.dot(col("qv"), col("cv2")) / (col("qn") * col("cn2")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("query_id", "rk", "neighbor_id", "cos")
+      .orderBy("query_id", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_topk_brute" -> bruteTopK,
-    "sim_topk_lsh" -> lshTopK
+    "sim_topk_lsh" -> lshTopK,
+    "sim_topk_ivf" -> ivfTopK
   )
 
   val oracle: Map[String, String] = Map(
+    "sim_topk_ivf" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |  m AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),
+        |  cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM m WHERE vec_id < 8),
+        |  asg AS (SELECT vec_id, cell, v, nrm FROM (
+        |    SELECT m.vec_id, c.cid AS cell, m.v, m.nrm,
+        |      ROW_NUMBER() OVER (PARTITION BY m.vec_id
+        |        ORDER BY list_dot_product(m.v, c.cv) / (m.nrm * c.cn) DESC, c.cid) AS rk_c
+        |    FROM m CROSS JOIN cent c) WHERE rk_c = 1),
+        |  p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+        |    FROM asg q JOIN asg c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+        |    WHERE q.vec_id < 10),
+        |  r AS (SELECT query_id, neighbor_id, cos,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM p)
+        |SELECT query_id, rk, neighbor_id, cos FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
     "sim_topk_brute" ->
       """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |  m AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),
