@@ -10,6 +10,19 @@ class BucketingSpec extends SparkSpec {
   test("bucketed-on-key join plans with zero shuffle exchanges") {
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
     val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    // defensive cleanup: drop catalog entries AND any orphaned location
+    // (a previous run's session may have used a different warehouse dir)
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(loc)
+      }
+    }
     Bucketing.writeBucketed(o, "b_orders", "o_orderkey", 4)
     Bucketing.writeBucketed(l.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", 4)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

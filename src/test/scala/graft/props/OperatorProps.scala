@@ -19,6 +19,9 @@ object OperatorProps extends Properties("graft.operators") {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.ui.enabled", "false")
+    .config(
+      "spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh_props").toString)
     .getOrCreate()
 
   import scala.jdk.CollectionConverters._
