@@ -118,7 +118,35 @@ object ReferenceQueries {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** The same pricing summary through the SQL front end (spark.sql over a
+    * temp view) — exercises the parser/analyzer path; the SQL text is the
+    * shared ANSI dialect, near-identical to the DuckDB oracle.
+    */
+  private val q1Sql: Q = (s, d) => {
+    lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """WITH x AS (SELECT l_returnflag, l_linestatus,
+        |  CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+        |  CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+        |  CAST(l_discount AS DECIMAL(12,2)) AS disc,
+        |  CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS omd,
+        |  CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS opt
+        |FROM lineitem_v WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00')
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(price) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(price * omd) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(price * omd * opt) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(qty) AS DOUBLE) / COUNT(qty) AS avg_qty,
+        |  CAST(SUM(price) AS DOUBLE) / COUNT(price) AS avg_price,
+        |  CAST(SUM(disc) AS DOUBLE) / COUNT(disc) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM x GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q1_sql_frontend" -> q1Sql,
     "loan_total" -> loanTotal,
     "loan_avg_amount" -> loanAvg,
     "loan_by_type" -> loanByType,
@@ -129,7 +157,28 @@ object ReferenceQueries {
     "q1_pricing_summary" -> q1Pricing
   )
 
+  /** q1_sql_frontend shares q1's oracle SQL (identical semantics). */
+  private val q1OracleSql: String =
+    """WITH x AS (SELECT l_returnflag, l_linestatus,
+      |  CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+      |  CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+      |  CAST(l_discount AS DECIMAL(12,2)) AS disc,
+      |  CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS omd,
+      |  CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS opt
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00')
+      |SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(price) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(price * omd) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(price * omd * opt) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(qty) AS DOUBLE) / COUNT(qty) AS avg_qty,
+      |  CAST(SUM(price) AS DOUBLE) / COUNT(price) AS avg_price,
+      |  CAST(SUM(disc) AS DOUBLE) / COUNT(disc) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM x GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q1_sql_frontend" -> q1OracleSql,
     "loan_total" -> "SELECT COUNT(*) AS total_loans FROM lineitem",
     "loan_avg_amount" ->
       """SELECT CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(value) AS avg_loan_amount FROM events""",
@@ -161,23 +210,6 @@ object ReferenceQueries {
       """SELECT COUNT(*) AS n_new, MIN(o_orderkey) AS min_id, MAX(o_orderkey) AS max_id,
         |  CAST(SUM(o_orderkey) AS BIGINT) AS id_sum
         |FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)""".stripMargin,
-    "q1_pricing_summary" ->
-      """WITH x AS (SELECT l_returnflag, l_linestatus,
-        |  CAST(l_quantity AS DECIMAL(12,2)) AS qty,
-        |  CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
-        |  CAST(l_discount AS DECIMAL(12,2)) AS disc,
-        |  CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS omd,
-        |  CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS opt
-        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00')
-        |SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(qty) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(price) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(price * omd) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(price * omd * opt) AS DOUBLE) AS sum_charge,
-        |  CAST(SUM(qty) AS DOUBLE) / COUNT(qty) AS avg_qty,
-        |  CAST(SUM(price) AS DOUBLE) / COUNT(price) AS avg_price,
-        |  CAST(SUM(disc) AS DOUBLE) / COUNT(disc) AS avg_disc,
-        |  COUNT(*) AS count_order
-        |FROM x GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+    "q1_pricing_summary" -> q1OracleSql
   )
 }
