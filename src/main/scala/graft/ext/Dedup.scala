@@ -63,16 +63,15 @@ object Dedup {
   }
 
   /** X2 — MinHash signatures: numHashes min-hash values per doc from one
-    * pass over exploded shingles (a single aggregation job — the classic
-    * "k permutations" via (a_i*h + b_i) over xxhash64, wrapping arithmetic
-    * is fine because it is deterministic).
+    * pass over exploded shingles (a single aggregation job). Each "hash
+    * permutation" is xxhash64 seeded by the permutation index hashed
+    * together with the shingle — no wrapping long arithmetic, so it is
+    * safe under ANSI mode (Spark 4's default) where `h * a + b` would
+    * throw ARITHMETIC_OVERFLOW.
     */
   def minhashSignature(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
-    val h = xxhash64(col("shingle"))
     val aggs = (0 until numHashes).map { i =>
-      val a = 0x9E3779B97F4A7C15L * (2 * i + 1) // odd multipliers
-      val b = 0xC2B2AE3D27D4EB4FL * (i + 1)
-      min(h * lit(a) + lit(b)).as(s"mh$i")
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh$i")
     }
     shingles.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }

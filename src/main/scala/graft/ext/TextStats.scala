@@ -37,8 +37,11 @@ object TextStats {
     * identically in the oracle SQL so results are bit-identical.
     */
   def qualityScore(c: Column): Column = {
-    val chars = length(c).cast(DoubleType)
-    val toks = tokenCount(c).cast(DoubleType)
+    // greatest(_,1) guards the zero-length/zero-token divisions: empty
+    // docs score deterministically instead of null (non-ANSI) / error
+    // (ANSI) / NaN (DuckDB) — the oracle SQL carries the same guard
+    val chars = greatest(length(c).cast(DoubleType), lit(1.0))
+    val toks = greatest(tokenCount(c).cast(DoubleType), lit(1.0))
     val stop = stopwordCount(c).cast(DoubleType)
     val punct = punctCount(c).cast(DoubleType)
     least(chars / lit(500.0), lit(1.0)) * lit(0.4) +

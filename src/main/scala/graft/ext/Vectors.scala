@@ -47,5 +47,8 @@ object Vectors {
     * LSH and mirrored exactly by the oracle.
     */
   def signBucket(v: Column, bits: Int): Column =
-    concat((1 to bits).map(i => when(element_at(v, i) > 0f, lit("1")).otherwise(lit("0"))): _*)
+    // get() (0-based) is null for out-of-range indexes instead of the
+    // ANSI INVALID_ARRAY_INDEX error element_at raises — short vectors
+    // bucket as '0' bits in every mode (DuckDB's v[i] does the same)
+    concat((1 to bits).map(i => when(get(v, lit(i - 1)) > 0f, lit("1")).otherwise(lit("0"))): _*)
 }

@@ -28,30 +28,34 @@ object AsOfJoin {
       tiebreak: String,
       prefix: String = "asof_"): DataFrame = {
     val leftStruct = StructType(left.schema.fields)
+    val rightStruct = StructType(valueCols.map(c => right.schema(c)).toArray)
+    // value columns travel as ONE struct so the running last() attaches a
+    // whole right row — per-column last(ignoreNulls) would backfill null
+    // fields of the newest right row from older rows, fabricating a row
+    // that never existed.
     val lTagged = left.select(
       keys.map(col) ++ Seq(
         col(leftTime).as("__t"),
         lit(1).as("__is_left"),
         col(tiebreak).as("__tb"),
-        struct(left.columns.map(col).toSeq: _*).as("__lrow")) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(prefix + c)): _*)
+        struct(left.columns.map(col).toSeq: _*).as("__lrow"),
+        lit(null).cast(rightStruct).as("__rvals")): _*)
     val rTagged = right.select(
       keys.map(col) ++ Seq(
         col(rightTime).as("__t"),
         lit(0).as("__is_left"),
         col(tiebreak).as("__tb"),
-        lit(null).cast(leftStruct).as("__lrow")) ++
-        valueCols.map(c => col(c).as(prefix + c)): _*)
+        lit(null).cast(leftStruct).as("__lrow"),
+        struct(valueCols.map(col): _*).as("__rvals")): _*)
     val w = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__is_left").asc, col("__tb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attached: Seq[Column] =
-      valueCols.map(c => last(col(prefix + c), ignoreNulls = true).over(w).as(prefix + c))
+    val attached = last(col("__rvals"), ignoreNulls = true).over(w).as("__asof")
     lTagged
       .union(rTagged)
-      .select(col("__is_left") +: col("__lrow") +: attached: _*)
+      .select(col("__is_left"), col("__lrow"), attached)
       .filter(col("__is_left") === 1)
-      .select(col("__lrow.*") +: valueCols.map(c => col(prefix + c)): _*)
+      .select(col("__lrow.*") +: valueCols.map(c => col(s"__asof.$c").as(prefix + c)): _*)
   }
 }

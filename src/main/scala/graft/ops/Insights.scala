@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   *
   * Reference (`airflow/dags/etl/pyspark_etl.py:35-46`, `generate_insights`):
   * a JSON document {total_loans: count, avg_loan_amount: mean(loan_amount),
-  * loans_by_type: groupBy(loan_type).count() records}; the amount/type
+  * by_loan_type: groupBy(loan_type).count() records}; the amount/type
   * entries are emitted only when the column exists (pyspark_etl.py:40,43).
   * The reference leaves by-type record order arbitrary; we order by
   * (count desc, loan_type asc nulls first) so goldens are stable.
@@ -17,7 +17,7 @@ object Insights {
   case class Summary(
       total_loans: Long,
       avg_loan_amount: Option[Double],
-      loans_by_type: Option[Seq[LoanTypeCount]])
+      by_loan_type: Option[Seq[LoanTypeCount]])
 
   def compute(df: DataFrame): Summary = {
     val total = df.count()
@@ -35,7 +35,8 @@ object Insights {
             .orderBy(desc("count"), asc_nulls_first("loan_type"))
             .collect()
             .toSeq
-            .map(r => LoanTypeCount(Option(r.getString(0)), r.getLong(1))))
+            // inferSchema may type loan_type numerically — don't assume String
+            .map(r => LoanTypeCount(Option(r.get(0)).map(_.toString), r.getLong(1))))
     Summary(total, avg, byType)
   }
 
@@ -55,11 +56,11 @@ object Insights {
     val sb = new StringBuilder("{\n")
     sb.append(s"""  "total_loans": ${s.total_loans}""")
     s.avg_loan_amount.foreach(a => sb.append(s""",\n  "avg_loan_amount": $a"""))
-    s.loans_by_type.foreach { lt =>
+    s.by_loan_type.foreach { lt =>
       val recs = lt
         .map(r => s"""{"loan_type": ${r.loan_type.map(esc).getOrElse("null")}, "count": ${r.count}}""")
         .mkString("[", ", ", "]")
-      sb.append(s""",\n  "loans_by_type": $recs""")
+      sb.append(s""",\n  "by_loan_type": $recs""") // reference key, pyspark_etl.py:45
     }
     sb.append("\n}")
     sb.toString

@@ -46,7 +46,10 @@ object ModeFill {
     */
   def modesSinglePass(df: DataFrame, cols: Seq[String] = Nil): Map[String, Option[String]] = {
     val target = if (cols.isEmpty) df.columns.toSeq else cols
-    val stackArgs = target.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+    // escape quoting metacharacters — column names are user-controlled
+    def lit_(c: String) = "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    def ref(c: String) = "`" + c.replace("`", "``") + "`"
+    val stackArgs = target.map(c => s"${lit_(c)}, CAST(${ref(c)} AS STRING)").mkString(", ")
     val pairs = df.selectExpr(s"stack(${target.size}, $stackArgs) AS (col_name, value)")
     val w = Window.partitionBy("col_name").orderBy(desc("cnt"), asc_nulls_first("value"))
     pairs

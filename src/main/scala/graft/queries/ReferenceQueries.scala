@@ -104,7 +104,10 @@ object ReferenceQueries {
     val oneMinus = (lit(1) - rate2(col("l_discount"))).cast(DecimalType(4, 2))
     val onePlus = (lit(1) + rate2(col("l_tax"))).cast(DecimalType(4, 2))
     lineitem(s, d)
-      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+      // to_timestamp resolves in the UTC session timezone — a
+      // java.sql.Timestamp literal would parse in the JVM default TZ and
+      // shift the cutoff on non-UTC hosts
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),

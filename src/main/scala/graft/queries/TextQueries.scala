@@ -60,8 +60,8 @@ object TextQueries {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "text_quality_hist" ->
       """WITH m AS (SELECT
-        |    CAST(length(text) AS DOUBLE) AS chars,
-        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS toks,
+        |    greatest(CAST(length(text) AS DOUBLE), 1.0) AS chars,
+        |    greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0) AS toks,
         |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to)\b')) AS DOUBLE) AS stop,
         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS punct
         |  FROM documents),

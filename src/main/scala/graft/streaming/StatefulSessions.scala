@@ -34,8 +34,11 @@ object StatefulSessions {
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
               open match {
+                // max/min guard: a late event from an earlier micro-batch
+                // must not move the session extent backwards
                 case Some(s) if e.ms - s.lastMs <= gapMs =>
-                  open = Some(s.copy(lastMs = e.ms, n = s.n + 1))
+                  open = Some(OpenSession(
+                    math.min(s.start, e.ms), math.max(s.lastMs, e.ms), s.n + 1))
                 case Some(s) =>
                   closed += Session(user, s.start, s.lastMs, s.n)
                   open = Some(OpenSession(e.ms, e.ms, 1))

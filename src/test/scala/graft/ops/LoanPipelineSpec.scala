@@ -15,7 +15,7 @@ class LoanPipelineSpec extends SparkSpec {
     // -> avg = (1000*4 + 2000 + 1000 + 3000 + 2500 + 1000 + 4000)/10
     assert(r.insights.avg_loan_amount.contains(1750.0))
     // loan_type null (row 5) filled with mode "personal"
-    val byType = r.insights.loans_by_type.get.map(t => t.loan_type.get -> t.count).toMap
+    val byType = r.insights.by_loan_type.get.map(t => t.loan_type.get -> t.count).toMap
     assert(byType == Map("personal" -> 6, "auto" -> 3, "mortgage" -> 1))
     // parquet round-trips with date/time string columns
     val back = spark.read.parquet(s"$out/parquet")
@@ -42,7 +42,7 @@ class LoanPipelineSpec extends SparkSpec {
     val out = Files.createTempDirectory("graft_etl3").toString
     val r = LoanPipeline.runEtl(spark, resource("loans_bad_ts.csv"), s"$out/parquet")
     assert(r.insights.avg_loan_amount.isEmpty)
-    assert(r.insights.loans_by_type.isEmpty)
+    assert(r.insights.by_loan_type.isEmpty)
     val back = spark.read.parquet(s"$out/parquet").orderBy("loan_id")
     val dates = back.select("date").collect().map(_.getString(0))
     // rows 1-3 unparseable => null date; row 4 parses
