@@ -70,10 +70,14 @@ object Dedup {
     * throw ARITHMETIC_OVERFLOW.
     */
   def minhashSignature(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    // hash the shingle string ONCE, then derive each permutation by
+    // rehashing the (index, hash) pair — numHashes cheap fixed-width
+    // hashes instead of numHashes string traversals
+    val base = shingles.withColumn("__h", xxhash64(col("shingle")))
     val aggs = (0 until numHashes).map { i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh$i")
+      min(xxhash64(lit(i), col("__h"))).as(s"mh$i")
     }
-    shingles.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    base.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: hash each band of bandSize signature values; docs

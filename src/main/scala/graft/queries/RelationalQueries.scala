@@ -150,6 +150,47 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  /** Exact percentiles (sort-based, cross-engine-identical linear
+    * interpolation) per return flag.
+    */
+  private val percentilesQty: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Sketch aggregates (HLL++ distinct count + TDigest-style quantile) —
+    * the fixed-memory shapes used at 100 TB; algorithms differ from
+    * DuckDB's so this is a rows-only check, with exactness bounds
+    * asserted in RelationalSketchSpec.
+    */
+  private val sketchStats: Q = (s, d) =>
+    lineitem(s, d)
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)").as("price_q"))
+      .select(
+        col("approx_orders"),
+        col("approx_parts"),
+        expr("price_q[0]").as("p50"),
+        expr("price_q[1]").as("p99"))
+
+  /** CUBE over two dimensions — all 4 grouping sets, sentinel-labelled. */
+  private val cubeOrders: Q = (s, d) =>
+    orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n"),
+        col("total_price"))
+      .orderBy("status", "priority")
+
   /** Broadcast-hash join: lineitem x part, per-brand quantities. */
   private val partBrandQty: Q = (s, d) =>
     lineitem(s, d)
@@ -190,6 +231,9 @@ object RelationalQueries {
     "window_top_customers" -> windowTopCustomers,
     "set_ops_customers" -> setOpsCustomers,
     "rollup_orders" -> rollupOrders,
+    "cube_orders" -> cubeOrders,
+    "percentiles_qty" -> percentilesQty,
+    "sketch_stats" -> sketchStats,
     "events_hourly" -> eventsHourly,
     "events_sessionize" -> eventsSessionize,
     "part_brand_qty" -> partBrandQty
@@ -265,6 +309,19 @@ object RelationalQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "cube_orders" ->
+      """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+        |  COALESCE(o_orderpriority, '(all)') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "percentiles_qty" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, COUNT(*) AS n,
