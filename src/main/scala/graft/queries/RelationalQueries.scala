@@ -191,6 +191,21 @@ object RelationalQueries {
         col("total_price"))
       .orderBy("status", "priority")
 
+  /** Top-3 orders per priority via the NATIVE TopKPerKey operator
+    * (custom LogicalPlan + Strategy + two-phase SparkPlan) — bounded
+    * per-key heaps before and after the exchange instead of the window
+    * formulation's full per-partition sort. Oracle = the window SQL.
+    */
+  private val topkNative: Q = (s, d) =>
+    org.apache.spark.sql.graftnative.TopK
+      .perKey(
+        orders(s, d),
+        Seq("o_orderpriority"),
+        Seq(("o_totalprice", true), ("o_orderkey", false)),
+        3)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "o_orderkey")
+
   /** Broadcast-hash join: lineitem x part, per-brand quantities. */
   private val partBrandQty: Q = (s, d) =>
     lineitem(s, d)
@@ -234,6 +249,7 @@ object RelationalQueries {
     "cube_orders" -> cubeOrders,
     "percentiles_qty" -> percentilesQty,
     "sketch_stats" -> sketchStats,
+    "topk_orders_native" -> topkNative,
     "events_hourly" -> eventsHourly,
     "events_sessionize" -> eventsSessionize,
     "part_brand_qty" -> partBrandQty
@@ -322,6 +338,12 @@ object RelationalQueries {
         |  quantile_cont(l_quantity, 0.9) AS p90,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "topk_orders_native" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3 ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, COUNT(*) AS n,
