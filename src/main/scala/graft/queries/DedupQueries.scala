@@ -100,7 +100,26 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** End-to-end corpus cleaning: exact dedup, then near-dup pair removal
+    * (shingle-join jaccard >= 0.6, drop the higher doc_id of every pair) —
+    * the composite "give me the cleaned corpus" operation. The MinHash
+    * variant of candidate generation is the rows-only query; this one uses
+    * the exact shingle join so DuckDB can replicate it verbatim.
+    */
+  private val pipelineE2e: Q = (s, d) => {
+    val exactDeduped = Dedup.exactDedup(nearDupCorpus(s, d), Seq("t"), "doc_id")
+    val sh = Dedup.wordShingles(exactDeduped, "doc_id", "t", 5)
+    val drop = Dedup
+      .jaccardPairs(sh, "doc_id", 0.6)
+      .select(col("id_b").as("doc_id"))
+      .distinct()
+    exactDeduped
+      .join(drop, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").cast(LongType).as("id_sum"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_pipeline_e2e" -> pipelineE2e,
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash_lsh" -> minhashLsh,
@@ -120,6 +139,26 @@ object DedupQueries {
       |  FROM tk WHERE len(toks) >= 5))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_pipeline_e2e" ->
+      s"""WITH $corpusSql,
+        |exact_d AS (SELECT doc_id, t FROM (
+        |  SELECT doc_id, t, ROW_NUMBER() OVER (PARTITION BY t ORDER BY doc_id) AS rn FROM corpus)
+        |  WHERE rn = 1),
+        |tk2 AS (SELECT doc_id, string_split(t, ' ') AS toks FROM exact_d),
+        |sh2 AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
+        |    i -> array_to_string(toks[i:i+4], ' '))) AS shingle
+        |  FROM tk2 WHERE len(toks) >= 5)),
+        |counts2 AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY doc_id),
+        |pairs2 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |drop2 AS (SELECT DISTINCT id_b AS doc_id FROM pairs2
+        |  JOIN counts2 ca ON ca.doc_id = id_a
+        |  JOIN counts2 cb ON cb.doc_id = id_b
+        |  WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.6)
+        |SELECT COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM exact_d WHERE doc_id NOT IN (SELECT doc_id FROM drop2)""".stripMargin,
     "dedup_exact" ->
       """WITH all_docs AS (SELECT doc_id, text FROM documents
         |    UNION ALL

@@ -34,13 +34,15 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
               Multiply(mx: NamedLambdaVariable, my: NamedLambdaVariable, _),
               Seq(zx: NamedLambdaVariable, zy: NamedLambdaVariable),
               _)),
-          Literal(zero, DoubleType),
+          Literal(zero: java.lang.Double, DoubleType),
           LambdaFunction(
             Add(acc: NamedLambdaVariable, el: NamedLambdaVariable, _),
             Seq(macc: NamedLambdaVariable, mel: NamedLambdaVariable),
             _),
           LambdaFunction(fin: NamedLambdaVariable, Seq(ffin: NamedLambdaVariable), _))
-        if zero == 0.0 &&
+        // bit-exact +0.0 check: -0.0 == 0.0 is true but folding from -0.0
+        // vs DoubleDot's +0.0 start could flip a negative-zero result
+        if java.lang.Double.doubleToRawLongBits(zero) == 0L &&
           mx.exprId == zx.exprId && my.exprId == zy.exprId &&
           acc.exprId == macc.exprId && el.exprId == mel.exprId &&
           fin.exprId == ffin.exprId &&
@@ -53,6 +55,8 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
   * `--conf spark.sql.extensions=org.apache.spark.sql.graftnative.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteHofDotProduct)
+    e.injectPlannerStrategy(_ => TopKStrategy)
+  }
 }

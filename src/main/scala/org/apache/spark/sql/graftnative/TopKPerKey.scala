@@ -52,6 +52,12 @@ case class TopKPerKeyExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(groupingKeys) :: Nil
 
+  // rows keep their partitioning — without this the default
+  // UnknownPartitioning would make a downstream groupBy on the same keys
+  // re-shuffle data that is already clustered
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val keys = groupingKeys
@@ -100,7 +106,13 @@ object TopKStrategy extends SparkStrategy {
 
 /** User-facing entry: `TopK.perKey(df, keys, orderCols, k)` where
   * orderCols must form a total order (append a unique tiebreak). Installs
-  * the planner strategy idempotently via the public experimental hook.
+  * the planner strategy idempotently via the public experimental hook
+  * (also installable session-wide through [[GraftExtensions]]).
+  *
+  * Memory contract: state is k rows per DISTINCT KEY per task with no
+  * spill path — meant for bounded-cardinality keys (categories, tenants,
+  * buckets). For near-unique keys prefer the window formulation, whose
+  * sort spills to disk.
   */
 object TopK {
   def perKey(
@@ -108,14 +120,20 @@ object TopK {
       keyNames: Seq[String],
       orderCols: Seq[(String, Boolean)], // (column, descending?)
       k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
-      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
+    spark.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+        spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
+      }
     }
     val analyzed = df.queryExecution.analyzed
-    def attr(n: String): Attribute = analyzed.output
-      .find(a => df.sparkSession.sessionState.conf.resolver(a.name, n))
-      .getOrElse(throw new IllegalArgumentException(s"column $n not found"))
+    def attr(n: String): Attribute = {
+      val matches = analyzed.output
+        .filter(a => df.sparkSession.sessionState.conf.resolver(a.name, n))
+      require(matches.size == 1, s"column $n: ${if (matches.isEmpty) "not found" else "ambiguous"}")
+      matches.head
+    }
     val order = orderCols.map { case (n, desc) =>
       SortOrder(attr(n), if (desc) Descending else Ascending)
     }
