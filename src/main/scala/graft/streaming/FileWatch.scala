@@ -44,6 +44,20 @@ object FileWatch {
         col("n"),
         col("total_value"))
 
+  /** Streaming exact dedup: exactly-once per id within the watermark
+    * horizon — state is bounded by the watermark (old ids age out), the
+    * streaming shape of X1 for ingest pipelines.
+    */
+  def dedupStream(events: DataFrame, idCol: String, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates(idCol, "ts")
+
+  /** Stream-static enrichment join: the static dim is re-read per
+    * micro-batch and broadcast when small — the standard pattern for
+    * joining a stream against a slowly-changing dimension.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(dim, Seq(key), "left")
+
   /** Drain-everything-then-stop runner (Trigger.AvailableNow): the batch
     * cadence of the reference's 60 s poke loop, but restartable from the
     * checkpoint. Returns after all available input is processed.

@@ -66,6 +66,27 @@ class FileWatchSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("streaming dedup drops duplicate ids; stream-static join enriches") {
+    val in = Files.createTempDirectory("fw3_in")
+    val ckpt = Files.createTempDirectory("fw3_ckpt").toString
+    val ev = Tables.events(spark, sf)
+    // duplicate every event: dedup must return the original count
+    ev.union(ev).coalesce(1).write.mode("overwrite").parquet(s"$in/all.parquet")
+    val schema = spark.read.parquet(s"$in/all.parquet").schema
+    val users = Tables.events(spark, sf)
+      .select(col("user_id")).distinct()
+      .withColumn("tier", col("user_id") % 3)
+    val stream = FileWatch.watchParquetDir(spark, s"$in/*.parquet", schema)
+    val enriched = FileWatch.enrich(
+      FileWatch.dedupStream(stream, "event_id", "1 hour"), users, "user_id")
+    FileWatch.runAvailableNow(
+      enriched.writeStream.format("memory").queryName("enriched").outputMode("append"),
+      ckpt)
+    val out = spark.table("enriched")
+    assert(out.count() == ev.count()) // dups dropped
+    assert(out.filter(col("tier").isNull).count() == 0) // every row enriched
+  }
+
   test("parseProps yields a typed map") {
     val withMap = graft.ext.Multimodal.parseProps(Tables.events(spark, sf))
     val r = withMap.select(element_at(col("props_map"), "k")).limit(3).collect()
