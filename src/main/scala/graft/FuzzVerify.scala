@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+import scala.util.Random
+
+/** Differential SQL fuzzing: deterministically generate random queries in
+  * the cross-engine-safe SQL subset (decimal-exact sums, counts, min/max,
+  * count-distinct, equi-joins, filters, group bys — everything the fixed
+  * oracle queries rely on), run them through spark.sql, dump results +
+  * the IDENTICAL SQL text as oracle_sql.json, and let the standard
+  * check_oracle.py compare against DuckDB.
+  *
+  * Usage: runMain graft.FuzzVerify <sfDir> <outDir> [n=50] [seed=42]
+  */
+object FuzzVerify {
+
+  case class Col(name: String, kind: String) // kind: cat | num | key
+  case class Table(name: String, cols: Seq[Col])
+
+  val tables: Seq[Table] = Seq(
+    Table("lineitem", Seq(
+      Col("l_returnflag", "cat"), Col("l_linestatus", "cat"),
+      Col("l_quantity", "num"), Col("l_extendedprice", "num"),
+      Col("l_discount", "num"), Col("l_tax", "num"),
+      Col("l_orderkey", "key"), Col("l_partkey", "key"), Col("l_suppkey", "key"))),
+    Table("orders", Seq(
+      Col("o_orderstatus", "cat"), Col("o_orderpriority", "cat"),
+      Col("o_totalprice", "num"), Col("o_orderkey", "key"), Col("o_custkey", "key"))),
+    Table("customer", Seq(
+      Col("c_mktsegment", "cat"), Col("c_acctbal", "num"),
+      Col("c_custkey", "key"), Col("c_nationkey", "key"))),
+    Table("part", Seq(
+      Col("p_brand", "cat"), Col("p_type", "cat"),
+      Col("p_retailprice", "num"), Col("p_size", "num"), Col("p_partkey", "key")))
+  )
+
+  // joinable pairs: (left table, right table, left key, right key)
+  val joins: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"))
+
+  private def pick[T](r: Random, xs: Seq[T]): T = xs(r.nextInt(xs.size))
+
+  def genQuery(r: Random): String = {
+    val useJoin = r.nextInt(3) == 0
+    val (fromClause, cols) =
+      if (useJoin) {
+        val (lt, rt, lk, rk) = pick(r, joins)
+        val l = tables.find(_.name == lt).get
+        val rr = tables.find(_.name == rt).get
+        (s"$lt JOIN $rt ON $lk = $rk", l.cols ++ rr.cols)
+      } else {
+        val t = pick(r, tables)
+        (t.name, t.cols)
+      }
+    val cats = cols.filter(_.kind == "cat")
+    val nums = cols.filter(_.kind == "num")
+    val keys = cols.filter(_.kind == "key")
+    val groupCols = r.shuffle(cats).take(1 + r.nextInt(2)).map(_.name)
+    val nAggs = 1 + r.nextInt(3)
+    val aggs = (0 until nAggs).map { i =>
+      r.nextInt(5) match {
+        case 0 => s"COUNT(*) AS agg$i"
+        case 1 =>
+          val c = pick(r, nums).name
+          s"CAST(SUM(CAST($c AS DECIMAL(12,2))) AS DOUBLE) AS agg$i"
+        case 2 => s"MIN(${pick(r, nums).name}) AS agg$i"
+        case 3 => s"MAX(${pick(r, cats ++ nums).name}) AS agg$i"
+        case 4 => s"COUNT(DISTINCT ${pick(r, keys ++ cats).name}) AS agg$i"
+      }
+    }
+    val where =
+      if (r.nextInt(2) == 0) {
+        val c = pick(r, nums)
+        val op = pick(r, Seq("<", ">", "<=", ">="))
+        val v = (r.nextInt(200) + 1) * 25
+        s" WHERE ${c.name} $op $v"
+      } else ""
+    val sel = (groupCols ++ aggs).mkString(", ")
+    s"SELECT $sel FROM $fromClause$where GROUP BY ${groupCols.mkString(", ")} " +
+      s"ORDER BY ${groupCols.mkString(", ")}"
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val n = args.lift(2).map(_.toInt).getOrElse(50)
+    val seed = args.lift(3).map(_.toLong).getOrElse(42L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    tables.foreach(t =>
+      Tables.table(spark, sfDir, t.name).createOrReplaceTempView(t.name))
+    new java.io.File(outDir).mkdirs()
+    val r = new Random(seed)
+    val sqls = (0 until n).map(i => f"fuzz_$i%03d" -> genQuery(r))
+    sqls.foreach { case (name, sql) =>
+      try spark.sql(sql).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      catch { case e: Throwable => System.err.println(s"[fuzz] $name failed: ${e.getMessage}") }
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = sqls.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}
