@@ -76,4 +76,24 @@ object TextStats {
     * across engines, unlike xxhash64).
     */
   def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Winnowing fingerprints (MOSS-style rolling selection): hash every
+    * character k-gram of the normalized text, slide a window of w hashes,
+    * keep each window's minimum — a position-robust fingerprint SET whose
+    * overlap survives local edits. Pure HOFs over the row (no explode, no
+    * shuffle); dedup via array_distinct.
+    */
+  def winnowingFingerprints(c: Column, k: Int, w: Int): Column = {
+    val t = normText(c)
+    val gramHashes = transform(
+      sequence(lit(1), length(t) - (k - 1)),
+      i => xxhash64(t.substr(i, lit(k))))
+    val mins = transform(
+      sequence(lit(1), size(gramHashes) - (w - 1)),
+      j => array_min(slice(gramHashes, j, lit(w))))
+    // sequence(1, n) counts DOWN for n < 1, so short docs must short-circuit
+    // to an empty set before either sequence is built
+    when(length(t) < k + w - 1, array().cast("array<bigint>"))
+      .otherwise(array_distinct(mins))
+  }
 }

@@ -44,7 +44,19 @@ object TextQueries {
         min("fp").as("min_fp"))
       .orderBy("source")
 
+  /** Winnowing (rolling-hash) fingerprint stats — xxhash64-based, so
+    * rows-only (no DuckDB equivalent); selection properties are covered
+    * by WinnowingSpec.
+    */
+  private val winnowing: Q = (s, d) =>
+    documents(s, d)
+      .select(col("source"), explode(winnowingFingerprints(col("text"), 8, 4)).as("fp"))
+      .groupBy("source")
+      .agg(countDistinct(col("fp")).as("n_fp"), count(lit(1)).as("n_total"))
+      .orderBy("source")
+
   val queries: Map[String, Q] = Map(
+    "text_winnowing" -> winnowing,
     "text_token_stats" -> tokenStats,
     "text_quality_hist" -> quality,
     "text_langid_confusion" -> langId,
