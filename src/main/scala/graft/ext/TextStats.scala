@@ -11,7 +11,8 @@ import org.apache.spark.sql.types._
   * Everything here is a pure Column expression built from codegen'd
   * built-ins — no UDFs — so whole-stage codegen keeps the scan→score
   * pipeline in one stage at any scale, and every op is SQL-expressible
-  * for the DuckDB oracle.
+  * for the DuckDB oracle (exception: the xxhash64-based winnowing
+  * fingerprints below, which are rows-only and HOF-interpreted).
   */
 object TextStats {
 
@@ -77,23 +78,41 @@ object TextStats {
     */
   def fingerprint(c: Column): Column = md5(normText(c))
 
-  /** Winnowing fingerprints (MOSS-style rolling selection): hash every
-    * character k-gram of the normalized text, slide a window of w hashes,
-    * keep each window's minimum — a position-robust fingerprint SET whose
-    * overlap survives local edits. Pure HOFs over the row (no explode, no
-    * shuffle); dedup via array_distinct.
+  /** Winnowing fingerprints (MOSS-style rolling selection), as TWO
+    * composable steps the caller materializes as separate columns:
+    *
+    * {{{
+    * df.withColumn("t", TextStats.normText($"text"))
+    *   .withColumn("grams", TextStats.kgramHashes($"t", 8))
+    *   .select(TextStats.winnow($"grams", 4).as("fps"))
+    * }}}
+    *
+    * The split matters: Spark HOF lambdas are interpreted and loop-
+    * invariant subtrees are NOT hoisted, so nesting the gram-hash
+    * expression inside the window lambda would recompute the whole gram
+    * array (and the normalization regex) once per window — O(n^3) per
+    * row. Referencing a materialized column from the lambda is O(1).
+    * (NOTE: winnowing is xxhash64-based, hence rows-only — the one
+    * exception to this object's "oracle-mirrored" rule — and HOF-
+    * interpreted rather than codegen'd.)
     */
-  def winnowingFingerprints(c: Column, k: Int, w: Int): Column = {
-    val t = normText(c)
-    val gramHashes = transform(
-      sequence(lit(1), length(t) - (k - 1)),
-      i => xxhash64(t.substr(i, lit(k))))
-    val mins = transform(
-      sequence(lit(1), size(gramHashes) - (w - 1)),
-      j => array_min(slice(gramHashes, j, lit(w))))
-    // sequence(1, n) counts DOWN for n < 1, so short docs must short-circuit
-    // to an empty set before either sequence is built
-    when(length(t) < k + w - 1, array().cast("array<bigint>"))
-      .otherwise(array_distinct(mins))
-  }
+
+  /** Hashes of every character k-gram; `c` must be pre-normalized (a
+    * materialized column, not an expression). Null/short input => empty.
+    */
+  def kgramHashes(c: Column, k: Int): Column =
+    when(c.isNull || length(c) < k, array().cast("array<bigint>"))
+      .otherwise(
+        transform(sequence(lit(1), length(c) - (k - 1)), i => xxhash64(c.substr(i, lit(k)))))
+
+  /** Distinct window-of-w minima over a materialized gram-hash column.
+    * sequence(1, n) counts DOWN for n < 1, so short inputs short-circuit.
+    */
+  def winnow(grams: Column, w: Int): Column =
+    when(grams.isNull || size(grams) < w, array().cast("array<bigint>"))
+      .otherwise(
+        array_distinct(
+          transform(
+            sequence(lit(1), size(grams) - (w - 1)),
+            j => array_min(slice(grams, j, lit(w))))))
 }

@@ -50,9 +50,13 @@ object TextQueries {
     */
   private val winnowing: Q = (s, d) =>
     documents(s, d)
-      .select(col("source"), explode(winnowingFingerprints(col("text"), 8, 4)).as("fp"))
+      .withColumn("t", normText(col("text")))
+      .withColumn("grams", kgramHashes(col("t"), 8))
+      // explode_outer + count(fp): sources whose docs all fingerprint to
+      // empty still appear with n_fp = 0 instead of vanishing
+      .select(col("source"), explode_outer(winnow(col("grams"), 4)).as("fp"))
       .groupBy("source")
-      .agg(countDistinct(col("fp")).as("n_fp"), count(lit(1)).as("n_total"))
+      .agg(countDistinct(col("fp")).as("n_fp"), count(col("fp")).as("n_total"))
       .orderBy("source")
 
   val queries: Map[String, Q] = Map(

@@ -1,29 +1,38 @@
 package graft.ext
 
 import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 class WinnowingSpec extends SparkSpec {
   import spark.implicits._
 
-  test("winnowing fingerprints overlap heavily for locally-edited docs, barely for unrelated") {
-    val docs = Seq(
-      (1L, "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat"),
-      (2L, "the quick brown fox leaps over the lazy dog while the cat sleeps on the warm mat"), // one word edit
-      (3L, "partition pruning and predicate pushdown keep the parquet scan narrow and fast today")
-    ).toDF("id", "t")
-    val fp = docs.select(
-      col("id"),
-      TextStats.winnowingFingerprints(col("t"), 5, 4).as("fps"))
-    val sets = fp.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+  private def fingerprints(df: DataFrame): Map[Long, Set[Long]] =
+    df.withColumn("t", TextStats.normText(col("t")))
+      .withColumn("grams", TextStats.kgramHashes(col("t"), 5))
+      .select(col("id"), TextStats.winnow(col("grams"), 4).as("fps"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+      .toMap
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat"),
+    (2L, "the quick brown fox leaps over the lazy dog while the cat sleeps on the warm mat"), // one word edit
+    (3L, "partition pruning and predicate pushdown keep the parquet scan narrow and fast today")
+  ).toDF("id", "t")
+
+  test("fingerprints overlap heavily for locally-edited docs, barely for unrelated") {
+    val sets = fingerprints(docs)
     def jac(a: Set[Long], b: Set[Long]) = a.intersect(b).size.toDouble / a.union(b).size
     assert(jac(sets(1L), sets(2L)) > 0.5, s"edited pair: ${jac(sets(1L), sets(2L))}")
     assert(jac(sets(1L), sets(3L)) < 0.1, s"unrelated pair: ${jac(sets(1L), sets(3L))}")
   }
 
-  test("fingerprints are deterministic and short docs yield empty sets gracefully") {
-    val df = Seq((1L, "hi")).toDF("id", "t") // shorter than k
-    val out = df.select(TextStats.winnowingFingerprints(col("t"), 5, 4)).first().getSeq[Long](0)
-    assert(out.isEmpty)
+  test("deterministic across partitionings; null/short input yields empty sets") {
+    val base = fingerprints(docs)
+    val repart = fingerprints(docs.repartition(7))
+    assert(base == repart)
+    val edge = fingerprints(Seq((1L, "hi"), (2L, null.asInstanceOf[String])).toDF("id", "t"))
+    assert(edge(1L).isEmpty && edge(2L).isEmpty)
   }
 }
