@@ -78,9 +78,26 @@ object FuzzVerify {
         val v = (r.nextInt(200) + 1) * 25
         s" WHERE ${c.name} $op $v"
       } else ""
+    val having =
+      if (r.nextInt(3) == 0) s" HAVING COUNT(*) > ${1 + r.nextInt(5)}" else ""
     val sel = (groupCols ++ aggs).mkString(", ")
-    s"SELECT $sel FROM $fromClause$where GROUP BY ${groupCols.mkString(", ")} " +
+    s"SELECT $sel FROM $fromClause$where GROUP BY ${groupCols.mkString(", ")}$having " +
       s"ORDER BY ${groupCols.mkString(", ")}"
+  }
+
+  /** Window-function template: exact top-k per category by a key column
+    * (total order via the unique key — identical semantics both engines).
+    */
+  def genWindowQuery(r: Random): String = {
+    val t = pick(r, tables)
+    val cat = pick(r, t.cols.filter(_.kind == "cat")).name
+    val key = pick(r, t.cols.filter(_.kind == "key")).name
+    val dir = pick(r, Seq("ASC", "DESC"))
+    val k = 1 + r.nextInt(5)
+    s"""SELECT $cat, $key, rk FROM (
+       |  SELECT $cat, $key,
+       |    ROW_NUMBER() OVER (PARTITION BY $cat ORDER BY $key $dir) AS rk
+       |  FROM ${t.name}) WHERE rk <= $k ORDER BY $cat, rk""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {
@@ -101,7 +118,10 @@ object FuzzVerify {
       Tables.table(spark, sfDir, t.name).createOrReplaceTempView(t.name))
     new java.io.File(outDir).mkdirs()
     val r = new Random(seed)
-    val sqls = (0 until n).map(i => f"fuzz_$i%03d" -> genQuery(r))
+    val sqls = (0 until n).map { i =>
+      val sql = if (i % 5 == 4) genWindowQuery(r) else genQuery(r)
+      f"fuzz_$i%03d" -> sql
+    }
     sqls.foreach { case (name, sql) =>
       try spark.sql(sql).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable => System.err.println(s"[fuzz] $name failed: ${e.getMessage}") }

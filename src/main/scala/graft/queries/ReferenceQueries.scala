@@ -148,7 +148,24 @@ object ReferenceQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** Data-profiling pass (the QA shape of the reference's insights doc):
+    * per-column null counts + distinct counts + a numeric summary in ONE
+    * aggregation job over orders.
+    */
+  private val profile: Q = (s, d) =>
+    orders(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("nulls_status"),
+      sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("nulls_price"),
+      countDistinct(col("o_orderstatus")).as("d_status"),
+      countDistinct(col("o_orderpriority")).as("d_priority"),
+      countDistinct(col("o_custkey")).as("d_cust"),
+      min("o_totalprice").as("min_price"),
+      max("o_totalprice").as("max_price"),
+      davg(col("o_totalprice")).as("avg_price"))
+
   val queries: Map[String, Q] = Map(
+    "profile_orders" -> profile,
     "q1_sql_frontend" -> q1Sql,
     "loan_total" -> loanTotal,
     "loan_avg_amount" -> loanAvg,
@@ -181,6 +198,17 @@ object ReferenceQueries {
       |FROM x GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "profile_orders" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_status,
+        |  CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_price,
+        |  COUNT(DISTINCT o_orderstatus) AS d_status,
+        |  COUNT(DISTINCT o_orderpriority) AS d_priority,
+        |  COUNT(DISTINCT o_custkey) AS d_cust,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_price
+        |FROM orders""".stripMargin,
     "q1_sql_frontend" -> q1OracleSql,
     "loan_total" -> "SELECT COUNT(*) AS total_loans FROM lineitem",
     "loan_avg_amount" ->
