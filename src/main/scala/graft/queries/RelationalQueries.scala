@@ -206,6 +206,31 @@ object RelationalQueries {
       .select("o_orderpriority", "o_orderkey", "o_totalprice")
       .orderBy("o_orderpriority", "o_orderkey")
 
+  /** PIVOT: order counts + decimal-exact totals per priority, one column
+    * set per status value (explicit value list keeps the schema static —
+    * required for both plan stability and the oracle).
+    */
+  private val pivotOrders: Q = (s, d) =>
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+
+  /** UNPIVOT/melt: lineitem measures to long form, then per-metric
+    * decimal-exact totals — the inverse shape for metric-store layouts.
+    */
+  private val unpivotLineitem: Q = (s, d) =>
+    lineitem(s, d)
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric",
+        "value")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .orderBy("metric")
+
   /** Broadcast-hash join: lineitem x part, per-brand quantities. */
   private val partBrandQty: Q = (s, d) =>
     lineitem(s, d)
@@ -250,6 +275,8 @@ object RelationalQueries {
     "percentiles_qty" -> percentilesQty,
     "sketch_stats" -> sketchStats,
     "topk_orders_native" -> topkNative,
+    "pivot_orders" -> pivotOrders,
+    "unpivot_lineitem" -> unpivotLineitem,
     "events_hourly" -> eventsHourly,
     "events_sessionize" -> eventsSessionize,
     "part_brand_qty" -> partBrandQty
@@ -338,6 +365,23 @@ object RelationalQueries {
         |  quantile_cont(l_quantity, 0.9) AS p90,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "pivot_orders" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS "F_n",
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "F_total",
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS "O_n",
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "O_total",
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P_n",
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "P_total"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "unpivot_lineitem" ->
+      """WITH long AS (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT metric, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM long GROUP BY metric ORDER BY metric""".stripMargin,
     "topk_orders_native" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
