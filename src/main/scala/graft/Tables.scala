@@ -25,14 +25,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright;
-    * read nanos as long (legacy conf) and floor-convert to micros. Queries
-    * must not expose sub-second precision (DuckDB keeps full nanos).
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects unless
+    * the session sets `spark.sql.legacy.parquet.nanosAsLong=true` (all
+    * session builders here do — Verify/Bench/tools/specs; a table loader
+    * must not mutate session config as a side effect). The nanos-as-long
+    * column is floor-converted to micros; queries must not expose
+    * sub-second precision (DuckDB keeps full nanos).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     table(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

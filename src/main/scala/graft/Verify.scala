@@ -14,6 +14,7 @@ object Verify {
       // Reference semantics are Spark 3.4 non-ANSI (pyspark_etl.py ran with
       // defaults); library code also uses try_* so either setting is safe.
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -12,12 +12,37 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** 60-bit hash with a bit-identical DuckDB equivalent:
+    * Spark `conv(substr(md5(x),1,15),16,10)::bigint` ==
+    * DuckDB `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`.
+    * 15 hex digits keep the value positive in a signed 64-bit, so casts,
+    * comparisons, shifts and string rendering agree across engines. Used
+    * wherever a hash must be oracle-checkable (MinHash, SimHash votes,
+    * winnowing grams, KMV sketches); xxhash64 stays the fast in-engine
+    * default where no oracle applies.
+    */
+  def portableHash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
   /** X1 — exact dedup keeping the smallest tieBreak value per key group.
     * `row_number` over (key, tieBreak) — one shuffle on the key; at scale
     * this is the standard "keep first version of each content hash" pass.
+    * The window key is the SHA-256 of the key columns, not the columns
+    * themselves: partitioning by raw document text would ship every byte
+    * of the corpus through the exchange as key material a second time.
+    * 32-byte digests keep the shuffle width flat no matter how wide the
+    * dedup key is (collision odds ~2^-128 — the standard content-hash
+    * dedup contract).
     */
   def exactDedup(df: DataFrame, keyCols: Seq[String], tieBreak: String): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tieBreak))
+    // unit-separator-joined with a sentinel for nulls so ("a", null) !=
+    // ("a", "") and column boundaries cannot alias ("ab","c" vs "a","bc")
+    val key = sha2(
+      concat_ws(
+        "\u001f",
+        keyCols.map(c => coalesce(col(c).cast(StringType), lit("\u001f<null>"))): _*),
+      256)
+    val w = Window.partitionBy(key).orderBy(col(tieBreak))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
@@ -42,11 +67,32 @@ object Dedup {
   /** X2 — n-gram Jaccard near-dup pairs. Candidates = documents sharing at
     * least one shingle (equi-join on the shingle key, the scalable path);
     * jaccard = |A∩B| / (|A|+|B|-|A∩B|) from exact distinct counts.
+    *
+    * `dfCap` bounds the self-join blowup: a shingle appearing in d
+    * documents contributes d^2 join rows, so one boilerplate header shared
+    * by 10^6 docs would be a single-key cartesian at 100 TB. Shingles with
+    * document frequency > dfCap are dropped from CANDIDATE GENERATION only
+    * (standard MinHash-family practice — ubiquitous shingles carry no
+    * discriminative signal); per-doc set sizes in the Jaccard denominator
+    * still count every shingle, so scores for surviving pairs only shift
+    * when a capped shingle was genuinely shared. Join work is then
+    * <= dfCap * |distinct shingles| rows, hot keys bounded by dfCap^2.
     */
-  def jaccardPairs(shingles: DataFrame, idCol: String, minJaccard: Double): DataFrame = {
+  def jaccardPairs(
+      shingles: DataFrame,
+      idCol: String,
+      minJaccard: Double,
+      dfCap: Int = 256): DataFrame = {
     val counts = shingles.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-    val a = shingles.select(col(idCol).as("id_a"), col("shingle"))
-    val b = shingles.select(col(idCol).as("id_b"), col("shingle"))
+    val kept = shingles.join(
+      shingles
+        .groupBy("shingle")
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= dfCap)
+        .select("shingle"),
+      Seq("shingle"))
+    val a = kept.select(col(idCol).as("id_a"), col("shingle"))
+    val b = kept.select(col(idCol).as("id_b"), col("shingle"))
     val common = a
       .join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
@@ -69,13 +115,24 @@ object Dedup {
     * safe under ANSI mode (Spark 4's default) where `h * a + b` would
     * throw ARITHMETIC_OVERFLOW.
     */
-  def minhashSignature(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+  def minhashSignature(
+      shingles: DataFrame,
+      idCol: String,
+      numHashes: Int,
+      portable: Boolean = false): DataFrame = {
     // hash the shingle string ONCE, then derive each permutation by
     // rehashing the (index, hash) pair — numHashes cheap fixed-width
-    // hashes instead of numHashes string traversals
-    val base = shingles.withColumn("__h", xxhash64(col("shingle")))
+    // hashes instead of numHashes string traversals.
+    // portable=true swaps xxhash64 for [[portableHash64]] over md5 so the
+    // whole signature -> band -> candidate path is DuckDB-checkable.
+    val base =
+      if (portable) shingles.withColumn("__h", md5(col("shingle")))
+      else shingles.withColumn("__h", xxhash64(col("shingle")))
     val aggs = (0 until numHashes).map { i =>
-      min(xxhash64(lit(i), col("__h"))).as(s"mh$i")
+      val perm =
+        if (portable) portableHash64(concat(lit(s"$i:"), col("__h")))
+        else xxhash64(lit(i), col("__h"))
+      min(perm).as(s"mh$i")
     }
     base.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }
@@ -84,11 +141,22 @@ object Dedup {
     * sharing any (band index, band hash) are candidates. Equi-join on the
     * band key — shuffle scales with docs x bands, not docs^2.
     */
-  def lshCandidates(sig: DataFrame, idCol: String, numHashes: Int, bandSize: Int): DataFrame = {
+  def lshCandidates(
+      sig: DataFrame,
+      idCol: String,
+      numHashes: Int,
+      bandSize: Int,
+      portable: Boolean = false): DataFrame = {
     val nBands = numHashes / bandSize
     val bands = (0 until nBands).map { bi =>
       val cols = (bi * bandSize until (bi + 1) * bandSize).map(i => col(s"mh$i"))
-      struct(lit(bi).as("band"), xxhash64(concat_ws(",", cols: _*)).as("bh"))
+      // band key: hash of the comma-joined signature slice. md5-of-string
+      // when portable (decimal renderings of positive bigints are engine-
+      // identical), xxhash64 otherwise.
+      val bh =
+        if (portable) md5(concat_ws(",", cols: _*))
+        else xxhash64(concat_ws(",", cols: _*)).cast(StringType)
+      struct(lit(bi).as("band"), bh.as("bh"))
     }
     val exploded = sig
       .select(col(idCol), explode(array(bands: _*)).as("b"))
@@ -120,13 +188,18 @@ object Dedup {
     * of 4 bands by pigeonhole when distance spreads). Verify with
     * bit_count(xor) <= maxHamming.
     */
-  def simhashPairs(sim: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+  def simhashPairs(
+      sim: DataFrame,
+      idCol: String,
+      maxHamming: Int,
+      bandBits: Int = 16): DataFrame = {
+    val mask = (1L << bandBits) - 1
     val banded = sim.select(
       col(idCol),
       col("simhash"),
       explode(
         array((0 until 4).map(k =>
-          struct(lit(k).as("band"), shiftrightunsigned(col("simhash"), k * 16).bitwiseAND(0xFFFFL).as("bh"))): _*)).as("b"))
+          struct(lit(k).as("band"), shiftrightunsigned(col("simhash"), k * bandBits).bitwiseAND(mask).as("bh"))): _*)).as("b"))
       .select(col(idCol), col("simhash"), col("b.band").as("band"), col("b.bh").as("bh"))
     banded
       .select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("band"), col("bh"))
@@ -137,5 +210,29 @@ object Dedup {
       .select(col("id_a"), col("id_b"), bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** X2 — oracle-checkable SimHash: md5-derived per-token bit votes,
+    * aggregated with `bits` conditional sums. Slower than the native
+    * [[org.apache.spark.sql.graftnative.SimHash64]] expression (explodes
+    * tokens through a shuffle and carries a wide aggregate), but every
+    * step — token split, [[portableHash64]] bits, vote signs, bit
+    * reassembly — is plain SQL on both engines, so the resulting hashes
+    * (and the band-join pairs built on them) are bit-identical in DuckDB.
+    * Use the native expression for 100 TB runs and this one wherever
+    * cross-engine verifiability matters more than throughput.
+    */
+  def simhashPortable(df: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(split(TextStats.normText(col(textCol)), " ")).as("tok"))
+      .withColumn("__h", portableHash64(col("tok")))
+    // vote_b = #tokens with bit b set minus #tokens with it clear
+    val votes = (0 until bits).map { b =>
+      sum(shiftrightunsigned(col("__h"), b).bitwiseAND(1L) * 2 - 1).as(s"v$b")
+    }
+    val sh = (0 until bits)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    toks.groupBy(idCol).agg(votes.head, votes.tail: _*).select(col(idCol), sh.as("simhash"))
   }
 }

@@ -11,8 +11,8 @@ import org.apache.spark.sql.types._
   * Everything here is a pure Column expression built from codegen'd
   * built-ins — no UDFs — so whole-stage codegen keeps the scan→score
   * pipeline in one stage at any scale, and every op is SQL-expressible
-  * for the DuckDB oracle (exception: the xxhash64-based winnowing
-  * fingerprints below, which are rows-only and HOF-interpreted).
+  * for the DuckDB oracle (winnowing included, via the portable md5-derived
+  * gram hashes — though its HOF lambdas run interpreted, not codegen'd).
   */
 object TextStats {
 
@@ -92,18 +92,21 @@ object TextStats {
     * expression inside the window lambda would recompute the whole gram
     * array (and the normalization regex) once per window — O(n^3) per
     * row. Referencing a materialized column from the lambda is O(1).
-    * (NOTE: winnowing is xxhash64-based, hence rows-only — the one
-    * exception to this object's "oracle-mirrored" rule — and HOF-
-    * interpreted rather than codegen'd.)
     */
 
   /** Hashes of every character k-gram; `c` must be pre-normalized (a
     * materialized column, not an expression). Null/short input => empty.
+    * portable=true derives the hash from md5 ([[Dedup.portableHash64]])
+    * so DuckDB reproduces the gram values (and the winnowed minima)
+    * bit-for-bit; the xxhash64 default is the faster in-engine path.
     */
-  def kgramHashes(c: Column, k: Int): Column =
+  def kgramHashes(c: Column, k: Int, portable: Boolean = false): Column = {
+    val hash: Column => Column =
+      if (portable) Dedup.portableHash64 else xxhash64(_)
     when(c.isNull || length(c) < k, array().cast("array<bigint>"))
       .otherwise(
-        transform(sequence(lit(1), length(c) - (k - 1)), i => xxhash64(c.substr(i, lit(k)))))
+        transform(sequence(lit(1), length(c) - (k - 1)), i => hash(c.substr(i, lit(k)))))
+  }
 
   /** Distinct window-of-w minima over a materialized gram-hash column.
     * sequence(1, n) counts DOWN for n < 1, so short inputs short-circuit.

@@ -8,11 +8,20 @@ import graft.ext.{Dedup, TextStats, Vectors}
 
 /** Dedup-family queries (X1/X2). The test corpus has no natural dups, so
   * each query injects deterministic duplicates/near-duplicates first (the
-  * same injection is mirrored in the oracle SQL). MinHash/SimHash use
-  * xxhash64 (no DuckDB equivalent) and get rows-only checks.
+  * same injection is mirrored in the oracle SQL). MinHash and SimHash run
+  * in portable mode — md5-derived hashes ([[Dedup.portableHash64]]) that
+  * DuckDB reproduces bit-for-bit — so the full signature -> band ->
+  * candidate path is oracle-checked, not rows-only.
   */
 object DedupQueries {
   type Q = (SparkSession, String) => DataFrame
+
+  /** Shared shingle df-cap, mirrored verbatim in every oracle. At this
+    * corpus the max shingle document frequency is single-digit, so the cap
+    * provably never fires at test scale (results identical with/without);
+    * at 100 TB it bounds the hottest join key to dfCap^2 pairs.
+    */
+  val ShingleDfCap = 256
 
   /** documents + whole-copy dups for every 5th doc. */
   private def dupCorpus(s: SparkSession, d: String): DataFrame = {
@@ -51,38 +60,40 @@ object DedupQueries {
   private val ngramJaccard: Q = (s, d) => {
     val sh = Dedup.wordShingles(nearDupCorpus(s, d), "doc_id", "t", 5)
     Dedup
-      .jaccardPairs(sh, "doc_id", 0.5)
+      .jaccardPairs(sh, "doc_id", 0.5, ShingleDfCap)
       .orderBy("id_a", "id_b")
   }
 
-  /** 16 hashes in 8 bands of 2: band-match probability at jaccard 0.5 is
-    * 1-(1-0.25)^8 ≈ 0.90 (vs 0.40 for 8x4) with half the signature
-    * expressions; false-positive bands only cost verification, which runs
-    * on candidates anyway. Two output branches (candidates, true pairs
-    * outer-joined with the candidate flag) instead of three keeps plan
-    * compilation — the dominant cost at small scale — down.
+  /** 16 portable hashes in 8 bands of 2: band-match probability at jaccard
+    * 0.5 is 1-(1-0.25)^8 ≈ 0.90 (vs 0.40 for 8x4) with half the signature
+    * expressions. The query output is the candidate pair LIST — the full
+    * signature/band computation is what the oracle hash-checks. Recall vs
+    * the exact-jaccard truth set is measured in DedupSpec, NOT here: round
+    * 1 embedded the O(pairs) brute-force verifier inside this query, which
+    * made the *scalable* variant the slowest thing in the bench.
     */
   private val minhashLsh: Q = (s, d) => {
     val sh = Dedup.wordShingles(nearDupCorpus(s, d), "doc_id", "t", 5)
-    val cand = Dedup.lshCandidates(Dedup.minhashSignature(sh, "doc_id", 16), "doc_id", 16, 2)
-    val truePairs = Dedup.jaccardPairs(sh, "doc_id", 0.5).select("id_a", "id_b")
-    val flagged = truePairs.join(
-      cand.withColumn("is_cand", lit(1L)), Seq("id_a", "id_b"), "left")
-    cand
-      .agg(count(lit(1)).as("n_candidates"))
-      .crossJoin(flagged.agg(
-        count(lit(1)).as("n_true"),
-        sum(coalesce(col("is_cand"), lit(0L))).as("n_verified")))
+    val sig = Dedup.minhashSignature(sh, "doc_id", 16, portable = true)
+    Dedup.lshCandidates(sig, "doc_id", 16, 2, portable = true).orderBy("id_a", "id_b")
   }
 
+  /** 60-bit md5-vote SimHash, 4 bands x 15 bits, Hamming <= 3 (pigeonhole:
+    * <= 3 differing bits cannot touch all 4 bands, so banding loses
+    * nothing at this threshold). 60 bits matters on this corpus: its
+    * shared synthetic vocabulary makes per-bit votes converge, and at 32
+    * bits most UNRELATED pairs sat within Hamming 3 (measured: background
+    * 1st-percentile Hamming is 9 at 60 bits vs ~2 at 32) — the pair list
+    * would have gone quadratic. Pair list output — fully oracle-checked.
+    * The 64-bit native-expression SimHash remains the scale path
+    * (spec-covered; zero shuffle).
+    */
   private val simhash: Q = (s, d) => {
-    val sim = Dedup.simhash64(nearDupCorpus(s, d), "doc_id", "t")
+    val sim = Dedup.simhashPortable(nearDupCorpus(s, d), "doc_id", "t", 60)
     Dedup
-      .simhashPairs(sim, "doc_id", 8)
-      .agg(
-        count(lit(1)).as("n_pairs"),
-        min("hamming").as("min_hamming"),
-        sum("id_a").cast(LongType).as("a_sum"))
+      .simhashPairs(sim, "doc_id", 3, bandBits = 15)
+      .select(col("id_a"), col("id_b"), col("hamming").cast(LongType).as("hamming"))
+      .orderBy("id_a", "id_b")
   }
 
   private val embeddingNearDup: Q = (s, d) => {
@@ -103,14 +114,14 @@ object DedupQueries {
   /** End-to-end corpus cleaning: exact dedup, then near-dup pair removal
     * (shingle-join jaccard >= 0.6, drop the higher doc_id of every pair) —
     * the composite "give me the cleaned corpus" operation. The MinHash
-    * variant of candidate generation is the rows-only query; this one uses
+    * variant of candidate generation is `dedup_minhash_lsh`; this one uses
     * the exact shingle join so DuckDB can replicate it verbatim.
     */
   private val pipelineE2e: Q = (s, d) => {
     val exactDeduped = Dedup.exactDedup(nearDupCorpus(s, d), Seq("t"), "doc_id")
     val sh = Dedup.wordShingles(exactDeduped, "doc_id", "t", 5)
     val drop = Dedup
-      .jaccardPairs(sh, "doc_id", 0.6)
+      .jaccardPairs(sh, "doc_id", 0.6, ShingleDfCap)
       .select(col("id_b").as("doc_id"))
       .distinct()
     exactDeduped
@@ -127,6 +138,10 @@ object DedupQueries {
     "dedup_embedding" -> embeddingNearDup
   )
 
+  /** DuckDB rendering of [[Dedup.portableHash64]]. */
+  private def ph64(sqlExpr: String): String =
+    s"CAST('0x' || substr(md5($sqlExpr), 1, 15) AS BIGINT)"
+
   private val corpusSql =
     """base AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
       |corpus AS (SELECT doc_id, t FROM base
@@ -136,9 +151,69 @@ object DedupQueries {
       |sh AS (SELECT DISTINCT doc_id, shingle FROM (
       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
       |    i -> array_to_string(toks[i:i+4], ' '))) AS shingle
-      |  FROM tk WHERE len(toks) >= 5))""".stripMargin
+      |  FROM tk WHERE len(toks) >= 5)),
+      |shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN (
+      |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 256) kept
+      |  USING (shingle))""".stripMargin
+
+  /** 16 per-permutation MIN aggregates over md5-derived hashes — the exact
+    * SQL image of `minhashSignature(..., portable = true)`.
+    */
+  private val minhashLshSql: String = {
+    val sigCols = (0 until 16)
+      .map(i => s"  MIN(${ph64(s"'$i:' || md5(shingle)")}) AS mh$i")
+      .mkString(",\n")
+    val bandSelects = (0 until 8)
+      .map(bi =>
+        s"  SELECT doc_id, $bi AS band, md5(concat(mh${2 * bi}, ',', mh${2 * bi + 1})) AS bh FROM sig")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH $corpusSql,
+       |sig AS (SELECT doc_id,
+       |$sigCols
+       |FROM sh GROUP BY doc_id),
+       |bands AS (
+       |$bandSelects)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** 60 per-bit vote sums + bit reassembly + 4x15-bit banding — the exact
+    * SQL image of `simhashPortable(..., 60)` + `simhashPairs(..., 3, 15)`.
+    */
+  private val simhashSql: String = {
+    val votes = (0 until 60)
+      .map(b => s"  SUM(((h >> $b) & 1) * 2 - 1) AS v$b")
+      .mkString(",\n")
+    val bits = (0 until 60)
+      .map(b => s"(CASE WHEN v$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    val bandSelects = (0 until 4)
+      .map(k => s"  SELECT doc_id, simhash, $k AS band, (simhash >> ${15 * k}) & 32767 AS bh FROM sh2")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH base AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+       |corpus AS (SELECT doc_id, t FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 200000, substr(t, strpos(t, ' ') + 1) FROM base WHERE doc_id % 7 = 0),
+       |tok AS (SELECT doc_id, ${ph64("tok")} AS h FROM (
+       |  SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM corpus)),
+       |v AS (SELECT doc_id,
+       |$votes
+       |FROM tok GROUP BY doc_id),
+       |sh2 AS (SELECT doc_id, $bits AS simhash FROM v),
+       |bands AS (
+       |$bandSelects)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |WHERE hamming <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_simhash" -> simhashSql,
     "dedup_pipeline_e2e" ->
       s"""WITH $corpusSql,
         |exact_d AS (SELECT doc_id, t FROM (
@@ -149,9 +224,12 @@ object DedupQueries {
         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
         |    i -> array_to_string(toks[i:i+4], ' '))) AS shingle
         |  FROM tk2 WHERE len(toks) >= 5)),
+        |shc2 AS (SELECT sh2.doc_id, sh2.shingle FROM sh2 JOIN (
+        |  SELECT shingle FROM sh2 GROUP BY shingle HAVING COUNT(*) <= 256) kept2
+        |  USING (shingle)),
         |counts2 AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY doc_id),
         |pairs2 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-        |  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  FROM shc2 a JOIN shc2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |drop2 AS (SELECT DISTINCT id_b AS doc_id FROM pairs2
         |  JOIN counts2 ca ON ca.doc_id = id_a
@@ -169,7 +247,7 @@ object DedupQueries {
       s"""WITH $corpusSql,
         |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, common,
         |  CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) AS jaccard

@@ -44,14 +44,15 @@ object TextQueries {
         min("fp").as("min_fp"))
       .orderBy("source")
 
-  /** Winnowing (rolling-hash) fingerprint stats — xxhash64-based, so
-    * rows-only (no DuckDB equivalent); selection properties are covered
-    * by WinnowingSpec.
+  /** Winnowing (rolling-hash) fingerprint stats over portable md5-derived
+    * gram hashes — the window-minimum selection itself is hash-checked
+    * against DuckDB; selection properties are additionally covered by
+    * WinnowingSpec.
     */
   private val winnowing: Q = (s, d) =>
     documents(s, d)
       .withColumn("t", normText(col("text")))
-      .withColumn("grams", kgramHashes(col("t"), 8))
+      .withColumn("grams", kgramHashes(col("t"), 8, portable = true))
       // explode_outer + count(fp): sources whose docs all fingerprint to
       // empty still appear with n_fp = 0 instead of vanishing
       .select(col("source"), explode_outer(winnow(col("grams"), 4)).as("fp"))
@@ -68,6 +69,20 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_winnowing" ->
+      """WITH t AS (SELECT source, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+        |g AS (SELECT source, CASE WHEN t IS NULL OR length(t) < 8 THEN CAST([] AS BIGINT[])
+        |  ELSE list_transform(generate_series(1, length(t) - 7),
+        |    i -> CAST('0x' || substr(md5(substr(t, i, 8)), 1, 15) AS BIGINT)) END AS grams FROM t),
+        |w AS (SELECT source, CASE WHEN len(grams) < 4 THEN CAST([] AS BIGINT[])
+        |  ELSE list_distinct(list_transform(generate_series(1, len(grams) - 3),
+        |    j -> list_min(list_slice(grams, j, j + 3)))) END AS fps FROM g),
+        |e AS (SELECT source, unnest(fps) AS fp FROM w),
+        |a AS (SELECT source, COUNT(DISTINCT fp) AS n_fp, COUNT(fp) AS n_total FROM e GROUP BY source)
+        |SELECT s.source, CAST(coalesce(a.n_fp, 0) AS BIGINT) AS n_fp,
+        |  CAST(coalesce(a.n_total, 0) AS BIGINT) AS n_total
+        |FROM (SELECT DISTINCT source FROM documents) s LEFT JOIN a USING (source)
+        |ORDER BY source""".stripMargin,
     "text_token_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,

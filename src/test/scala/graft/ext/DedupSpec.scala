@@ -38,6 +38,53 @@ class DedupSpec extends SparkSpec {
     assert(cand.contains((1L, 3L)))
   }
 
+  test("minhash LSH recall vs exact-jaccard truth on the verify corpus") {
+    // Round 1 computed this INSIDE the benched dedup_minhash_lsh query
+    // (the O(pairs) exact verifier made the scalable variant the slowest
+    // query in the bench); the recall contract lives here instead.
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.ext.TextStats.normText(col("text")).as("t"))
+    val corpus = docs.union(
+      docs
+        .filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), expr("substring(t, instr(t, ' ') + 1)").as("t")))
+    val sh = Dedup.wordShingles(corpus, "doc_id", "t", 5)
+    val truth = Dedup.jaccardPairs(sh, "doc_id", 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup
+      .lshCandidates(Dedup.minhashSignature(sh, "doc_id", 16, portable = true), "doc_id", 16, 2, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & cand).size.toDouble / truth.size
+    assert(truth.nonEmpty)
+    assert(recall >= 0.85, s"LSH recall $recall over ${truth.size} true pairs")
+  }
+
+  test("jaccardPairs df-cap drops boilerplate shingles from candidate generation") {
+    // two docs whose ONLY shared shingle is a boilerplate header that is
+    // also shared by every other doc: capping df kills the candidate pair
+    val header = "standard legal disclaimer applies to this document"
+    val boiler = (1L to 12L).map(i => (i, s"$header unique body number $i content"))
+      .toDF("doc_id", "t")
+    val sh = Dedup.wordShingles(boiler, "doc_id", "t", 5)
+    val uncapped = Dedup.jaccardPairs(sh, "doc_id", 0.0).count()
+    val capped = Dedup.jaccardPairs(sh, "doc_id", 0.0, dfCap = 8)
+    assert(uncapped > 0)
+    assert(capped.count() == 0)
+    // and the capped join input is provably bounded
+    val maxDf = sh.groupBy("shingle").count().agg(max("count")).head.getLong(0)
+    assert(maxDf > 8) // the boilerplate shingles really were hot
+  }
+
+  test("portable simhash: identical texts collide, near dup is close, votes match native shape") {
+    val sim = Dedup.simhashPortable(docs, "doc_id", "t", 60)
+    val m = sim.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) < java.lang.Long.bitCount(m(1L) ^ m(4L)))
+    val pairs = Dedup.simhashPairs(sim, "doc_id", 3, bandBits = 15)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
   test("simhash: identical texts get identical hashes (hamming 0)") {
     val sim = Dedup.simhash64(docs, "doc_id", "t")
     val m = sim.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

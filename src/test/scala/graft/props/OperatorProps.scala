@@ -18,6 +18,7 @@ object OperatorProps extends Properties("graft.operators") {
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .config(
       "spark.sql.warehouse.dir",
