@@ -1,0 +1,56 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fixed-memory sketches with deterministic, cross-engine-reproducible
+  * results (SURVEY.md §2B X6 "sketch_stats").
+  *
+  * Spark's own sketches (HLL++ `approx_count_distinct`, KLL
+  * `approx_percentile`) are the first choice in a pure-Spark pipeline and
+  * stay exercised in SketchSpec — but their estimates are
+  * implementation-specific, so no other engine can reproduce them and the
+  * correctness gate could only row-count them. The KMV (k-minimum-values)
+  * distinct-count sketch here is built from [[Dedup.portableHash64]]:
+  * deterministic given the hash, so DuckDB reproduces the estimate
+  * bit-for-bit and the sketch is hash-checked like any exact query.
+  *
+  * Scale shape: `distinct` on 60-bit hashes partially aggregates before
+  * the exchange (the shuffle carries per-partition-distinct hashes, not
+  * rows), and the k-smallest selection is a TakeOrdered of k values —
+  * driver traffic is O(k) no matter the corpus.
+  */
+object Sketches {
+
+  /** 2^60 as an exact double — the portable-hash value space. */
+  private val HashSpace = 1152921504606846976.0
+
+  /** One-row KMV distinct-count sketch of `key`: (n_seen, kth_min,
+    * estimate). With fewer than k distinct hashes the sketch is exact;
+    * otherwise estimate = (k-1) / (kth_min / 2^60), the classic KMV
+    * estimator (Bar-Yossef et al. 2002), relative error ~ 1/sqrt(k).
+    */
+  def kmvDistinct(df: DataFrame, key: Column, k: Int): DataFrame =
+    df.select(Dedup.portableHash64(key.cast(StringType)).as("h"))
+      .distinct()
+      .orderBy("h")
+      .limit(k)
+      .agg(count(lit(1)).as("n"), max("h").as("kth"))
+      .select(
+        when(col("n") < k, col("n").cast(DoubleType))
+          .otherwise(lit((k - 1).toDouble * HashSpace) / col("kth").cast(DoubleType))
+          .as("estimate"),
+        col("n"),
+        col("kth"))
+
+  /** DuckDB image of [[kmvDistinct]] as a scalar-producing subquery pair;
+    * interpolate into oracle SQL. `expr` must already be VARCHAR.
+    */
+  def kmvOracleSql(table: String, expr: String, k: Int): String =
+    s"""(WITH hs AS (SELECT DISTINCT CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT) AS h FROM $table),
+       |  ks AS (SELECT h FROM hs ORDER BY h LIMIT $k),
+       |  s AS (SELECT COUNT(*) AS n, MAX(h) AS kth FROM ks)
+       |  SELECT CASE WHEN n < $k THEN CAST(n AS DOUBLE)
+       |    ELSE (${(k - 1).toDouble} * $HashSpace) / CAST(kth AS DOUBLE) END FROM s)""".stripMargin
+}

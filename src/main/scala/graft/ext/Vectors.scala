@@ -51,4 +51,29 @@ object Vectors {
     // ANSI INVALID_ARRAY_INDEX error element_at raises — short vectors
     // bucket as '0' bits in every mode (DuckDB's v[i] does the same)
     concat((1 to bits).map(i => when(get(v, lit(i - 1)) > 0f, lit("1")).otherwise(lit("0"))): _*)
+
+  /** Bucket-bit count for a corpus of n vectors, targeting ~`target`
+    * vectors per bucket: the smallest bits in [minBits, maxBits] with
+    * n <= target * 2^bits. In-bucket pair work is then O(target^2) per
+    * bucket instead of O((n/2^bits)^2) with a fixed bits — the round-1
+    * 4-bit constant was a constant-factor reprieve, not a scale fix
+    * (n^2/16 still quadratic). Pure integer comparisons (no log2
+    * floating-point edge at powers of two), so the oracle mirrors it as a
+    * CASE ladder with bit-identical branch decisions. minBits=12 keeps
+    * >= 4096 buckets even on small corpora; maxBits=24 caps key
+    * cardinality at ~16M buckets (shuffle key space, not memory).
+    */
+  def signBucketBits(n: Long, target: Long = 64, minBits: Int = 12, maxBits: Int = 24): Int = {
+    var b = minBits
+    while (b < maxBits && n > (target << b)) b += 1
+    b
+  }
+
+  /** SQL CASE ladder equal to [[signBucketBits]] for the oracle. */
+  def signBucketBitsSql(nExpr: String, target: Long = 64, minBits: Int = 12, maxBits: Int = 24): String = {
+    val whens = (minBits until maxBits)
+      .map(b => s"WHEN $nExpr <= ${target << b} THEN $b")
+      .mkString(" ")
+    s"(CASE $whens ELSE $maxBits END)"
+  }
 }

@@ -96,9 +96,17 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Sign-bucket LSH with bits derived from corpus size (>=12, targeting
+    * ~64 vectors/bucket — see [[Vectors.signBucketBits]]). The count() is
+    * one cheap statistics job before planning, the same move AQE makes;
+    * the oracle recomputes the identical integer formula from COUNT(*) so
+    * both engines bucket with the same width at every scale factor.
+    */
   private val embeddingNearDup: Q = (s, d) => {
-    val base = dupVectors(s, d)
-      .withColumn("bucket", Vectors.signBucket(col("embedding"), 4))
+    val corpus = dupVectors(s, d)
+    val bits = Vectors.signBucketBits(corpus.count())
+    val base = corpus
+      .withColumn("bucket", Vectors.signBucket(col("embedding"), bits))
       .withColumn("v", Vectors.toDouble(col("embedding")))
     val n = base.withColumn("nrm", Vectors.l2Norm(col("v")))
     val a = n.select(col("vec_id").as("id_a"), col("bucket"), col("v").as("va"), col("nrm").as("na"))
@@ -257,14 +265,13 @@ object DedupQueries {
         |WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_embedding" ->
-      """WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
         |    UNION ALL
         |    SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 9 = 0),
+        |  bitsv AS (SELECT ${Vectors.signBucketBitsSql("COUNT(*)")} AS bits FROM corpus),
         |  base AS (SELECT vec_id,
-        |    concat(CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END,
-        |           CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END,
-        |           CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END,
-        |           CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END) AS bucket,
+        |    array_to_string(list_transform(generate_series(1, (SELECT bits FROM bitsv)),
+        |      i -> CASE WHEN embedding[i] > 0 THEN '1' ELSE '0' END), '') AS bucket,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM corpus),
         |  n AS (SELECT vec_id, bucket, v, sqrt(list_dot_product(v, v)) AS nrm FROM base)

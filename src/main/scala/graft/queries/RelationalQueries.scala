@@ -162,22 +162,28 @@ object RelationalQueries {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
-  /** Sketch aggregates (HLL++ distinct count + TDigest-style quantile) —
-    * the fixed-memory shapes used at 100 TB; algorithms differ from
-    * DuckDB's so this is a rows-only check, with exactness bounds
-    * asserted in RelationalSketchSpec.
+  /** Fixed-memory distinct-count sketches: deterministic KMV over the
+    * portable md5-derived hash, estimate + exact side by side — fully
+    * oracle-checked (DuckDB reproduces the k-minimum-values estimate
+    * bit-for-bit; see [[graft.ext.Sketches]]). Spark's own HLL++/KLL
+    * sketches remain exercised with error-bound assertions in SketchSpec —
+    * their estimates are implementation-specific so no cross-engine hash
+    * can cover them.
     */
-  private val sketchStats: Q = (s, d) =>
-    lineitem(s, d)
-      .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)").as("price_q"))
-      .select(
-        col("approx_orders"),
-        col("approx_parts"),
-        expr("price_q[0]").as("p50"),
-        expr("price_q[1]").as("p99"))
+  private val sketchStats: Q = (s, d) => {
+    val li = lineitem(s, d)
+    graft.ext.Sketches
+      .kmvDistinct(li, col("l_orderkey"), 1024)
+      .select(col("estimate").as("orders_kmv"))
+      .crossJoin(
+        graft.ext.Sketches
+          .kmvDistinct(li, col("l_partkey"), 1024)
+          .select(col("estimate").as("parts_kmv")))
+      .crossJoin(
+        li.agg(
+          countDistinct("l_orderkey").as("orders_exact"),
+          countDistinct("l_partkey").as("parts_exact")))
+  }
 
   /** CUBE over two dimensions — all 4 grouping sets, sentinel-labelled. */
   private val cubeOrders: Q = (s, d) =>
@@ -283,6 +289,12 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "sketch_stats" ->
+      s"""SELECT
+        |  ${graft.ext.Sketches.kmvOracleSql("lineitem", "CAST(l_orderkey AS VARCHAR)", 1024)} AS orders_kmv,
+        |  ${graft.ext.Sketches.kmvOracleSql("lineitem", "CAST(l_partkey AS VARCHAR)", 1024)} AS parts_kmv,
+        |  (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS orders_exact,
+        |  (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS parts_exact""".stripMargin,
     "events_asof_purchase" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type, value FROM events),
         |u AS (

@@ -50,30 +50,29 @@ object SimilarityQueries {
       .orderBy("query_id", "rk")
   }
 
-  /** IVF-style ANN: assign every vector to the nearest of k seed
-    * centroids (deterministic stand-in for trained k-means centers —
-    * vec_id < 8), then search only the query's cell. At scale: centroids
-    * broadcast, one shuffle on cell id, per-cell local top-k — corpus^2
-    * never materializes. Single-probe recall loss is mirrored by the
-    * oracle, which performs the identical assignment.
+  /** IVF ANN with TRAINED centroids: max(8, n/256) cells from 2 Lloyd's
+    * iterations over a bounded sample ([[graft.ext.IvfIndex]]), corpus
+    * assigned to its nearest cell, queries probe their 5 nearest cells
+    * (parameters calibrated to this corpus's measured isotropy — see
+    * [[graft.ext.IvfIndex.cellCount]]).
+    * At scale: training cost is O(sample * k) per iteration, centroids
+    * broadcast as a materialized model (k*dim doubles — the bounded
+    * KMeans-model artifact, like any ML model object), one shuffle on
+    * cell id, per-cell local top-k — corpus^2 never materializes.
+    * Multi-probe recall loss is mirrored by the oracle, which replays
+    * the identical training iterations (integer-quantized centroid sums
+    * make them bit-deterministic cross-engine).
     */
   private val ivfTopK: Q = (s, d) => {
-    val base = normed(s, d)
-    val cent = broadcast(
-      base.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn")))
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cos_c"), asc("cid"))
-    val assigned = base
-      .crossJoin(cent)
-      .withColumn("cos_c", Vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .withColumn("rk_c", row_number().over(wAssign))
-      .filter(col("rk_c") === 1)
-      .select(col("vec_id"), col("cid").as("cell"), col("v"), col("nrm"))
-    val q = assigned
-      .filter(col("vec_id") < 10)
+    val vec = normed(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    val n = vec.count()
+    val cent = graft.ext.IvfIndex.materialize(
+      s, graft.ext.IvfIndex.trainCentroids(vec, "vec_id", 64, n, iters = 2))
+    val asg = graft.ext.IvfIndex.assignCells(vec, "vec_id", cent, probes = 1)
+    val q = graft.ext.IvfIndex
+      .assignCells(vec.filter(col("vec_id") < 10), "vec_id", cent, probes = graft.ext.IvfIndex.DefaultProbes)
       .select(col("vec_id").as("query_id"), col("cell"), col("v").as("qv"), col("nrm").as("qn"))
-    val c = assigned
-      .select(col("vec_id").as("neighbor_id"), col("cell"), col("v").as("cv2"), col("nrm").as("cn2"))
+    val c = asg.select(col("vec_id").as("neighbor_id"), col("cell"), col("v").as("cv2"), col("nrm").as("cn2"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     q.join(c, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -92,20 +91,15 @@ object SimilarityQueries {
 
   val oracle: Map[String, String] = Map(
     "sim_topk_ivf" ->
-      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |  m AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),
-        |  cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM m WHERE vec_id < 8),
-        |  asg AS (SELECT vec_id, cell, v, nrm FROM (
-        |    SELECT m.vec_id, c.cid AS cell, m.v, m.nrm,
-        |      ROW_NUMBER() OVER (PARTITION BY m.vec_id
-        |        ORDER BY list_dot_product(m.v, c.cv) / (m.nrm * c.cn) DESC, c.cid) AS rk_c
-        |    FROM m CROSS JOIN cent c) WHERE rk_c = 1),
-        |  p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |      list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
-        |    FROM asg q JOIN asg c ON q.cell = c.cell AND c.vec_id <> q.vec_id
-        |    WHERE q.vec_id < 10),
-        |  r AS (SELECT query_id, neighbor_id, cos,
-        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM p)
+      s"""WITH m0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM m0),
+        |${graft.ext.IvfIndex.oracleCtes(64, 2, graft.ext.IvfIndex.DefaultProbes)},
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+        |  FROM qasg q JOIN asg c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM p)
         |SELECT query_id, rk, neighbor_id, cos FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
     "sim_topk_brute" ->
       """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -95,6 +95,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("adaptive sign-bucket LSH: >=12 bits and max bucket occupancy stays bounded") {
+    val e = graft.Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val bits = Vectors.signBucketBits(n)
+    assert(bits >= 12)
+    // the scale contract: in-bucket pair work is bounded by the occupancy
+    // target, so the bucket join can never quietly go quadratic
+    val occ = e
+      .withColumn("b", Vectors.signBucket(col("embedding"), bits))
+      .groupBy("b").count()
+      .agg(max("count")).head.getLong(0)
+    assert(occ <= 64, s"max bucket occupancy $occ for $n vectors at $bits bits")
+    // and the ladder widens with corpus size: 100 TB-ish n gets more bits
+    assert(Vectors.signBucketBits(1_000_000_000L) > bits)
+  }
+
   test("vector ops: cosine of identical vectors is ~1, orthogonal is 0") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 2.0f)),
