@@ -43,18 +43,46 @@ object Multimodal {
       checksum: Long,
       features: Array[Float])
 
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** First 60 bits of MD5 as a positive long — the imperative twin of
+    * [[graft.ext.Dedup.portableHash64]] (`conv(substr(md5(x),1,15),16,10)`),
+    * so values computed inside `mapPartitions` remain oracle-checkable:
+    * DuckDB reproduces them as `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`.
+    */
+  def portableHash60(md: java.security.MessageDigest, bytes: Array[Byte]): Long = {
+    md.reset()
+    val digest = md.digest(bytes)
+    // first 15 hex chars = first 7.5 bytes, big-endian
+    var acc = 0L
+    var i = 0
+    while (i < 15) {
+      val b = digest(i / 2) & 0xFF
+      val nibble = if (i % 2 == 0) b >>> 4 else b & 0xF
+      acc = (acc << 4) | nibble
+      i += 1
+    }
+    acc
+  }
+
   /** STUB decoder: a real pipeline would decode the image/audio payload
     * here (PIL/torchaudio via mapInPandas, or a JVM codec). The fake is
-    * deterministic in the payload bytes so tests can assert exact values.
+    * deterministic in the payload bytes AND md5-portable — feature j is
+    * `portableHash60(payload ++ "#j") % 1e6 / 1e6`, which a SQL oracle can
+    * replay exactly, so even the stubbed path stays hash-checkable
+    * end-to-end (integer millionths cross the engine boundary, never
+    * accumulated floating point).
     */
-  def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
+  def decodeStub(md: java.security.MessageDigest, payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
-    var acc = 1125899906842597L // FNV-ish rolling state
-    var i = 0
-    while (i < payload.length) {
-      acc = acc * 31 + (payload(i) & 0xFF)
-      out(i % dim) += ((acc >>> 32).toInt % 1000) / 1000.0f
-      i += 1
+    var j = 0
+    while (j < dim) {
+      val tag = s"#$j".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val tagged = new Array[Byte](payload.length + tag.length)
+      System.arraycopy(payload, 0, tagged, 0, payload.length)
+      System.arraycopy(tag, 0, tagged, payload.length, tag.length)
+      out(j) = (portableHash60(md, tagged) % 1000000L) / 1e6f
+      j += 1
     }
     out
   }
@@ -75,11 +103,9 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           // per-batch "decoder session" (where a real impl would reuse a
           // codec context / model handle across the batch)
+          val md = java.security.MessageDigest.getInstance("MD5")
           batch.iterator.map { case (id, payload) =>
-            var crc = 0L
-            var i = 0
-            while (i < payload.length) { crc = crc * 131 + (payload(i) & 0xFF); i += 1 }
-            MediaFeatures(id, payload.length, crc, decodeStub(payload, dim))
+            MediaFeatures(id, payload.length, portableHash60(md, payload), decodeStub(md, payload, dim))
           }
         }
       }

@@ -39,16 +39,34 @@ object MultimodalQueries {
         min("sha").as("min_sha"))
       .orderBy("source")
 
-  /** Batch-shaped stub featurizer over binarized documents (rows-only). */
-  private val mediaFeatures: Q = (s, d) =>
+  /** Batch-shaped stub featurizer over binarized documents. The fake
+    * decode is md5-portable (see [[Multimodal.decodeStub]]), so the whole
+    * binarize -> mapPartitions-batch-decode -> join-back -> aggregate
+    * pipeline is hash-checked against DuckDB: features cross the engine
+    * boundary as exact integer millionths, never accumulated floats.
+    */
+  private val mediaFeatures: Q = (s, d) => {
+    val docs = documents(s, d)
     Multimodal
-      .extractFeatures(Multimodal.binarize(documents(s, d)))
+      .extractFeatures(Multimodal.binarize(docs))
       .toDF()
-      .groupBy()
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(
+        col("source"),
+        col("byte_len"),
+        col("checksum"),
+        round(col("features")(0) * 1e6).cast(LongType).as("f0_u"),
+        round(col("features")(7) * 1e6).cast(LongType).as("f7_u"))
+      .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
         sum("byte_len").cast(LongType).as("total_bytes"),
-        sum(expr("features[0]").cast(DoubleType)).cast(LongType).as("f0_sum_trunc"))
+        sum("f0_u").cast(LongType).as("sum_f0_u"),
+        sum("f7_u").cast(LongType).as("sum_f7_u"),
+        countDistinct(col("checksum")).as("n_checksum"),
+        min("checksum").as("min_checksum"))
+      .orderBy("source")
+  }
 
   val queries: Map[String, Q] = Map(
     "props_extract" -> propsExtract,
@@ -66,6 +84,21 @@ object MultimodalQueries {
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  COUNT(DISTINCT sha256(text)) AS n_sha, MIN(sha256(text)) AS min_sha
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "media_features_stub" ->
+      """WITH f AS (
+        |  SELECT source,
+        |    octet_length(encode(text)) AS byte_len,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS checksum,
+        |    CAST(('0x' || substr(md5(text || '#0'), 1, 15)) AS BIGINT) % 1000000 AS f0_u,
+        |    CAST(('0x' || substr(md5(text || '#7'), 1, 15)) AS BIGINT) % 1000000 AS f7_u
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(f0_u) AS BIGINT) AS sum_f0_u,
+        |  CAST(SUM(f7_u) AS BIGINT) AS sum_f7_u,
+        |  COUNT(DISTINCT checksum) AS n_checksum,
+        |  MIN(checksum) AS min_checksum
+        |FROM f GROUP BY source ORDER BY source""".stripMargin
   )
 }

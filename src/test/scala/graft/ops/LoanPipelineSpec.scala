@@ -50,6 +50,34 @@ class LoanPipelineSpec extends SparkSpec {
     assert(dates.contains("2024-01-15"))
   }
 
+  test("schema drift end-to-end: extra columns, no timestamp, no loan_type") {
+    // The reference's dynamic-schema contract (SURVEY.md §1): every column
+    // probe is by name at runtime (pyspark_etl.py:40,43,53), mode fill is
+    // generic over df.columns (pyspark_etl.py:16). A drifted CSV — extra
+    // columns present, timestamp and loan_type absent — must flow through
+    // run_etl with no failure, no date/time projection, and insights
+    // emitting only the keys whose columns exist.
+    val out = Files.createTempDirectory("graft_etl4").toString
+    val r = LoanPipeline.runEtl(
+      spark, resource("loans_drifted.csv"), s"$out/parquet",
+      insightsJsonPath = Some(s"$out/insights.json"))
+    assert(r.insights.total_loans == 6)
+    // loan_amount exists: nulls (rows 2,5) mode-filled with 1000 (count 3
+    // beats the null group's 2) -> (1000*5 + 4000)/6 = 1500
+    assert(r.insights.avg_loan_amount.contains(1500.0))
+    // loan_type absent => key absent (pyspark_etl.py:43)
+    assert(r.insights.by_loan_type.isEmpty)
+    val back = spark.read.parquet(s"$out/parquet")
+    // timestamp absent => split is a no-op: no date/time columns appear
+    assert(back.columns.toSet == Set("loan_id", "loan_amount", "branch_id", "notes"))
+    // extra columns survive AND participate in the generic mode fill
+    assert(back.filter(back("notes").isNull).count() == 0)
+    assert(back.filter(back("loan_amount").isNull).count() == 0)
+    val json = Files.readString(java.nio.file.Path.of(s"$out/insights.json"))
+    assert(json.contains("\"avg_loan_amount\": 1500.0"))
+    assert(!json.contains("by_loan_type"))
+  }
+
   test("insights JSON golden shape matches the reference document") {
     val s = Insights.Summary(100, None, None)
     assert(Insights.toJson(s) == "{\n  \"total_loans\": 100\n}")
