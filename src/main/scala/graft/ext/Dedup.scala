@@ -108,6 +108,70 @@ object Dedup {
       .select("id_a", "id_b", "common", "jaccard")
   }
 
+  /** Duplicate clusters from a near-dup pair list: connected components by
+    * iterative min-label propagation. Each node's label converges to the
+    * smallest id reachable through the undirected pair graph — the
+    * canonical "keep this one" representative per duplicate cluster.
+    *
+    * Scale shape: every round is ONE shuffle keyed by node id (join labels
+    * to edges + min-aggregate); rounds needed = component diameter.
+    * Near-dup clusters are dense and shallow (a boilerplate template and
+    * its variants all pair with each other), so a handful of rounds
+    * suffices in practice — the same reasoning GraphFrames' connected
+    * components relies on before switching to large-star/small-star,
+    * which is the upgrade path if 100 TB corpora ever produce long chains.
+    * Each round's labels are cut over via `localCheckpoint` — the label
+    * plan references itself twice per round (neighbor join + union), so
+    * without truncation the logical plan DOUBLES every iteration and
+    * Catalyst analysis goes exponential long before the data does. On a
+    * real cluster use reliable `checkpoint` (HDFS-backed) for the same
+    * truncation plus executor-loss tolerance. The driver-side convergence
+    * probe is an `isEmpty` on the checkpointed frame, not a data collect.
+    *
+    * Returns (node, cluster) — every endpoint of every pair, labeled by
+    * its cluster's minimum id. Singleton documents (no pairs) are absent:
+    * callers union them back as their own cluster if needed.
+    */
+  def duplicateClusters(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges
+      .select(col("src").as("node"))
+      .distinct()
+      .withColumn("cluster", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("cluster"))
+      val next = viaNeighbor
+        .union(labels)
+        .groupBy("node")
+        .agg(min("cluster").as("cluster"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(
+          labels.withColumnRenamed("cluster", "__old"),
+          Seq("node"))
+        .filter(col("cluster") =!= col("__old"))
+        .isEmpty
+      labels = next
+      converged = changed
+      it += 1
+    }
+    require(converged, s"connected components did not converge in $maxIter rounds")
+    labels
+  }
+
   /** X2 — MinHash signatures: numHashes min-hash values per doc from one
     * pass over exploded shingles (a single aggregation job). Each "hash
     * permutation" is xxhash64 seeded by the permutation index hashed

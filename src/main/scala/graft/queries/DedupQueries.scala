@@ -137,8 +137,30 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_docs"), sum("doc_id").cast(LongType).as("id_sum"))
   }
 
+  /** Duplicate clusters: near-dup pairs (same shingle-join as
+    * `dedup_ngram_jaccard`) -> connected components -> one row per
+    * cluster with its canonical representative (the minimum doc id) and
+    * member stats. This is the operation a real dedup pass actually ends
+    * with — "keep one doc per duplicate group", not a pair list. The
+    * oracle replays the label propagation as a recursive transitive
+    * closure, so the component labels are hash-checked, not just counted.
+    */
+  private val clusters: Q = (s, d) => {
+    val sh = Dedup.wordShingles(nearDupCorpus(s, d), "doc_id", "t", 5)
+    val pairs = Dedup.jaccardPairs(sh, "doc_id", 0.5, ShingleDfCap)
+    Dedup
+      .duplicateClusters(pairs, "id_a", "id_b")
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max("node").cast(LongType).as("max_member"))
+      .withColumnRenamed("cluster", "cluster_rep")
+      .orderBy("cluster_rep")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_pipeline_e2e" -> pipelineE2e,
+    "dedup_clusters" -> clusters,
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash_lsh" -> minhashLsh,
@@ -264,6 +286,27 @@ object DedupQueries {
         |  JOIN counts cb ON cb.doc_id = id_b
         |WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $corpusSql,
+        |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairsj AS (SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |    FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) p
+        |  JOIN counts ca ON ca.doc_id = id_a
+        |  JOIN counts cb ON cb.doc_id = id_b
+        |  WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairsj
+        |  UNION SELECT id_b, id_a FROM pairsj),
+        |reach(node, r) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+        |lab AS (SELECT node, LEAST(node, MIN(r)) AS cluster_rep
+        |  FROM reach GROUP BY node)
+        |SELECT cluster_rep, COUNT(*) AS n_members,
+        |  CAST(MAX(node) AS BIGINT) AS max_member
+        |FROM lab GROUP BY cluster_rep ORDER BY cluster_rep""".stripMargin,
     "dedup_embedding" ->
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
         |    UNION ALL

@@ -129,6 +129,23 @@ class DedupSpec extends SparkSpec {
     assert(cos((1L, 3L)) == 0.0)
   }
 
+  test("duplicateClusters: min-label components over pair lists, chain-deep convergence") {
+    // two components: a 3-chain {1,2,3} (1-2, 2-3; 1 and 3 never paired
+    // directly) and a pair {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+
+    // a 12-node chain needs ~diameter rounds — exercises the fixpoint loop
+    // well past one propagation step, and reversed edge order must not
+    // matter
+    val chain = (1L until 12L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val labs = Dedup.duplicateClusters(chain, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labs.size == 12 && labs.values.forall(_ == 1L))
+  }
+
   test("stub featurizer is deterministic and batch-boundary independent") {
     val d = graft.Tables.documents(spark, sf).limit(100)
     val f1 = Multimodal.extractFeatures(Multimodal.binarize(d), dim = 8, batchSize = 64)
