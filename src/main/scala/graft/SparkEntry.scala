@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceQueries.queries ++ RelationalQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ MultimodalQueries.queries
+      SimilarityQueries.queries ++ MultimodalQueries.queries ++
+      CorpusQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ReferenceQueries.oracle ++ RelationalQueries.oracle ++
       TextQueries.oracle ++ DedupQueries.oracle ++
-      SimilarityQueries.oracle ++ MultimodalQueries.oracle
+      SimilarityQueries.oracle ++ MultimodalQueries.oracle ++
+      CorpusQueries.oracle
 }

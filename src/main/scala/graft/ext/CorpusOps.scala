@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators a training-data pipeline runs between raw
+  * ingest and tokenization: rule-based quality filtering, deterministic
+  * stratified sampling, and concat-and-chunk sequence packing.
+  *
+  * All three are pure Column expressions / window functions over built-ins
+  * — no UDFs, no driver state — so they stay inside whole-stage codegen,
+  * push work to the scan stage, and are SQL-expressible for the DuckDB
+  * oracle. Threshold comparisons use INTEGER cross-multiplication
+  * (`punct*10 > chars` instead of `punct/chars > 0.1`): no floating point
+  * ever enters a keep/drop decision, so results are bit-stable across
+  * engines, partitionings and scale factors.
+  */
+object CorpusOps {
+
+  /** Gopher-shaped composite quality rules over a pre-normalized text
+    * column (see [[TextStats.normText]]: lower, single spaces, trimmed).
+    * Returns the FIRST failing rule name, or "keep". Rule order is part of
+    * the contract (mirrored in the oracle SQL):
+    *
+    *  1. too_short     — fewer than minTokens words
+    *  2. too_long      — more than maxTokens words
+    *  3. short_words   — mean word length < 3 chars (gibberish/symbol soup)
+    *  4. long_words    — mean word length > 10 chars (code, URLs, hashes)
+    *  5. symbol_heavy  — punctuation > 10% of characters
+    *  6. no_stopwords  — zero common-word hits (non-language content)
+    *
+    * On normalized text, non-space chars = length - (tokens-1), so mean
+    * word length bounds become integer comparisons.
+    */
+  def qualityReason(t: Column, minTokens: Int = 5, maxTokens: Int = 5000): Column = {
+    val nTok = size(split(t, " ")).cast(LongType)
+    val chars = length(t).cast(LongType)
+    val nonSpace = chars - (nTok - 1)
+    val punct = TextStats.punctCount(t).cast(LongType)
+    val stop = TextStats.stopwordCount(t).cast(LongType)
+    when(nTok < minTokens, "too_short")
+      .when(nTok > maxTokens, "too_long")
+      .when(nonSpace < nTok * 3, "short_words")
+      .when(nonSpace > nTok * 10, "long_words")
+      .when(punct * 10 > chars, "symbol_heavy")
+      .when(stop === 0, "no_stopwords")
+      .otherwise("keep")
+  }
+
+  /** Deterministic stratified sampling: keep a row iff
+    * `portableHash64(stratum || ':' || key) % 1e6 < rate(stratum) * 1e6`.
+    *
+    * Scale properties: a pure filter at the scan stage — no shuffle, no
+    * RNG state, no driver coordination; any executor count or retry
+    * produces the identical sample (unlike `df.sample`, whose
+    * partition-seeded RNG changes with the split layout). Rates are exact
+    * millionths, so the acceptance predicate is integer-only. Unlisted
+    * strata fall back to defaultRate.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double): DataFrame = {
+    def ppm(r: Double): Long = math.round(r * 1e6)
+    val threshold = rates.foldLeft(lit(ppm(defaultRate))) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, lit(ppm(r))).otherwise(acc)
+    }
+    val h = Dedup.portableHash64(
+      concat(col(strataCol).cast(StringType), lit(":"), col(keyCol).cast(StringType)))
+    df.filter(pmod(h, lit(1000000L)) < threshold)
+  }
+
+  /** Concat-and-chunk sequence packing: documents are laid end-to-end in
+    * (shard, id) order and cut into fixed token-budget training sequences;
+    * each doc is assigned the sequence its FIRST token lands in —
+    * `floor(prefix_tokens / budget)` where prefix_tokens is the running
+    * token count BEFORE the doc. This is exactly the packing LLM
+    * pretraining uses (concat + chunk), and unlike greedy first-fit it is
+    * a single window expression: one shuffle on the shard key, no
+    * recursion, no driver loop. The running sum stays within one shard's
+    * partition, so shards parallelize independently at any corpus size —
+    * shard by file/day/source so no single ordering window spans the
+    * whole 100 TB corpus.
+    *
+    * Returns the input plus `seq_id` (per-shard chunk ordinal) and
+    * `straddles` (doc crosses a chunk boundary — its tail spills into the
+    * next sequence).
+    */
+  def packSequences(
+      df: DataFrame,
+      shardCol: String,
+      idCol: String,
+      tokCol: String,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col(shardCol))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sum(col(tokCol)).over(w)
+    val before = cum - col(tokCol)
+    df.withColumn("seq_id", floor(before / budget))
+      .withColumn("straddles", floor((cum - 1) / budget) > floor(before / budget))
+  }
+}

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+import graft.ext.{CorpusOps, TextStats}
+
+/** Corpus-curation queries (quality filtering, stratified sampling,
+  * sequence packing — see [[graft.ext.CorpusOps]]). Keep/drop decisions
+  * and chunk assignment are integer-only, so every query is hash-checked
+  * against DuckDB with no floating-point caveats.
+  */
+object CorpusQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def withTok(df: DataFrame): DataFrame =
+    df.withColumn("t", TextStats.normText(col("text")))
+      .withColumn("n_tok", size(split(col("t"), " ")).cast(LongType))
+
+  /** Rule-based quality filter: docs bucketed by the first failing Gopher
+    * rule (or "keep"), with doc/token tallies per bucket — the
+    * go/no-go census a curation run reports before dropping data.
+    */
+  private val qualityFilter: Q = (s, d) =>
+    withTok(documents(s, d))
+      .withColumn("reason", CorpusOps.qualityReason(col("t")))
+      .groupBy("reason")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").cast(LongType).as("tok_sum"),
+        sum("doc_id").cast(LongType).as("id_sum"))
+      .orderBy("reason")
+
+  /** Deterministic per-language downsampling (the "rebalance sources"
+    * step): en 25%, de 50%, es 75%, fr 100%, default 10%. The sample is a
+    * pure hash filter — identical membership on any cluster layout.
+    */
+  private val sampleStratified: Q = (s, d) =>
+    CorpusOps
+      .stratifiedSample(
+        documents(s, d),
+        "doc_id",
+        "lang",
+        Map("en" -> 0.25, "de" -> 0.5, "es" -> 0.75, "fr" -> 1.0),
+        defaultRate = 0.1)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").cast(LongType).as("id_sum"))
+      .orderBy("lang")
+
+  /** Concat-and-chunk packing into 2048-token training sequences, sharded
+    * by source; per-sequence doc/token counts and boundary straddles.
+    */
+  private val packSequences: Q = (s, d) =>
+    CorpusOps
+      .packSequences(withTok(documents(s, d)), "source", "doc_id", "n_tok", 2048L)
+      .groupBy("source", "seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").cast(LongType).as("tok_sum"),
+        sum(when(col("straddles"), 1L).otherwise(0L)).cast(LongType).as("n_straddle"))
+      .orderBy("source", "seq_id")
+
+  val queries: Map[String, Q] = Map(
+    "quality_filter" -> qualityFilter,
+    "sample_stratified" -> sampleStratified,
+    "pack_sequences" -> packSequences
+  )
+
+  private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+
+  val oracle: Map[String, String] = Map(
+    "quality_filter" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS t FROM documents),
+        |m AS (SELECT doc_id, t,
+        |    CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(length(t) AS BIGINT) AS chars,
+        |    CAST(len(regexp_extract_all(t, '[^A-Za-z0-9\\s]')) AS BIGINT) AS punct,
+        |    CAST(len(regexp_extract_all(t, '\\b(the|a|of|and|to)\\b')) AS BIGINT) AS stop
+        |  FROM n),
+        |r AS (SELECT doc_id, n_tok, CASE
+        |    WHEN n_tok < 5 THEN 'too_short'
+        |    WHEN n_tok > 5000 THEN 'too_long'
+        |    WHEN chars - (n_tok - 1) < n_tok * 3 THEN 'short_words'
+        |    WHEN chars - (n_tok - 1) > n_tok * 10 THEN 'long_words'
+        |    WHEN punct * 10 > chars THEN 'symbol_heavy'
+        |    WHEN stop = 0 THEN 'no_stopwords'
+        |    ELSE 'keep' END AS reason FROM m)
+        |SELECT reason, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM r GROUP BY reason ORDER BY reason""".stripMargin,
+    "sample_stratified" ->
+      """WITH k AS (SELECT lang, doc_id,
+        |    CAST('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 1000000 AS h,
+        |    CASE lang WHEN 'en' THEN 250000 WHEN 'de' THEN 500000
+        |      WHEN 'es' THEN 750000 WHEN 'fr' THEN 1000000
+        |      ELSE 100000 END AS thr
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM k WHERE h < thr GROUP BY lang ORDER BY lang""".stripMargin,
+    "pack_sequences" ->
+      s"""WITH n AS (SELECT doc_id, source,
+        |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM n),
+        |b AS (SELECT source, n_tok, (cum - n_tok) // 2048 AS seq_id,
+        |    CASE WHEN (cum - 1) // 2048 > (cum - n_tok) // 2048 THEN 1 ELSE 0 END AS straddle
+        |  FROM c)
+        |SELECT source, seq_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
+        |  CAST(SUM(straddle) AS BIGINT) AS n_straddle
+        |FROM b GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin
+  )
+}
