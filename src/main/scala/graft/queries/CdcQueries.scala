@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+import graft.ops.Cdc
+
+/** CDC queries: SCD2 dimension history from the events change feed, and a
+  * MERGE-style upsert batch applied to the customer dimension. Event time
+  * crosses the engine boundary at ms grain (`unix_millis`/`epoch_ms`)
+  * with event_id tiebreaks, per the events-table convention.
+  */
+object CdcQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Treat events as a per-user status feed: each event_type change opens
+    * an SCD2 version; re-deliveries of the same status collapse away.
+    */
+  private val scd2UserHistory: Q = (s, d) =>
+    Cdc
+      .scd2History(
+        events(s, d)
+          .select(
+            col("user_id"),
+            col("event_id"),
+            unix_millis(col("ts")).as("ms"),
+            col("event_type")),
+        keyCol = "user_id",
+        orderCols = Seq("ms", "event_id"),
+        attrCols = Seq("event_type"),
+        validFromCol = "ms")
+      .select(
+        col("user_id"),
+        col("event_type").as("status"),
+        col("valid_from").as("valid_from_ms"),
+        col("valid_to").as("valid_to_ms"),
+        col("is_current"))
+      .orderBy("user_id", "valid_from_ms", "status")
+
+  /** Latest event value per user applied to customer balances as a
+    * MERGE (update matched, insert unmatched, keep the rest), with the
+    * op audit a warehouse merge reports.
+    */
+  private val cdcApplyUpserts: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(desc("ms"), desc("event_id"))
+    val latest = events(s, d)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("value").as("new_bal"))
+    Cdc
+      .applyUpserts(
+        customer(s, d),
+        latest,
+        "c_custkey",
+        "user_id",
+        Seq(("balance", col("c_acctbal"), col("new_bal"))))
+      .select(col("__op").as("op"), col("balance"))
+      .groupBy("op")
+      .agg(count(lit(1)).as("n"), dsum(col("balance")).as("bal_sum"))
+      .orderBy("op")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "scd2_user_history" -> scd2UserHistory,
+    "cdc_apply_upserts" -> cdcApplyUpserts
+  )
+
+  val oracle: Map[String, String] = Map(
+    "scd2_user_history" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),
+        |l AS (SELECT user_id, event_id, ms, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e),
+        |ch AS (SELECT user_id, event_id, ms, event_type FROM l
+        |  WHERE prev IS DISTINCT FROM event_type),
+        |h AS (SELECT user_id, event_type AS status, ms AS valid_from_ms,
+        |    lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS valid_to_ms FROM ch)
+        |SELECT user_id, status, valid_from_ms, valid_to_ms,
+        |  valid_to_ms IS NULL AS is_current
+        |FROM h ORDER BY user_id, valid_from_ms, status""".stripMargin,
+    "cdc_apply_upserts" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
+        |latest AS (SELECT user_id, value AS new_bal FROM (
+        |    SELECT user_id, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ms DESC, event_id DESC) AS rn
+        |    FROM ev) x WHERE rn = 1),
+        |m AS (SELECT
+        |    CASE WHEN u.user_id IS NULL THEN 'kept'
+        |      WHEN c.c_custkey IS NULL THEN 'inserted'
+        |      ELSE 'updated' END AS op,
+        |    CASE WHEN u.user_id IS NOT NULL THEN u.new_bal ELSE c.c_acctbal END AS balance
+        |  FROM customer c FULL OUTER JOIN latest u ON c.c_custkey = u.user_id)
+        |SELECT op, COUNT(*) AS n,
+        |  CAST(SUM(CAST(balance AS DECIMAL(12,2))) AS DOUBLE) AS bal_sum
+        |FROM m GROUP BY op ORDER BY op""".stripMargin
+  )
+}
