@@ -147,25 +147,29 @@ object Dedup {
       .distinct()
       .withColumn("cluster", col("node"))
       .localCheckpoint(true)
+    // Convergence probe: per-node labels are non-increasing, so the global
+    // label sum strictly decreases until the fixpoint — one shuffle-free
+    // partial aggregate over the just-checkpointed frame, instead of a
+    // self-join diff (which costs an extra 2-stage shuffle per round).
+    // decimal(38) sum: no wraparound aliasing even with 2^60-scale ids
+    // over billions of nodes
+    def signature(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster").cast(DecimalType(38, 0)))).first().getDecimal(0)
     var converged = false
     var it = 0
+    var prevSig = signature(labels)
     while (!converged && it < maxIter) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), col("cluster"))
-      val next = viaNeighbor
+      labels = viaNeighbor
         .union(labels)
         .groupBy("node")
         .agg(min("cluster").as("cluster"))
         .localCheckpoint(true)
-      val changed = next
-        .join(
-          labels.withColumnRenamed("cluster", "__old"),
-          Seq("node"))
-        .filter(col("cluster") =!= col("__old"))
-        .isEmpty
-      labels = next
-      converged = changed
+      val sig = signature(labels)
+      converged = sig == prevSig
+      prevSig = sig
       it += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
@@ -187,19 +191,35 @@ object Dedup {
     // hash the shingle string ONCE, then derive each permutation by
     // rehashing the (index, hash) pair — numHashes cheap fixed-width
     // hashes instead of numHashes string traversals.
-    // portable=true swaps xxhash64 for [[portableHash64]] over md5 so the
-    // whole signature -> band -> candidate path is DuckDB-checkable.
+    // portable=true derives every permutation from ONE md5 via an affine
+    // map mod a 30-bit prime ((a_i*h + b_i) mod p) — pure BIGINT
+    // arithmetic that cannot overflow in either engine (a_i < 2^17,
+    // h mod p < 2^30), so the whole signature -> band -> candidate path
+    // is DuckDB-checkable at the cost of a single md5 per shingle row
+    // instead of numHashes+1 of them.
     val base =
-      if (portable) shingles.withColumn("__h", md5(col("shingle")))
+      if (portable)
+        shingles.withColumn("__h", portableHash64(col("shingle")) % MinHashPrime)
       else shingles.withColumn("__h", xxhash64(col("shingle")))
     val aggs = (0 until numHashes).map { i =>
       val perm =
-        if (portable) portableHash64(concat(lit(s"$i:"), col("__h")))
-        else xxhash64(lit(i), col("__h"))
+        if (portable) {
+          val (a, b) = minhashPermCoeffs(i)
+          (lit(a) * col("__h") + lit(b)) % MinHashPrime
+        } else xxhash64(lit(i), col("__h"))
       min(perm).as(s"mh$i")
     }
     base.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** 30-bit prime field for the portable MinHash permutation family. */
+  val MinHashPrime = 1073741789L
+
+  /** Affine permutation coefficients (a_i, b_i); a_i nonzero mod the
+    * prime for every practical numHashes.
+    */
+  def minhashPermCoeffs(i: Int): (Long, Long) =
+    ((4097L * (i + 1)) % MinHashPrime, (65537L * i) % MinHashPrime)
 
   /** LSH banding: hash each band of bandSize signature values; docs
     * sharing any (band index, band hash) are candidates. Equi-join on the

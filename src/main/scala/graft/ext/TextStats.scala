@@ -108,6 +108,17 @@ object TextStats {
         transform(sequence(lit(1), length(c) - (k - 1)), i => hash(c.substr(i, lit(k)))))
   }
 
+  /** One-pass native winnowing (kgram + window-min + distinct fused into
+    * a single imperative row expression) — exact value parity with
+    * `winnow(kgramHashes(c, k, portable=true), w)`, at scan speed (the
+    * HOF pair walks an interpreted tree per gram; see
+    * [[org.apache.spark.sql.graftnative.WinnowFingerprints]]).
+    */
+  def winnowingFingerprintsNative(c: Column, k: Int, w: Int): Column =
+    when(c.isNull, array().cast("array<bigint>"))
+      .otherwise(
+        org.apache.spark.sql.graftnative.TextExpressions.winnowFingerprints(c, k, w))
+
   /** Distinct window-of-w minima over a materialized gram-hash column.
     * sequence(1, n) counts DOWN for n < 1, so short inputs short-circuit.
     */

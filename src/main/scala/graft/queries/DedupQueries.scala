@@ -190,17 +190,22 @@ object DedupQueries {
     * SQL image of `minhashSignature(..., portable = true)`.
     */
   private val minhashLshSql: String = {
+    val p = Dedup.MinHashPrime
     val sigCols = (0 until 16)
-      .map(i => s"  MIN(${ph64(s"'$i:' || md5(shingle)")}) AS mh$i")
+      .map { i =>
+        val (a, b) = Dedup.minhashPermCoeffs(i)
+        s"  MIN(($a * hmod + $b) % $p) AS mh$i"
+      }
       .mkString(",\n")
     val bandSelects = (0 until 8)
       .map(bi =>
         s"  SELECT doc_id, $bi AS band, md5(concat(mh${2 * bi}, ',', mh${2 * bi + 1})) AS bh FROM sig")
       .mkString("\n  UNION ALL\n")
     s"""WITH $corpusSql,
+       |shh AS (SELECT doc_id, ${ph64("shingle")} % $p AS hmod FROM sh),
        |sig AS (SELECT doc_id,
        |$sigCols
-       |FROM sh GROUP BY doc_id),
+       |FROM shh GROUP BY doc_id),
        |bands AS (
        |$bandSelects)
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables._
+import graft.ext.TextStats
 import graft.ext.TextStats._
 
 /** Text-analysis queries (X4) over `documents`, all DuckDB-mirrored. */
@@ -52,10 +53,11 @@ object TextQueries {
   private val winnowing: Q = (s, d) =>
     documents(s, d)
       .withColumn("t", normText(col("text")))
-      .withColumn("grams", kgramHashes(col("t"), 8, portable = true))
       // explode_outer + count(fp): sources whose docs all fingerprint to
       // empty still appear with n_fp = 0 instead of vanishing
-      .select(col("source"), explode_outer(winnow(col("grams"), 4)).as("fp"))
+      .select(
+        col("source"),
+        explode_outer(TextStats.winnowingFingerprintsNative(col("t"), 8, 4)).as("fp"))
       .groupBy("source")
       .agg(countDistinct(col("fp")).as("n_fp"), count(col("fp")).as("n_total"))
       .orderBy("source")

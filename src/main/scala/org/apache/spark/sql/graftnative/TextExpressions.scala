@@ -61,7 +61,105 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Winnowing fingerprints (MOSS-style) in ONE imperative pass per row:
+  * md5-derived 60-bit hashes of every character k-gram, window-of-w
+  * minima via a monotonic deque, distinct in first-occurrence order.
+  *
+  * Exact drop-in for the HOF formulation
+  * (`TextStats.kgramHashes(portable=true)` + `TextStats.winnow`) — the
+  * hash is the same "first 15 hex chars of md5" value
+  * ([[graft.ext.Dedup.portableHash64]]), computed over the UTF-8 bytes of
+  * each code-point k-gram, so DuckDB still reproduces every fingerprint
+  * bit-for-bit. The HOF version walks an interpreted expression tree per
+  * gram and copies an O(w) slice per window (O(n·w) array traffic per
+  * doc); this runs the whole doc in O(n) primitive JVM work, which is
+  * what makes fingerprinting a scan-speed operation at corpus scale.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(k > 0 && w > 0, "k and w must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  @transient private lazy val mdLocal =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    // code-point start offsets (UTF-8 continuation bytes are 10xxxxxx):
+    // gram i covers bytes [off(i), off(i+k)) — identical to substr() on
+    // code points in both engines
+    var nCp = 0
+    var b = 0
+    while (b < bytes.length) {
+      if ((bytes(b) & 0xc0) != 0x80) nCp += 1
+      b += 1
+    }
+    val off = new Array[Int](nCp + 1)
+    var cp = 0
+    b = 0
+    while (b < bytes.length) {
+      if ((bytes(b) & 0xc0) != 0x80) { off(cp) = b; cp += 1 }
+      b += 1
+    }
+    off(nCp) = bytes.length
+
+    val nGrams = nCp - k + 1
+    if (nGrams < w)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+
+    val md = mdLocal.get()
+    val grams = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      md.reset()
+      md.update(bytes, off(i), off(i + k) - off(i))
+      val d = md.digest()
+      // first 15 hex chars = 60 bits, big-endian — portableHash64's value
+      var acc = 0L
+      var j = 0
+      while (j < 15) {
+        val v = d(j / 2) & 0xff
+        acc = (acc << 4) | (if (j % 2 == 0) v >>> 4 else v & 0xf)
+        j += 1
+      }
+      grams(i) = acc
+      i += 1
+    }
+
+    // monotonic deque of indices: head is the min of the current window;
+    // ties keep the EARLIEST index (strict > eviction), matching
+    // array_min/list_min over a slice
+    val deque = new Array[Int](nGrams)
+    var head = 0
+    var tail = 0 // exclusive
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i < nGrams) {
+      while (tail > head && grams(deque(tail - 1)) > grams(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) seen.add(grams(deque(head)))
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def simhash64(tokens: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowFingerprints(ExpressionUtils.expression(text), k, w))
 }

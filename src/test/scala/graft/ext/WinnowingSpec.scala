@@ -28,6 +28,30 @@ class WinnowingSpec extends SparkSpec {
     assert(jac(sets(1L), sets(3L)) < 0.1, s"unrelated pair: ${jac(sets(1L), sets(3L))}")
   }
 
+  test("native one-pass expression matches the portable HOF pipeline exactly") {
+    // value parity must hold ELEMENT-WISE (same distinct fps in the same
+    // first-occurrence order), across the whole real corpus including
+    // edge rows — this is what lets the query swap in the native path
+    // without touching the oracle SQL
+    val d = graft.Tables.documents(spark, sf)
+      .withColumn("t", TextStats.normText(col("text")))
+    val hof = d
+      .withColumn("grams", TextStats.kgramHashes(col("t"), 8, portable = true))
+      .select(col("doc_id"), TextStats.winnow(col("grams"), 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val native = d
+      .select(col("doc_id"), TextStats.winnowingFingerprintsNative(col("t"), 8, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native == hof)
+    // multibyte code points: substr semantics must stay code-point-based
+    val uni = Seq((1L, "añb€c😀défghijklm")).toDF("id", "t")
+    val h2 = uni.withColumn("g", TextStats.kgramHashes(col("t"), 5, portable = true))
+      .select(TextStats.winnow(col("g"), 3)).collect()(0).getSeq[Long](0)
+    val n2 = uni.select(TextStats.winnowingFingerprintsNative(col("t"), 5, 3))
+      .collect()(0).getSeq[Long](0)
+    assert(n2 == h2 && h2.nonEmpty)
+  }
+
   test("deterministic across partitionings; null/short input yields empty sets") {
     val base = fingerprints(docs)
     val repart = fingerprints(docs.repartition(7))
