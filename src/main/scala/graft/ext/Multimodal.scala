@@ -87,6 +87,29 @@ object Multimodal {
     out
   }
 
+  /** Fixed-size frame decomposition of a binary payload — the frame-sample
+    * primitive an audio/video pipeline runs before per-frame decode: frame
+    * j covers bytes [j*frameBytes, (j+1)*frameBytes) (last frame ragged),
+    * and each frame is identified by its md5. Pure codegen'd Column
+    * expression (sequence + transform + substring-on-binary) — frames
+    * never leave the row until the caller explodes them, so the scan
+    * stays narrow and the op costs one projection at any corpus size.
+    */
+  def frameHashes(payload: org.apache.spark.sql.Column, frameBytes: Int): org.apache.spark.sql.Column = {
+    val nFrames = ((length(payload) + lit(frameBytes - 1)) / lit(frameBytes)).cast(LongType)
+    when(payload.isNull || length(payload) === 0, array().cast(ArrayType(StringType, false)))
+      .otherwise(
+        transform(
+          sequence(lit(1L), nFrames),
+          j =>
+            md5(
+              call_function(
+                "substring",
+                payload,
+                (j - 1) * lit(frameBytes) + lit(1),
+                lit(frameBytes)))))
+  }
+
   /** Batch-shaped feature extraction over (doc_id, payload) rows.
     * `mapPartitions` + an inner batch loop of `batchSize` mirrors the
     * Arrow-batch contract of `mapInPandas`: per-batch amortized decode

@@ -28,4 +28,28 @@ object Skew {
       .groupBy(keyCols.map(col): _*)
       .agg(sum("__cnt").cast("long").as("n"), sum("__sum").as("total"))
   }
+
+  /** Bloom semi-join pruning: drop probe-side rows whose key cannot exist
+    * on the build side BEFORE the join's shuffle. The filter is built
+    * driver-side from the (small, often pre-filtered) build side — a
+    * bounded-size sketch regardless of probe-side scale — and probed by a
+    * per-row expression at the scan. False positives (<= fpp) pass
+    * through and are eliminated by the join itself, so results are exactly
+    * the join's; the win is shuffle volume: the probe side sheds its
+    * non-matching fraction at the scan stage. Use when the join is
+    * selective but the build side exceeds the broadcast threshold (else
+    * a broadcast join already avoids the probe-side shuffle).
+    */
+  def bloomPruned(
+      probe: DataFrame,
+      probeKey: String,
+      build: DataFrame,
+      buildKey: String,
+      expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val bloom = build.stat.bloomFilter(buildKey, expectedItems, fpp)
+    probe.filter(
+      org.apache.spark.sql.graftnative.BloomExpressions
+        .mightContain(col(probeKey).cast("long"), bloom))
+  }
 }

@@ -68,10 +68,29 @@ object MultimodalQueries {
       .orderBy("source")
   }
 
+  /** Frame-sample plumbing over binary payloads: 64-byte frames, per-frame
+    * md5 identity, per-source frame census. The corpus is ASCII so the
+    * oracle replays byte frames as varchar substr frames; the Spark side
+    * slices true bytes (substring on BinaryType).
+    */
+  private val mediaFrames: Q = (s, d) =>
+    documents(s, d)
+      .select(
+        col("source"),
+        explode(
+          Multimodal.frameHashes(encode(col("text"), "UTF-8"), 64)).as("fh"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        countDistinct(col("fh")).as("n_distinct"),
+        min("fh").as("min_fh"))
+      .orderBy("source")
+
   val queries: Map[String, Q] = Map(
     "props_extract" -> propsExtract,
     "binary_meta" -> binaryMeta,
-    "media_features_stub" -> mediaFeatures
+    "media_features_stub" -> mediaFeatures,
+    "media_frame_hashes" -> mediaFrames
   )
 
   val oracle: Map[String, String] = Map(
@@ -99,6 +118,15 @@ object MultimodalQueries {
         |  CAST(SUM(f7_u) AS BIGINT) AS sum_f7_u,
         |  COUNT(DISTINCT checksum) AS n_checksum,
         |  MIN(checksum) AS min_checksum
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "media_frame_hashes" ->
+      """WITH f AS (SELECT source,
+        |    unnest(list_transform(
+        |      generate_series(1, CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT)),
+        |      j -> md5(substr(text, CAST((j - 1) * 64 + 1 AS BIGINT), 64)))) AS fh
+        |  FROM documents WHERE octet_length(encode(text)) > 0)
+        |SELECT source, COUNT(*) AS n_frames, COUNT(DISTINCT fh) AS n_distinct,
+        |  MIN(fh) AS min_fh
         |FROM f GROUP BY source ORDER BY source""".stripMargin
   )
 }
