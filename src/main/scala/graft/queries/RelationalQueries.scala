@@ -269,7 +269,48 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  /** Bloom-pruned selective join: probe-side lineitem sheds non-matching
+    * rows at the scan via a bloom built from 'P'-status orders, BEFORE the
+    * join shuffle ([[graft.ext.Skew.bloomPruned]]). The oracle is the
+    * plain join — bloom false positives are eliminated by the join, so
+    * the hash-check proves end-to-end exactness of the pruned plan.
+    */
+  private val bloomPrunedJoin: Q = (s, d) => {
+    val build = orders(s, d).filter(col("o_orderstatus") === "P")
+    val pruned = graft.ext.Skew.bloomPruned(
+      lineitem(s, d), "l_orderkey", build, "o_orderkey",
+      expectedItems = 1L << 20, fpp = 0.01)
+    pruned
+      .join(build, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("price_sum"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Z-order layout math: Morton z-values over two bucketed keys, bucketed
+    * into high-bit cells ([[graft.ext.ZOrder]] — the sort key
+    * `Compaction.writeClustered` uses for multi-dimensional clustering;
+    * ZOrderSpec proves the file-skipping effect, this query hash-checks
+    * the interleave arithmetic cross-engine).
+    */
+  private val zorderLayout: Q = (s, d) =>
+    orders(s, d)
+      .withColumn(
+        "zval",
+        graft.ext.ZOrder.zValue(col("o_custkey") % 4096, col("o_orderkey") % 4096, 12))
+      .groupBy((col("zval") / 65536).cast(LongType).as("cell"))
+      .agg(
+        count(lit(1)).as("n"),
+        min("zval").as("z_min"),
+        max("zval").as("z_max"),
+        sum("zval").cast(LongType).as("z_sum"))
+      .orderBy("cell")
+
   val queries: Map[String, Q] = Map(
+    "zorder_layout" -> zorderLayout,
+    "bloom_pruned_join" -> bloomPrunedJoin,
     "events_asof_purchase" -> asofPurchase,
     "q3_shipping_priority" -> q3,
     "q5_nation_revenue" -> q5,
@@ -295,6 +336,19 @@ object RelationalQueries {
         |  ${graft.ext.Sketches.kmvOracleSql("lineitem", "CAST(l_partkey AS VARCHAR)", 1024)} AS parts_kmv,
         |  (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS orders_exact,
         |  (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS parts_exact""".stripMargin,
+    "zorder_layout" ->
+      s"""WITH z AS (SELECT
+        |    ${graft.ext.ZOrder.zValueSql("o_custkey % 4096", "o_orderkey % 4096", 12)} AS zval
+        |  FROM orders)
+        |SELECT zval // 65536 AS cell, COUNT(*) AS n, MIN(zval) AS z_min,
+        |  MAX(zval) AS z_max, CAST(SUM(zval) AS BIGINT) AS z_sum
+        |FROM z GROUP BY cell ORDER BY cell""".stripMargin,
+    "bloom_pruned_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS price_sum
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'P'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "events_asof_purchase" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type, value FROM events),
         |u AS (
