@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Incremental aggregate maintenance: keep per-bucket PARTIAL aggregate
+  * states (count + exact decimal sum per (key, bucket)) and merge them
+  * into totals on demand — the "never rescan history" pattern. A daily
+  * job aggregates only its own bucket; totals are a merge over the small
+  * state table. Correct because the states are commutative monoids:
+  * count/sum merge by addition, and the DECIMAL(38,2) sums are exact, so
+  * merged totals are bit-identical to a full recompute under ANY bucket
+  * split — which is precisely what the oracle hash-check proves.
+  */
+object Incremental {
+
+  /** Partial states for one or more buckets: (keys..., bucket, n, total). */
+  def partialStates(
+      df: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      valueCol: String): DataFrame =
+    df.groupBy((keys :+ bucketCol).map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(valueCol).cast(DecimalType(12, 2))).cast(DecimalType(38, 2)).as("total"))
+
+  /** Merge partial states down to per-key totals. */
+  def mergeStates(partials: DataFrame, keys: Seq[String]): DataFrame =
+    partials
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum("n").cast(LongType).as("n"),
+        sum("total").cast(DecimalType(38, 2)).as("total"))
+}

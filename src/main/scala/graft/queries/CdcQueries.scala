@@ -63,9 +63,26 @@ object CdcQueries {
       .orderBy("op")
   }
 
+  /** Incremental maintenance round-trip: per-(type, day) partial states
+    * merged to per-type totals. The oracle computes totals DIRECTLY from
+    * the raw events — hash equality proves split-then-merge is exact
+    * under any bucketing (decimal-monoid states), i.e. the daily-job
+    * pattern never drifts from a full recompute.
+    */
+  private val incrementalAggMerge: Q = (s, d) => {
+    val ev = events(s, d)
+      .withColumn("day", (unix_millis(col("ts")) / 86400000L).cast(LongType))
+    val partials = graft.ops.Incremental.partialStates(ev, Seq("event_type"), "day", "value")
+    graft.ops.Incremental
+      .mergeStates(partials, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("total").cast("double").as("total"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "scd2_user_history" -> scd2UserHistory,
-    "cdc_apply_upserts" -> cdcApplyUpserts
+    "cdc_apply_upserts" -> cdcApplyUpserts,
+    "incremental_agg_merge" -> incrementalAggMerge
   )
 
   val oracle: Map[String, String] = Map(
@@ -94,6 +111,10 @@ object CdcQueries {
         |  FROM customer c FULL OUTER JOIN latest u ON c.c_custkey = u.user_id)
         |SELECT op, COUNT(*) AS n,
         |  CAST(SUM(CAST(balance AS DECIMAL(12,2))) AS DOUBLE) AS bal_sum
-        |FROM m GROUP BY op ORDER BY op""".stripMargin
+        |FROM m GROUP BY op ORDER BY op""".stripMargin,
+    "incremental_agg_merge" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -78,6 +78,19 @@ class LoanPipelineSpec extends SparkSpec {
     assert(!json.contains("by_loan_type"))
   }
 
+  test("ragged CSV rows flow through permissive parsing without failing the pipeline") {
+    // PERMISSIVE is Spark's CSV default, matching the reference's read
+    // (pyspark_etl.py:51): short rows null-pad, long rows truncate,
+    // unparseable rows survive as strings after inference widens the
+    // column. The pipeline must complete and account for every line.
+    val out = Files.createTempDirectory("graft_etl5").toString
+    val r = LoanPipeline.runEtl(spark, resource("loans_ragged.csv"), s"$out/parquet")
+    assert(r.insights.total_loans == 5)
+    val back = spark.read.parquet(s"$out/parquet")
+    assert(back.count() == 5)
+    assert(back.columns.contains("date") && back.columns.contains("time"))
+  }
+
   test("insights JSON golden shape matches the reference document") {
     val s = Insights.Summary(100, None, None)
     assert(Insights.toJson(s) == "{\n  \"total_loans\": 100\n}")
