@@ -78,6 +78,32 @@ object TextStats {
     */
   def fingerprint(c: Column): Column = md5(normText(c))
 
+  /** (id, term) rows from normalized text — the explode that TF/DF/IDF
+    * builds on. One narrow pass; the term column is the shuffle key for
+    * everything downstream.
+    */
+  def terms(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(split(normText(col(textCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+
+  /** Per-document term frequencies joined with corpus document
+    * frequencies, plus an integer-exact discriminativeness score
+    * `tf * 1e6 / df` (floor). Rank by (tf desc, df asc, term) for
+    * deterministic cross-engine top-k — no transcendental idf enters the
+    * comparison, so results hash-check exactly; callers wanting classic
+    * `tf * ln(N/df)` can compute it from the returned tf/df.
+    * Two shuffles total: one on (id, term), one on term; the df side
+    * aggregates to |vocabulary| rows, broadcastable at any corpus size.
+    */
+  def tfDf(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val tf = terms(df, idCol, textCol)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(docFreq, Seq("term"))
+      .withColumn("score", (col("tf") * lit(1000000L) / col("df")).cast(LongType))
+  }
+
   /** Winnowing fingerprints (MOSS-style rolling selection), as TWO
     * composable steps the caller materializes as separate columns:
     *

@@ -308,7 +308,32 @@ object RelationalQueries {
         sum("zval").cast(LongType).as("z_sum"))
       .orderBy("cell")
 
+  /** Per-event window features — the feature-engineering pass a training
+    * pipeline materializes per entity: time-since-previous, 3-row moving
+    * value sum (decimal-exact), running event count. Features are
+    * computed over the FULL per-user stream (one shuffle on user_id);
+    * output is sampled afterward so rows stay bounded at any SF.
+    */
+  private val eventFeatures: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, d)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    ev
+      .withColumn("delta_ms", col("ms") - lag("ms", 1).over(w))
+      .withColumn(
+        "mov3",
+        sum(dec2(col("value"))).over(w.rowsBetween(-2, 0)).cast(DoubleType))
+      .withColumn(
+        "running_n",
+        count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("event_id") % 20 === 0)
+      .select("user_id", "event_id", "delta_ms", "mov3", "running_n")
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "event_features" -> eventFeatures,
     "zorder_layout" -> zorderLayout,
     "bloom_pruned_join" -> bloomPrunedJoin,
     "events_asof_purchase" -> asofPurchase,
@@ -336,6 +361,19 @@ object RelationalQueries {
         |  ${graft.ext.Sketches.kmvOracleSql("lineitem", "CAST(l_partkey AS VARCHAR)", 1024)} AS parts_kmv,
         |  (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS orders_exact,
         |  (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS parts_exact""".stripMargin,
+    "event_features" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
+        |f AS (SELECT user_id, event_id,
+        |    ms - lag(ms) OVER w AS delta_ms,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2)))
+        |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov3,
+        |    COUNT(*) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
+        |SELECT user_id, event_id, delta_ms, mov3, running_n
+        |FROM f WHERE event_id % 20 = 0 ORDER BY user_id, event_id""".stripMargin,
     "zorder_layout" ->
       s"""WITH z AS (SELECT
         |    ${graft.ext.ZOrder.zValueSql("o_custkey % 4096", "o_orderkey % 4096", 12)} AS zval

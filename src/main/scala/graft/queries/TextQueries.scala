@@ -62,7 +62,43 @@ object TextQueries {
       .agg(countDistinct(col("fp")).as("n_fp"), count(col("fp")).as("n_total"))
       .orderBy("source")
 
+  /** Top-3 discriminative terms per (sampled) document by (tf desc,
+    * df asc, term) — the TF-IDF ranking with an integer-exact score so
+    * the whole explode -> tf -> df -> join -> window pipeline
+    * hash-checks. Sampling every 50th doc keeps output rows bounded while
+    * still exercising the full corpus-wide df aggregation.
+    */
+  private val tfidfTop: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextStats.tfDf(
+      documents(s, d).filter(col("doc_id") % 50 === 0), "doc_id", "text")
+    val w = Window.partitionBy("doc_id").orderBy(desc("tf"), asc("df"), asc("term"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn").cast(LongType).as("rn"),
+        col("term"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rn")
+  }
+
+  /** Corpus-wide bigram counts, top 20 — the n-gram census pretraining
+    * pipelines run for contamination/boilerplate checks. Compiles to
+    * partial/final hash agg + TakeOrderedAndProject: no global sort.
+    */
+  private val bigrams: Q = (s, d) =>
+    documents(s, d)
+      .select(split(normText(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))")).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("bigram"))
+      .limit(20)
+
   val queries: Map[String, Q] = Map(
+    "text_tfidf_top" -> tfidfTop,
+    "text_bigram_top" -> bigrams,
     "text_winnowing" -> winnowing,
     "text_token_stats" -> tokenStats,
     "text_quality_hist" -> quality,
@@ -71,6 +107,24 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_tfidf_top" ->
+      """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM n),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE length(term) > 0 GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |j AS (SELECT doc_id, term, tf, df, (tf * 1000000) // df AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) AS rn
+        |  FROM tf JOIN dfq USING (term))
+        |SELECT doc_id, CAST(rn AS BIGINT) AS rn, term, tf, df, CAST(score AS BIGINT) AS score
+        |FROM j WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "text_bigram_top" ->
+      """WITH n AS (SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+        |tk AS (SELECT string_split(t, ' ') AS toks FROM n WHERE len(string_split(t, ' ')) >= 2),
+        |b AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM tk)
+        |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
     "text_winnowing" ->
       """WITH t AS (SELECT source, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
         |g AS (SELECT source, CASE WHEN t IS NULL OR length(t) < 8 THEN CAST([] AS BIGINT[])
