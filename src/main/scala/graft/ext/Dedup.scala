@@ -142,10 +142,14 @@ object Dedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint(true)
+    // seed with the 1-hop minimum (node vs its direct neighbors) — one
+    // aggregation on the already-shuffled edge list, no join; for the
+    // dense shallow clusters near-dup graphs produce this IS the fixpoint,
+    // so the loop below typically runs a single confirming round
     var labels = edges
-      .select(col("src").as("node"))
-      .distinct()
-      .withColumn("cluster", col("node"))
+      .groupBy(col("src").as("node"))
+      .agg(min("dst").as("__m"))
+      .select(col("node"), least(col("node"), col("__m")).as("cluster"))
       .localCheckpoint(true)
     // Convergence probe: per-node labels are non-increasing, so the global
     // label sum strictly decreases until the fixpoint — one shuffle-free

@@ -87,4 +87,52 @@ object OperatorProps extends Properties("graft.operators") {
     val r = df.first()
     math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12 && math.abs(r.getDouble(2) - 1.0) < 1e-9
   }
+
+  private val tokGen: Gen[List[Long]] = Gen.listOfN(10, Gen.chooseNum(1L, 30L))
+
+  property("packSequences conserves docs and tokens; seq_ids are dense from 0") = forAll(tokGen) { toks =>
+    import spark.implicits._
+    val df = toks.zipWithIndex.map { case (t, i) => ("s", i.toLong, t) }.toDF("shard", "id", "tok")
+    val out = graft.ext.CorpusOps.packSequences(df, "shard", "id", "tok", 16L)
+      .select("id", "tok", "seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val total = toks.sum
+    // every doc assigned exactly once, tokens conserved
+    (out.length == toks.length) &&
+    (out.map(_._2).sum == total) &&
+    // seq assignment equals the closed-form concat-and-chunk prefix rule
+    out.zip(toks.scanLeft(0L)(_ + _)).forall { case ((_, _, seq), before) =>
+      seq == before / 16L
+    } &&
+    // seq ids cover 0..maxSeq with no holes
+    out.map(_._3).toSet == (0L to (total - 1).max(0L) / 16L)
+      .filter(s => out.exists(_._3 == s)).toSet &&
+    out.map(_._3).distinct.sorted.headOption.forall(_ == 0L)
+  }
+
+  private val feedGen: Gen[List[(Long, String)]] =
+    Gen.listOfN(12, Gen.zip(Gen.chooseNum(1L, 3L), Gen.oneOf("A", "B", "C")))
+
+  property("scd2 versions tile each key's timeline: contiguous, ordered, one current") =
+    forAll(feedGen) { feed =>
+      import spark.implicits._
+      val rows = feed.zipWithIndex.map { case ((u, st), i) => (u, i.toLong, (i * 10).toLong, st) }
+      val df = rows.toDF("user_id", "event_id", "ms", "status")
+      val h = graft.ops.Cdc
+        .scd2History(df, "user_id", Seq("ms", "event_id"), Seq("status"), "ms")
+        .select("user_id", "valid_from", "valid_to", "is_current")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3)))
+        .groupBy(_._1)
+      h.values.forall { vs =>
+        val sorted = vs.sortBy(_._2)
+        // exactly one open-ended current version per key, and it is last
+        vs.count(_._3.isEmpty) == 1 && sorted.last._3.isEmpty && sorted.last._4 &&
+        // each version closes exactly where the next opens
+        sorted.sliding(2).forall {
+          case Array((_, _, Some(to), false), (_, from, _, _)) => to == from
+          case _ => true
+        }
+      }
+    }
 }
