@@ -61,10 +61,36 @@ object CorpusQueries {
         sum(when(col("straddles"), 1L).otherwise(0L)).cast(LongType).as("n_straddle"))
       .orderBy("source", "seq_id")
 
+  /** The full curation funnel in one plan: quality-filter -> exact dedup
+    * (by normalized text) -> stratified downsample -> pack into 2048-token
+    * sequences, reporting the per-stage survivor counts plus final packed
+    * stats — the end-to-end "raw corpus in, training sequences out"
+    * composition every piece above feeds. One aggregation over a linear
+    * pipeline of narrow ops + two keyed shuffles (dedup window, pack
+    * window).
+    */
+  private val curationFunnel: Q = (s, d) => {
+    val raw = withTok(documents(s, d))
+    val kept = raw.filter(CorpusOps.qualityReason(col("t")) === "keep")
+    val deduped = graft.ext.Dedup.exactDedup(kept, Seq("t"), "doc_id")
+    val sampled = CorpusOps.stratifiedSample(
+      deduped, "doc_id", "lang", Map("en" -> 0.5), defaultRate = 0.8)
+    val packed = CorpusOps.packSequences(sampled, "source", "doc_id", "n_tok", 2048L)
+    packed.agg(
+      lit(raw.count()).as("n_raw"),
+      lit(kept.count()).as("n_quality"),
+      lit(deduped.count()).as("n_deduped"),
+      count(lit(1)).as("n_sampled"),
+      sum("n_tok").cast(LongType).as("tok_total"),
+      countDistinct(concat_ws("#", col("source"), col("seq_id"))).as("n_sequences"),
+      sum(when(col("straddles"), 1L).otherwise(0L)).cast(LongType).as("n_straddle"))
+  }
+
   val queries: Map[String, Q] = Map(
     "quality_filter" -> qualityFilter,
     "sample_stratified" -> sampleStratified,
-    "pack_sequences" -> packSequences
+    "pack_sequences" -> packSequences,
+    "corpus_curation_funnel" -> curationFunnel
   )
 
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
@@ -99,6 +125,37 @@ object CorpusQueries {
         |  FROM documents)
         |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM k WHERE h < thr GROUP BY lang ORDER BY lang""".stripMargin,
+    "corpus_curation_funnel" ->
+      s"""WITH n AS (SELECT doc_id, lang, source, $normSql AS t FROM documents),
+        |m AS (SELECT *, CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(length(t) AS BIGINT) AS chars,
+        |    CAST(len(regexp_extract_all(t, '[^A-Za-z0-9\\s]')) AS BIGINT) AS punct,
+        |    CAST(len(regexp_extract_all(t, '\\b(the|a|of|and|to)\\b')) AS BIGINT) AS stop
+        |  FROM n),
+        |kept AS (SELECT doc_id, lang, source, t, n_tok FROM m
+        |  WHERE n_tok >= 5 AND n_tok <= 5000
+        |    AND chars - (n_tok - 1) >= n_tok * 3 AND chars - (n_tok - 1) <= n_tok * 10
+        |    AND punct * 10 <= chars AND stop > 0),
+        |ded AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+        |    FROM kept) x WHERE rn = 1),
+        |samp AS (SELECT * FROM ded WHERE
+        |  CAST('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |    % 1000000 < CASE lang WHEN 'en' THEN 500000 ELSE 800000 END),
+        |packed AS (SELECT source, doc_id, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM samp),
+        |pb AS (SELECT source, n_tok, (cum - n_tok) // 2048 AS seq_id,
+        |    CASE WHEN (cum - 1) // 2048 > (cum - n_tok) // 2048 THEN 1 ELSE 0 END AS straddle
+        |  FROM packed)
+        |SELECT (SELECT COUNT(*) FROM m) AS n_raw,
+        |  (SELECT COUNT(*) FROM kept) AS n_quality,
+        |  (SELECT COUNT(*) FROM ded) AS n_deduped,
+        |  COUNT(*) AS n_sampled,
+        |  CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+        |  COUNT(DISTINCT source || '#' || CAST(seq_id AS VARCHAR)) AS n_sequences,
+        |  CAST(SUM(straddle) AS BIGINT) AS n_straddle
+        |FROM pb""".stripMargin,
     "pack_sequences" ->
       s"""WITH n AS (SELECT doc_id, source,
         |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tok
