@@ -58,6 +58,9 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_docs"), sum("doc_id").cast(LongType).as("id_sum"))
 
   private val ngramJaccard: Q = (s, d) => {
+    // measured: materializing the shingle table does NOT help here —
+    // Spark already reuses the exchange across the self-join's two sides,
+    // and the per-doc counts aggregation overlaps the join stages
     val sh = Dedup.wordShingles(nearDupCorpus(s, d), "doc_id", "t", 5)
     Dedup
       .jaccardPairs(sh, "doc_id", 0.5, ShingleDfCap)
@@ -126,7 +129,11 @@ object DedupQueries {
     * the exact shingle join so DuckDB can replicate it verbatim.
     */
   private val pipelineE2e: Q = (s, d) => {
-    val exactDeduped = Dedup.exactDedup(nearDupCorpus(s, d), Seq("t"), "doc_id")
+    // exactDeduped feeds BOTH the shingle pipeline and the final anti-join
+    // branch; materialize it once (cheap: the deduped corpus) instead of
+    // recomputing the scan+window on each branch
+    val exactDeduped =
+      Dedup.exactDedup(nearDupCorpus(s, d), Seq("t"), "doc_id").localCheckpoint(true)
     val sh = Dedup.wordShingles(exactDeduped, "doc_id", "t", 5)
     val drop = Dedup
       .jaccardPairs(sh, "doc_id", 0.6, ShingleDfCap)
