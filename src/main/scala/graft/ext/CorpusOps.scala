@@ -73,6 +73,59 @@ object CorpusOps {
     df.filter(pmod(h, lit(1000000L)) < threshold)
   }
 
+  /** Benchmark-contamination audit: the fraction of each eval document's
+    * word shingles that appear anywhere in the training corpus. Candidate
+    * containment is an equi-join on the shingle key (the same scalable
+    * shape as every near-dup op — never a cross product); the train side
+    * reduces to DISTINCT shingles before joining, so join input is the
+    * vocabulary of shingles, not the corpus. Returns per-eval-doc
+    * (n_shingles, n_contaminated).
+    */
+  def contamination(
+      trainShingles: DataFrame,
+      evalShingles: DataFrame,
+      idCol: String): DataFrame = {
+    val trainSet = trainShingles.select("shingle").distinct()
+    val evalS = evalShingles.select(col(idCol), col("shingle"))
+    evalS
+      .join(trainSet.withColumn("__hit", lit(1L)), Seq("shingle"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).cast(LongType).as("n_contaminated"))
+  }
+
+  /** PII-shaped redaction: emails and long digit runs replaced with
+    * fixed tags, plus per-doc match counts. The regexes stay inside the
+    * cross-engine-portable dialect (no lookarounds), and redaction is a
+    * pure projection — scan-speed at any corpus size.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumberRe = "[0-9]{7,}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      LongNumberRe,
+      "<NUM>")
+
+  def piiCounts(text: Column): (Column, Column) =
+    (regexp_count(text, lit(EmailRe)), regexp_count(text, lit(LongNumberRe)))
+
+  /** Repetition score: distinct-to-total word-trigram ratio per doc as
+    * exact integers (boilerplate/template text scores low). No floats —
+    * callers compare `distinct * K` vs `total * threshold_num`.
+    */
+  def trigramRepetition(toks: Column): (Column, Column) = {
+    val n = size(toks)
+    val grams = when(n < 3, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), n - 2),
+          i => concat_ws(" ", slice(toks, i, lit(3)))))
+    (size(array_distinct(grams)).cast(LongType), size(grams).cast(LongType))
+  }
+
   /** Concat-and-chunk sequence packing: documents are laid end-to-end in
     * (shard, id) order and cut into fixed token-budget training sequences;
     * each doc is assigned the sequence its FIRST token lands in —

@@ -43,8 +43,6 @@ object Multimodal {
       checksum: Long,
       features: Array[Float])
 
-  private val HexDigits = "0123456789abcdef".toCharArray
-
   /** First 60 bits of MD5 as a positive long — the imperative twin of
     * [[graft.ext.Dedup.portableHash64]] (`conv(substr(md5(x),1,15),16,10)`),
     * so values computed inside `mapPartitions` remain oracle-checkable:

@@ -86,7 +86,73 @@ object CorpusQueries {
       sum(when(col("straddles"), 1L).otherwise(0L)).cast(LongType).as("n_straddle"))
   }
 
+  /** Benchmark-contamination audit: every 97th doc plays the eval set;
+    * count how many of each eval doc's 5-gram shingles exist anywhere in
+    * the train split. Join input is DISTINCT shingles, never the corpus.
+    */
+  private val contaminationAudit: Q = (s, d) => {
+    val sh = graft.ext.Dedup.wordShingles(
+      documents(s, d).select(col("doc_id"), TextStats.normText(col("text")).as("t")),
+      "doc_id", "t", 5)
+    CorpusOps
+      .contamination(
+        sh.filter(col("doc_id") % 97 =!= 0),
+        sh.filter(col("doc_id") % 97 === 0),
+        "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction round-trip: deterministic synthetic PII (an email and
+    * a long account number derived from doc_id, injected identically in
+    * the oracle) is appended to each doc, then redacted; the query proves
+    * the scrub by hashing the redacted text and counting matches.
+    */
+  private val piiRedaction: Q = (s, d) => {
+    val dirty = documents(s, d)
+      .withColumn(
+        "dirty",
+        concat(
+          col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com acct "),
+          (col("doc_id") + 1) * 1234567L))
+    val (emails, nums) = CorpusOps.piiCounts(col("dirty"))
+    dirty
+      .select(
+        col("source"),
+        emails.cast(LongType).as("n_email"),
+        nums.cast(LongType).as("n_num"),
+        md5(CorpusOps.redactPii(col("dirty"))).as("clean_fp"),
+        CorpusOps.piiCounts(CorpusOps.redactPii(col("dirty")))._1.cast(LongType).as("left_email"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_email").cast(LongType).as("emails_found"),
+        sum("n_num").cast(LongType).as("nums_found"),
+        sum("left_email").cast(LongType).as("emails_left"),
+        countDistinct(col("clean_fp")).as("n_clean_fp"),
+        min("clean_fp").as("min_clean_fp"))
+      .orderBy("source")
+  }
+
+  /** Repetition census: distinct-to-total trigram ratio per doc in exact
+    * integer deciles — template/boilerplate text lands in low buckets.
+    */
+  private val repetitionScore: Q = (s, d) => {
+    val toks = split(TextStats.normText(col("text")), " ")
+    val (dist, total) = CorpusOps.trigramRepetition(toks)
+    documents(s, d)
+      .select(dist.as("d"), total.as("n"))
+      .filter(col("n") > 0)
+      .select(((col("d") * 10) / col("n")).cast(LongType).as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, Q] = Map(
+    "contamination_audit" -> contaminationAudit,
+    "pii_redaction" -> piiRedaction,
+    "repetition_score" -> repetitionScore,
     "quality_filter" -> qualityFilter,
     "sample_stratified" -> sampleStratified,
     "pack_sequences" -> packSequences,
@@ -95,7 +161,50 @@ object CorpusQueries {
 
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
+  private val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+
   val oracle: Map[String, String] = Map(
+    "contamination_audit" ->
+      s"""WITH nn AS (SELECT doc_id, $normSql AS t FROM documents),
+        |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM nn),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
+        |    i -> array_to_string(toks[i:i+4], ' '))) AS shingle
+        |  FROM tk WHERE len(toks) >= 5) q),
+        |train AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 <> 0),
+        |ev AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 = 0)
+        |SELECT ev.doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+        |FROM ev LEFT JOIN train t ON ev.shingle = t.shingle
+        |GROUP BY ev.doc_id ORDER BY ev.doc_id""".stripMargin,
+    "pii_redaction" ->
+      s"""WITH dirty AS (SELECT source,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com acct '
+        |      || CAST((doc_id + 1) * 1234567 AS VARCHAR) AS dirty
+        |  FROM documents),
+        |r AS (SELECT source,
+        |    len(regexp_extract_all(dirty, '$emailRe')) AS n_email,
+        |    len(regexp_extract_all(dirty, '[0-9]{7,}')) AS n_num,
+        |    regexp_replace(regexp_replace(dirty, '$emailRe', '<EMAIL>', 'g'),
+        |      '[0-9]{7,}', '<NUM>', 'g') AS clean
+        |  FROM dirty)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_email) AS BIGINT) AS emails_found,
+        |  CAST(SUM(n_num) AS BIGINT) AS nums_found,
+        |  CAST(SUM(len(regexp_extract_all(clean, '$emailRe'))) AS BIGINT) AS emails_left,
+        |  COUNT(DISTINCT md5(clean)) AS n_clean_fp,
+        |  MIN(md5(clean)) AS min_clean_fp
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "repetition_score" ->
+      s"""WITH nn AS (SELECT $normSql AS t FROM documents),
+        |tk AS (SELECT string_split(t, ' ') AS toks FROM nn
+        |  WHERE len(string_split(t, ' ')) >= 3),
+        |g AS (SELECT list_transform(generate_series(1, len(toks) - 2),
+        |    i -> array_to_string(toks[i:i+2], ' ')) AS grams FROM tk),
+        |r AS (SELECT CAST(len(list_distinct(grams)) AS BIGINT) AS d,
+        |    CAST(len(grams) AS BIGINT) AS n FROM g)
+        |SELECT (d * 10) // n AS decile, COUNT(*) AS n_docs
+        |FROM r WHERE n > 0 GROUP BY decile ORDER BY decile""".stripMargin,
     "quality_filter" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS t FROM documents),
         |m AS (SELECT doc_id, t,
