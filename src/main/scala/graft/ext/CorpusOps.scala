@@ -115,14 +115,26 @@ object CorpusOps {
   /** Repetition score: distinct-to-total word-trigram ratio per doc as
     * exact integers (boilerplate/template text scores low). No floats —
     * callers compare `distinct * K` vs `total * threshold_num`.
+    *
+    * `toks` MUST be a materialized token-array COLUMN, not a `split(...)`
+    * expression: HOF lambdas run interpreted and do not hoist
+    * loop-invariant subtrees, so an expression argument is re-evaluated
+    * on every element access (measured: 36s with the expression vs ~1s
+    * materialized over the 5k-doc corpus — the winnowing lesson again).
     */
-  def trigramRepetition(toks: Column): (Column, Column) = {
-    val n = size(toks)
-    val grams = when(n < 3, array().cast("array<string>"))
+  def trigramGrams(toks: Column): Column =
+    when(size(toks) < 3, array().cast("array<string>"))
       .otherwise(
         transform(
-          sequence(lit(1), n - 2),
-          i => concat_ws(" ", slice(toks, i, lit(3)))))
+          sequence(lit(1), size(toks) - 2),
+          i =>
+            concat(
+              element_at(toks, i), lit(" "),
+              element_at(toks, i + 1), lit(" "),
+              element_at(toks, i + 2))))
+
+  def trigramRepetition(toks: Column): (Column, Column) = {
+    val grams = trigramGrams(toks)
     (size(array_distinct(grams)).cast(LongType), size(grams).cast(LongType))
   }
 
