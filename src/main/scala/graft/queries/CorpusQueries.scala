@@ -70,20 +70,52 @@ object CorpusQueries {
     * window).
     */
   private val curationFunnel: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    // Single-pass funnel: every stage is a FLAG, not a filter, so all
+    // survivor counts come from one aggregate over one plan — no driver
+    // count() per stage (which re-ran the pipeline prefix 4x). Dedup rank
+    // counts only quality rows inside each content group (keyed by
+    // sha2(t), not raw text, to keep the shuffle key narrow); the pack
+    // window adds 0 tokens for non-sampled rows, so sampled rows see
+    // exactly the sampled-only running sum. Two window shuffles + one
+    // aggregate, one action.
     val raw = withTok(documents(s, d))
-    val kept = raw.filter(CorpusOps.qualityReason(col("t")) === "keep")
-    val deduped = graft.ext.Dedup.exactDedup(kept, Seq("t"), "doc_id")
-    val sampled = CorpusOps.stratifiedSample(
-      deduped, "doc_id", "lang", Map("en" -> 0.5), defaultRate = 0.8)
-    val packed = CorpusOps.packSequences(sampled, "source", "doc_id", "n_tok", 2048L)
+      .withColumn("q", CorpusOps.qualityReason(col("t")) === "keep")
+      .withColumn("tkey", sha2(col("t"), 256))
+      .drop("t")
+    val wDedup = Window
+      .partitionBy("tkey")
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = when(col("lang") === "en", 500000L).otherwise(800000L)
+    val h = pmod(
+      graft.ext.Dedup.portableHash64(
+        concat(col("lang"), lit(":"), col("doc_id").cast(StringType))),
+      lit(1000000L))
+    val flagged = raw
+      .withColumn("keep_d",
+        col("q") && sum(when(col("q"), 1L).otherwise(0L)).over(wDedup) === 1L)
+      .withColumn("sampled", col("keep_d") && h < thr)
+    val wPack = Window
+      .partitionBy("source")
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = flagged
+      .withColumn("cum", sum(when(col("sampled"), col("n_tok")).otherwise(0L)).over(wPack))
+      .withColumn("seq_id", floor((col("cum") - col("n_tok")) / 2048L))
+      .withColumn(
+        "straddle",
+        col("sampled") &&
+          floor((col("cum") - 1) / 2048d) > floor((col("cum") - col("n_tok")) / 2048d))
     packed.agg(
-      lit(raw.count()).as("n_raw"),
-      lit(kept.count()).as("n_quality"),
-      lit(deduped.count()).as("n_deduped"),
-      count(lit(1)).as("n_sampled"),
-      sum("n_tok").cast(LongType).as("tok_total"),
-      countDistinct(concat_ws("#", col("source"), col("seq_id"))).as("n_sequences"),
-      sum(when(col("straddles"), 1L).otherwise(0L)).cast(LongType).as("n_straddle"))
+      count(lit(1)).as("n_raw"),
+      sum(when(col("q"), 1L).otherwise(0L)).cast(LongType).as("n_quality"),
+      sum(when(col("keep_d"), 1L).otherwise(0L)).cast(LongType).as("n_deduped"),
+      sum(when(col("sampled"), 1L).otherwise(0L)).cast(LongType).as("n_sampled"),
+      sum(when(col("sampled"), col("n_tok")).otherwise(0L)).cast(LongType).as("tok_total"),
+      countDistinct(when(col("sampled"), concat_ws("#", col("source"), col("seq_id"))))
+        .as("n_sequences"),
+      sum(when(col("straddle"), 1L).otherwise(0L)).cast(LongType).as("n_straddle"))
   }
 
   /** Benchmark-contamination audit: every 97th doc plays the eval set;
