@@ -92,6 +92,10 @@ object Multimodal {
     * expression (sequence + transform + substring-on-binary) — frames
     * never leave the row until the caller explodes them, so the scan
     * stays narrow and the op costs one projection at any corpus size.
+    *
+    * `payload` must be a MATERIALIZED column, not a derived expression:
+    * HOF lambdas run interpreted and re-evaluate expression arguments per
+    * element, turning a derived payload quadratic in its length.
     */
   def frameHashes(payload: org.apache.spark.sql.Column, frameBytes: Int): org.apache.spark.sql.Column = {
     val nFrames = ((length(payload) + lit(frameBytes - 1)) / lit(frameBytes)).cast(LongType)

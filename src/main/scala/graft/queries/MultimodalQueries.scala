@@ -75,10 +75,13 @@ object MultimodalQueries {
     */
   private val mediaFrames: Q = (s, d) =>
     documents(s, d)
+      // payload must be a MATERIALIZED column: the frame HOF runs
+      // interpreted and would re-evaluate an encode() expression once per
+      // frame — O(len^2/frameBytes) on megabyte payloads
+      .withColumn("payload", encode(col("text"), "UTF-8"))
       .select(
         col("source"),
-        explode(
-          Multimodal.frameHashes(encode(col("text"), "UTF-8"), 64)).as("fh"))
+        explode(Multimodal.frameHashes(col("payload"), 64)).as("fh"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_frames"),
