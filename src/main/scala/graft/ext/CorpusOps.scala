@@ -32,8 +32,15 @@ object CorpusOps {
     *
     * On normalized text, non-space chars = length - (tokens-1), so mean
     * word length bounds become integer comparisons.
+    *
+    * NULL text coalesces to the empty string FIRST, so null docs get a
+    * deterministic "too_short" — without this, non-ANSI Spark's
+    * `size(split(null)) = -1` silently hits the same branch while a SQL
+    * CASE's NULL comparisons fall through to 'keep' (a cross-engine
+    * divergence); oracles must apply the same coalesce.
     */
-  def qualityReason(t: Column, minTokens: Int = 5, maxTokens: Int = 5000): Column = {
+  def qualityReason(t0: Column, minTokens: Int = 5, maxTokens: Int = 5000): Column = {
+    val t = coalesce(t0, lit(""))
     val nTok = size(split(t, " ")).cast(LongType)
     val chars = length(t).cast(LongType)
     val nonSpace = chars - (nTok - 1)

@@ -33,6 +33,15 @@ object Dedup {
     * 32-byte digests keep the shuffle width flat no matter how wide the
     * dedup key is (collision odds ~2^-128 — the standard content-hash
     * dedup contract).
+    *
+    * Grouping contract: keys are compared by their STRING RENDERING.
+    * For the string/text keys this op exists for, that is value
+    * equality; for floating-point keys it differs from raw column
+    * partitioning at exactly the IEEE aliases ("-0.0" != "0.0",
+    * NaN payloads collapse) — normalize such keys before deduping. The
+    * null sentinel contains a U+001F unit-separator byte, which cannot appear
+    * in the engine's normalized text but is not a universal guarantee
+    * for arbitrary binary-ish string columns.
     */
   def exactDedup(df: DataFrame, keyCols: Seq[String], tieBreak: String): DataFrame = {
     // unit-separator-joined with a sentinel for nulls so ("a", null) !=
@@ -126,7 +135,8 @@ object Dedup {
     * Catalyst analysis goes exponential long before the data does. On a
     * real cluster use reliable `checkpoint` (HDFS-backed) for the same
     * truncation plus executor-loss tolerance. The driver-side convergence
-    * probe is an `isEmpty` on the checkpointed frame, not a data collect.
+    * probe fetches ONE aggregate row per round (the decimal label-sum
+    * signature below), never row data.
     *
     * Returns (node, cluster) — every endpoint of every pair, labeled by
     * its cluster's minimum id. Singleton documents (no pairs) are absent:

@@ -50,17 +50,20 @@ object Multimodal {
     */
   def portableHash60(md: java.security.MessageDigest, bytes: Array[Byte]): Long = {
     md.reset()
-    val digest = md.digest(bytes)
-    // first 15 hex chars = first 7.5 bytes, big-endian
-    var acc = 0L
-    var i = 0
-    while (i < 15) {
-      val b = digest(i / 2) & 0xFF
-      val nibble = if (i % 2 == 0) b >>> 4 else b & 0xF
-      acc = (acc << 4) | nibble
-      i += 1
-    }
-    acc
+    org.apache.spark.sql.graftnative.PortableMd5.prefix60(md.digest(bytes))
+  }
+
+  /** Two-segment variant: md5(a ++ b) without materializing the
+    * concatenation — the hot-loop form for tagged hashing.
+    */
+  def portableHash60(
+      md: java.security.MessageDigest,
+      a: Array[Byte],
+      b: Array[Byte]): Long = {
+    md.reset()
+    md.update(a)
+    md.update(b)
+    org.apache.spark.sql.graftnative.PortableMd5.prefix60(md.digest())
   }
 
   /** STUB decoder: a real pipeline would decode the image/audio payload
@@ -71,15 +74,21 @@ object Multimodal {
     * end-to-end (integer millionths cross the engine boundary, never
     * accumulated floating point).
     */
-  def decodeStub(md: java.security.MessageDigest, payload: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
+  /** Per-dimension tag byte arrays ("#0", "#1", ...) — constants, built
+    * once per decoder session so the hot loop never copies the payload
+    * or re-derives tags (md5 streams the two segments instead).
+    */
+  def dimTags(dim: Int): Array[Array[Byte]] =
+    Array.tabulate(dim)(j => s"#$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def decodeStub(
+      md: java.security.MessageDigest,
+      payload: Array[Byte],
+      tags: Array[Array[Byte]]): Array[Float] = {
+    val out = new Array[Float](tags.length)
     var j = 0
-    while (j < dim) {
-      val tag = s"#$j".getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val tagged = new Array[Byte](payload.length + tag.length)
-      System.arraycopy(payload, 0, tagged, 0, payload.length)
-      System.arraycopy(tag, 0, tagged, payload.length, tag.length)
-      out(j) = (portableHash60(md, tagged) % 1000000L) / 1e6f
+    while (j < tags.length) {
+      out(j) = (portableHash60(md, payload, tags(j)) % 1000000L) / 1e6f
       j += 1
     }
     out
@@ -129,8 +138,9 @@ object Multimodal {
           // per-batch "decoder session" (where a real impl would reuse a
           // codec context / model handle across the batch)
           val md = java.security.MessageDigest.getInstance("MD5")
+          val tags = dimTags(dim)
           batch.iterator.map { case (id, payload) =>
-            MediaFeatures(id, payload.length, portableHash60(md, payload), decodeStub(md, payload, dim))
+            MediaFeatures(id, payload.length, portableHash60(md, payload), decodeStub(md, payload, tags))
           }
         }
       }

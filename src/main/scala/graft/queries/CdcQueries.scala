@@ -37,7 +37,12 @@ object CdcQueries {
         col("valid_from").as("valid_from_ms"),
         col("valid_to").as("valid_to_ms"),
         col("is_current"))
-      .orderBy("user_id", "valid_from_ms", "status")
+      // coalesce makes the sort key total: same-status versions can open
+      // in the same ms (ms ties broken by event_id in the WINDOW, not
+      // visible here), and engines disagree on null ordering
+      .orderBy(
+        col("user_id"), col("valid_from_ms"), col("status"),
+        coalesce(col("valid_to_ms"), lit(Long.MaxValue)))
 
   /** Latest event value per user applied to customer balances as a
     * MERGE (update matched, insert unmatched, keep the rest), with the
@@ -96,7 +101,8 @@ object CdcQueries {
         |    lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS valid_to_ms FROM ch)
         |SELECT user_id, status, valid_from_ms, valid_to_ms,
         |  valid_to_ms IS NULL AS is_current
-        |FROM h ORDER BY user_id, valid_from_ms, status""".stripMargin,
+        |FROM h ORDER BY user_id, valid_from_ms, status,
+        |  coalesce(valid_to_ms, 9223372036854775807)""".stripMargin,
     "cdc_apply_upserts" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
         |latest AS (SELECT user_id, value AS new_bal FROM (

@@ -14,8 +14,11 @@ import graft.ext.{CorpusOps, TextStats}
 object CorpusQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  // NULL text -> '' so token counts are 0-ish on BOTH engines (Spark's
+  // non-ANSI size(null) is -1; DuckDB's len(NULL) is NULL — neither is
+  // what an aggregate should absorb)
   private def withTok(df: DataFrame): DataFrame =
-    df.withColumn("t", TextStats.normText(col("text")))
+    df.withColumn("t", coalesce(TextStats.normText(col("text")), lit("")))
       .withColumn("n_tok", size(split(col("t"), " ")).cast(LongType))
 
   /** Rule-based quality filter: docs bucketed by the first failing Gopher
@@ -242,7 +245,7 @@ object CorpusQueries {
         |SELECT (d * 10) // n AS decile, COUNT(*) AS n_docs
         |FROM r WHERE n > 0 GROUP BY decile ORDER BY decile""".stripMargin,
     "quality_filter" ->
-      s"""WITH n AS (SELECT doc_id, $normSql AS t FROM documents),
+      s"""WITH n AS (SELECT doc_id, coalesce($normSql, '') AS t FROM documents),
         |m AS (SELECT doc_id, t,
         |    CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tok,
         |    CAST(length(t) AS BIGINT) AS chars,
@@ -271,7 +274,7 @@ object CorpusQueries {
         |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM k WHERE h < thr GROUP BY lang ORDER BY lang""".stripMargin,
     "corpus_curation_funnel" ->
-      s"""WITH n AS (SELECT doc_id, lang, source, $normSql AS t FROM documents),
+      s"""WITH n AS (SELECT doc_id, lang, source, coalesce($normSql, '') AS t FROM documents),
         |m AS (SELECT *, CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tok,
         |    CAST(length(t) AS BIGINT) AS chars,
         |    CAST(len(regexp_extract_all(t, '[^A-Za-z0-9\\s]')) AS BIGINT) AS punct,
@@ -303,7 +306,7 @@ object CorpusQueries {
         |FROM pb""".stripMargin,
     "pack_sequences" ->
       s"""WITH n AS (SELECT doc_id, source,
-        |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tok
+        |    CAST(len(string_split(coalesce($normSql, ''), ' ')) AS BIGINT) AS n_tok
         |  FROM documents),
         |c AS (SELECT source, doc_id, n_tok,
         |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id

@@ -61,6 +61,25 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** THE definition of the imperative portable hash: first 15 hex chars
+  * (60 bits) of an md5 digest as a positive long — the byte-level twin of
+  * `graft.ext.Dedup.portableHash64`'s SQL form. Every imperative site
+  * (winnowing, the multimodal featurizer) must go through this one
+  * helper so the cross-engine bit contract lives in exactly one place.
+  */
+object PortableMd5 {
+  def prefix60(digest: Array[Byte]): Long = {
+    var acc = 0L
+    var j = 0
+    while (j < 15) {
+      val v = digest(j / 2) & 0xff
+      acc = (acc << 4) | (if (j % 2 == 0) v >>> 4 else v & 0xf)
+      j += 1
+    }
+    acc
+  }
+}
+
 /** Winnowing fingerprints (MOSS-style) in ONE imperative pass per row:
   * md5-derived 60-bit hashes of every character k-gram, window-of-w
   * minima via a monotonic deque, distinct in first-occurrence order.
@@ -117,16 +136,7 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     while (i < nGrams) {
       md.reset()
       md.update(bytes, off(i), off(i + k) - off(i))
-      val d = md.digest()
-      // first 15 hex chars = 60 bits, big-endian — portableHash64's value
-      var acc = 0L
-      var j = 0
-      while (j < 15) {
-        val v = d(j / 2) & 0xff
-        acc = (acc << 4) | (if (j % 2 == 0) v >>> 4 else v & 0xf)
-        j += 1
-      }
-      grams(i) = acc
+      grams(i) = PortableMd5.prefix60(md.digest())
       i += 1
     }
 

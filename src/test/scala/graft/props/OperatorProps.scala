@@ -101,13 +101,13 @@ object OperatorProps extends Properties("graft.operators") {
     (out.length == toks.length) &&
     (out.map(_._2).sum == total) &&
     // seq assignment equals the closed-form concat-and-chunk prefix rule
+    // for EVERY doc — this is the complete spec of the operator (holes in
+    // the seq-id set are legitimate: a doc larger than the budget spans
+    // chunks no other doc starts in)
     out.zip(toks.scanLeft(0L)(_ + _)).forall { case ((_, _, seq), before) =>
       seq == before / 16L
     } &&
-    // seq ids cover 0..maxSeq with no holes
-    out.map(_._3).toSet == (0L to (total - 1).max(0L) / 16L)
-      .filter(s => out.exists(_._3 == s)).toSet &&
-    out.map(_._3).distinct.sorted.headOption.forall(_ == 0L)
+    out.map(_._3).headOption.forall(_ == 0L)
   }
 
   private val feedGen: Gen[List[(Long, String)]] =
