@@ -96,7 +96,35 @@ object TextQueries {
       .orderBy(desc("n"), asc("bigram"))
       .limit(20)
 
+  /** Vocabulary induction + OOV audit: terms with document frequency >= 3
+    * form the vocabulary; per language, report corpus token counts and
+    * how many token OCCURRENCES fall outside the vocabulary (the
+    * out-of-vocabulary rate a tokenizer build reports). Two aggregations
+    * over the exploded term table: one to build the vocab (broadcast-size
+    * at any corpus — vocabularies grow sub-linearly), one per-lang rollup.
+    */
+  private val vocabOov: Q = (s, d) => {
+    val docs = documents(s, d)
+    val terms = TextStats.terms(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val vocab = TextStats
+      .terms(docs, "doc_id", "text")
+      .groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 3)
+      .select(col("term"), lit(1L).as("__in_vocab"))
+    terms
+      .join(vocab, Seq("term"), "left")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).cast(LongType).as("n_oov"),
+        countDistinct(col("term")).as("n_types"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_vocab_oov" -> vocabOov,
     "text_tfidf_top" -> tfidfTop,
     "text_bigram_top" -> bigrams,
     "text_winnowing" -> winnowing,
@@ -107,6 +135,19 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_vocab_oov" ->
+      """WITH n AS (SELECT doc_id, lang, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, lang, unnest(string_split(t, ' ')) AS term FROM n),
+        |tk AS (SELECT * FROM tok WHERE length(term) > 0),
+        |vocab AS (SELECT term FROM (
+        |    SELECT term, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY term) v
+        |  WHERE df >= 3)
+        |SELECT lang, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  COUNT(DISTINCT tk.term) AS n_types
+        |FROM tk LEFT JOIN vocab ON tk.term = vocab.term
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "text_tfidf_top" ->
       """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
         |  FROM documents WHERE doc_id % 50 = 0),
