@@ -332,7 +332,45 @@ object RelationalQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** q4-shaped order-priority check: orders in a 1996 window with at
+    * least one lineitem shipped after the order date (EXISTS -> left-semi
+    * join with the date predicate inside the join condition).
+    */
+  private val q4Priority: Q = (s, d) => {
+    val o = orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+    val l = lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(
+        l,
+        col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q14-shaped promo revenue: percentage of a quarter's discounted
+    * revenue from PROMO parts — a ratio of two decimal-exact sums, so the
+    * single double division is deterministic cross-engine.
+    */
+  private val q14Promo: Q = (s, d) => {
+    val oneMinus = (lit(1) - rate2(col("l_discount"))).cast(DecimalType(4, 2))
+    val l = lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-04-01 00:00:00")))
+    l.join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) *
+          sum(when(col("p_type") === "PROMO", dec2(col("l_extendedprice")) * oneMinus))
+            .cast(DoubleType) /
+          sum(dec2(col("l_extendedprice")) * oneMinus).cast(DoubleType)).as("promo_pct"),
+        count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q4_order_priority" -> q4Priority,
+    "q14_promo_revenue" -> q14Promo,
     "event_features" -> eventFeatures,
     "zorder_layout" -> zorderLayout,
     "bloom_pruned_join" -> bloomPrunedJoin,
@@ -361,6 +399,24 @@ object RelationalQueries {
         |  ${graft.ext.Sketches.kmvOracleSql("lineitem", "CAST(l_partkey AS VARCHAR)", 1024)} AS parts_kmv,
         |  (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS orders_exact,
         |  (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS parts_exact""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q14_promo_revenue" ->
+      """WITH x AS (SELECT p_type,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00')
+        |SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev END) AS DOUBLE)
+        |    / CAST(SUM(rev) AS DOUBLE) AS promo_pct,
+        |  COUNT(*) AS n
+        |FROM x""".stripMargin,
     "event_features" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
         |f AS (SELECT user_id, event_id,
