@@ -368,7 +368,105 @@ object RelationalQueries {
         count(lit(1)).as("n"))
   }
 
+  /** Pearson correlation from decimal-exact moment sums: r is assembled
+    * in ONE double expression from order-independent exact sums, so the
+    * statistic is deterministic under any partitioning — unlike
+    * `df.stat.corr`, whose running double accumulation is layout-
+    * dependent in the last ulps.
+    */
+  private val corrQtyPrice: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec2(col("l_quantity"))).as("sx"),
+        sum(dec2(col("l_extendedprice"))).as("sy"),
+        sum(dec2(col("l_quantity")) * dec2(col("l_quantity"))).as("sxx"),
+        sum(dec2(col("l_extendedprice")) * dec2(col("l_extendedprice"))).as("syy"),
+        sum(dec2(col("l_quantity")) * dec2(col("l_extendedprice"))).as("sxy"))
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        // assemble in DOUBLE from the exact sums (decimal products of
+        // decimal sums would overflow precision 38 and round differently
+        // per engine); each cast is one deterministic rounding and the
+        // double expression tree is mirrored op-for-op in the oracle
+        ((col("n").cast(DoubleType) * col("sxy").cast(DoubleType) -
+          col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
+          sqrt(
+            (col("n").cast(DoubleType) * col("sxx").cast(DoubleType) -
+              col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) *
+              (col("n").cast(DoubleType) * col("syy").cast(DoubleType) -
+                col("sy").cast(DoubleType) * col("sy").cast(DoubleType))))
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+
+  /** Equi-depth deciles of order value: ntile over a TOTAL order (price +
+    * key tiebreak) so bucket membership is engine-independent.
+    */
+  private val orderDeciles: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    orders(s, d)
+      .withColumn(
+        "decile",
+        ntile(10).over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("price_sum"),
+        min("o_orderkey").cast(LongType).as("min_key"))
+      .orderBy("decile")
+  }
+
+  /** Referential-integrity audit: lineitems whose order key has no parent
+    * order — the anti-join data-quality check every warehouse load runs.
+    * The fixture corrupts every 37th row's key (mirrored in the oracle)
+    * so the audit exercises a non-empty orphan set.
+    */
+  private val orphanAudit: Q = (s, d) =>
+    lineitem(s, d)
+      .withColumn(
+        "key",
+        when((col("l_orderkey") + col("l_linenumber")) % 37 === 0,
+          col("l_orderkey") + 100000000L).otherwise(col("l_orderkey")))
+      .join(orders(s, d).select("o_orderkey"),
+        col("key") === col("o_orderkey"), "left_anti")
+      .agg(
+        count(lit(1)).as("n_orphans"),
+        coalesce(sum("key"), lit(0L)).cast(LongType).as("key_sum"))
+
+  /** Conversion funnel: per user, did a signup occur and was it followed
+    * (strictly later, ms grain + event_id tiebreak) by a purchase —
+    * one conditional-aggregation pass, no self-join.
+    */
+  private val funnelSignupPurchase: Q = (s, d) =>
+    events(s, d)
+      .select(
+        col("user_id"),
+        unix_millis(col("ts")).as("ms"),
+        col("event_id"),
+        col("event_type"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup",
+          struct(col("ms"), col("event_id")))).as("first_signup"),
+        max(when(col("event_type") === "purchase",
+          struct(col("ms"), col("event_id")))).as("last_purchase"))
+      .select(
+        col("user_id"),
+        col("first_signup").isNotNull.as("signed_up"),
+        (col("first_signup").isNotNull && col("last_purchase").isNotNull &&
+          (col("last_purchase.ms") > col("first_signup.ms") ||
+            (col("last_purchase.ms") === col("first_signup.ms") &&
+              col("last_purchase.event_id") > col("first_signup.event_id"))))
+          .as("converted"))
+      .orderBy("user_id")
+
   val queries: Map[String, Q] = Map(
+    "corr_qty_price" -> corrQtyPrice,
+    "order_deciles" -> orderDeciles,
+    "orphan_audit" -> orphanAudit,
+    "funnel_signup_purchase" -> funnelSignupPurchase,
     "q4_order_priority" -> q4Priority,
     "q14_promo_revenue" -> q14Promo,
     "event_features" -> eventFeatures,
@@ -399,6 +497,52 @@ object RelationalQueries {
         |  ${graft.ext.Sketches.kmvOracleSql("lineitem", "CAST(l_partkey AS VARCHAR)", 1024)} AS parts_kmv,
         |  (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS orders_exact,
         |  (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS parts_exact""".stripMargin,
+    "corr_qty_price" ->
+      """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+        |    SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
+        |    SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "order_deciles" ->
+      """WITH d AS (SELECT o_orderkey, o_totalprice,
+        |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        |  FROM orders)
+        |SELECT decile, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS price_sum,
+        |  MIN(o_orderkey) AS min_key
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+    "orphan_audit" ->
+      """WITH p AS (SELECT CASE WHEN (l_orderkey + l_linenumber) % 37 = 0
+        |    THEN l_orderkey + 100000000 ELSE l_orderkey END AS key
+        |  FROM lineitem)
+        |SELECT COUNT(*) AS n_orphans,
+        |  CAST(COALESCE(SUM(key), 0) AS BIGINT) AS key_sum
+        |FROM p WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = p.key)""".stripMargin,
+    "funnel_signup_purchase" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type FROM events),
+        |fs AS (SELECT user_id, ms, event_id FROM (
+        |    SELECT user_id, ms, event_id,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS rn
+        |    FROM e WHERE event_type = 'signup') x WHERE rn = 1),
+        |lp AS (SELECT user_id, ms, event_id FROM (
+        |    SELECT user_id, ms, event_id,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ms DESC, event_id DESC) AS rn
+        |    FROM e WHERE event_type = 'purchase') x WHERE rn = 1),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT u.user_id, fs.user_id IS NOT NULL AS signed_up,
+        |  (fs.user_id IS NOT NULL AND lp.user_id IS NOT NULL AND
+        |   (lp.ms > fs.ms OR (lp.ms = fs.ms AND lp.event_id > fs.event_id))) AS converted
+        |FROM u LEFT JOIN fs ON u.user_id = fs.user_id
+        |  LEFT JOIN lp ON u.user_id = lp.user_id
+        |ORDER BY u.user_id""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS n FROM orders o
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
