@@ -504,13 +504,25 @@ object RelationalQueries {
         |    SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
         |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
         |    SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
-        |  FROM lineitem GROUP BY l_returnflag)
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (SELECT l_returnflag, n,
+        |    -- decimal -> VARCHAR -> DOUBLE: the direct decimal cast divides
+        |    -- the unscaled int128 in double arithmetic (two roundings once
+        |    -- the int exceeds 2^53, observed 1 ulp off at sf0.001), while
+        |    -- strtod of the exact decimal string is correctly rounded —
+        |    -- matching Spark's BigDecimal.doubleValue
+        |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dx,
+        |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dy,
+        |    CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dxx,
+        |    CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dyy,
+        |    CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dxy
+        |  FROM m)
         |SELECT l_returnflag, n,
-        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  (CAST(n AS DOUBLE) * dxy - dx * dy)
+        |    / sqrt((CAST(n AS DOUBLE) * dxx - dx * dx)
+        |      * (CAST(n AS DOUBLE) * dyy - dy * dy))
         |    AS corr_qty_price
-        |FROM m ORDER BY l_returnflag""".stripMargin,
+        |FROM d ORDER BY l_returnflag""".stripMargin,
     "order_deciles" ->
       """WITH d AS (SELECT o_orderkey, o_totalprice,
         |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
