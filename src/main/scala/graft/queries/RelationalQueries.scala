@@ -462,7 +462,28 @@ object RelationalQueries {
           .as("converted"))
       .orderBy("user_id")
 
+  /** Trailing-7-day rolling value per user — a RANGE frame over event
+    * time (value-based bounds, unlike the ROWS frames elsewhere), with
+    * decimal-exact sums so frame contents hash identically. One shuffle
+    * on user_id; output sampled to stay bounded.
+    */
+  private val rolling7d: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy("ms")
+      .rangeBetween(-604799999L, 0L) // trailing 7 days inclusive
+    events(s, d)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"), col("value"))
+      .withColumn("roll7", sum(dec2(col("value"))).over(w).cast(DoubleType))
+      .withColumn("n7", count(lit(1)).over(w))
+      .filter(col("event_id") % 20 === 0)
+      .select("user_id", "event_id", "roll7", "n7")
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "rolling_7d_value" -> rolling7d,
     "corr_qty_price" -> corrQtyPrice,
     "order_deciles" -> orderDeciles,
     "orphan_audit" -> orphanAudit,
@@ -497,6 +518,17 @@ object RelationalQueries {
         |  ${graft.ext.Sketches.kmvOracleSql("lineitem", "CAST(l_partkey AS VARCHAR)", 1024)} AS parts_kmv,
         |  (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS orders_exact,
         |  (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS parts_exact""".stripMargin,
+    "rolling_7d_value" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
+        |r AS (SELECT user_id, event_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2)))
+        |      OVER (PARTITION BY user_id ORDER BY ms
+        |            RANGE BETWEEN 604799999 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll7,
+        |    COUNT(*) OVER (PARTITION BY user_id ORDER BY ms
+        |            RANGE BETWEEN 604799999 PRECEDING AND CURRENT ROW) AS n7
+        |  FROM e)
+        |SELECT user_id, event_id, roll7, n7
+        |FROM r WHERE event_id % 20 = 0 ORDER BY user_id, event_id""".stripMargin,
     "corr_qty_price" ->
       """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
         |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
