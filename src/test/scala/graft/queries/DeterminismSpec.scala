@@ -1,0 +1,40 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** The replay-determinism contract, tested directly: representative
+  * queries from every family must produce IDENTICAL rows under different
+  * shuffle-partition counts (different partitionings, different
+  * reduction orders, different AQE decisions). This holds because every
+  * double that crosses an aggregation goes through exact decimals and
+  * every hash is content-derived — the properties the DuckDB oracle
+  * relies on.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val names = Seq(
+    "q1_pricing_summary",    // decimal-exact aggregation
+    "dedup_exact",           // content-hash window
+    "dedup_minhash_lsh",     // portable hash family + band join
+    "pack_sequences",        // per-shard running window
+    "corpus_curation_funnel", // flag algebra + two windows
+    "corr_qty_price",        // double assembly from exact sums
+    "sim_topk_ivf")          // trained centroids + top-k
+
+  test("query results are identical across shuffle-partition counts") {
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.shuffle.partitions")
+    def run(name: String, parts: String): Seq[String] = {
+      conf.set("spark.sql.shuffle.partitions", parts)
+      SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
+    }
+    try {
+      names.foreach { n =>
+        val a = run(n, "3")
+        val b = run(n, "17")
+        assert(a == b, s"$n differs between 3 and 17 shuffle partitions")
+        assert(a.nonEmpty, s"$n returned no rows")
+      }
+    } finally conf.set("spark.sql.shuffle.partitions", saved)
+  }
+}
