@@ -89,7 +89,25 @@ object MultimodalQueries {
         min("fh").as("min_fh"))
       .orderBy("source")
 
+  /** The TYPED semi-structured path: `from_json` -> MapType -> key access
+    * ([[Multimodal.parseProps]], the library op behind the regexp-based
+    * `props_extract`), oracle-checked against DuckDB's JSON extension —
+    * so the schema-on-read JSON lane is hash-verified, not just the
+    * regexp shortcut.
+    */
+  private val propsTypedMap: Q = (s, d) =>
+    Multimodal
+      .parseProps(events(s, d))
+      .withColumn("k", element_at(col("props_map"), "k").cast(LongType))
+      .groupBy((col("k") % 7).as("k_mod"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("k")).as("n_k"),
+        dsum(col("value")).as("value_sum"))
+      .orderBy("k_mod")
+
   val queries: Map[String, Q] = Map(
+    "props_typed_map" -> propsTypedMap,
     "props_extract" -> propsExtract,
     "binary_meta" -> binaryMeta,
     "media_features_stub" -> mediaFeatures,
@@ -97,6 +115,12 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "props_typed_map" ->
+      """WITH x AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value
+        |  FROM events)
+        |SELECT k % 7 AS k_mod, COUNT(*) AS n, COUNT(DISTINCT k) AS n_k,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+        |FROM x GROUP BY k % 7 ORDER BY k_mod""".stripMargin,
     "props_extract" ->
       """WITH x AS (SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k, value FROM events)
         |SELECT k % 10 AS k_bucket, COUNT(*) AS n,
