@@ -173,6 +173,35 @@ object CorpusOps {
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = sum(col(tokCol)).over(w)
+    chunkByCum(df, tokCol, cum, budget)
+  }
+
+  /** [[packSequences]] with the shard-size contract ENFORCED instead of
+    * documented: the per-shard running token sum comes from
+    * [[Prefix.runningSum]] (range-partition + local window + prefix-offset
+    * join), so no window partition ever spans more than one range split —
+    * a single giant shard (or a corpus packed as one global shard) cannot
+    * serialize into one task. Output is bit-identical to [[packSequences]]
+    * (same fold order), so callers and oracles are unchanged.
+    */
+  def packSequencesScalable(
+      df: DataFrame,
+      shardCol: String,
+      idCol: String,
+      tokCol: String,
+      budget: Long,
+      numPartitions: Int = 0): DataFrame = {
+    val cum = Prefix.runningSum(
+      df, col(shardCol), Seq(col(idCol)), col(tokCol), "__cum", numPartitions)
+    chunkByCum(cum, tokCol, col("__cum"), budget).drop("__cum")
+  }
+
+  /** Chunk assignment from an inclusive running token sum: the doc's
+    * sequence is where its FIRST token lands; it straddles when its last
+    * token lands in a later chunk. budget a power of two keeps the
+    * double-division floor exact in both engines.
+    */
+  private def chunkByCum(df: DataFrame, tokCol: String, cum: Column, budget: Long): DataFrame = {
     val before = cum - col(tokCol)
     df.withColumn("seq_id", floor(before / budget))
       .withColumn("straddles", floor((cum - 1) / budget) > floor(before / budget))

@@ -51,12 +51,18 @@ object CorpusQueries {
       .agg(count(lit(1)).as("n_kept"), sum("doc_id").cast(LongType).as("id_sum"))
       .orderBy("lang")
 
-  /** Concat-and-chunk packing into 2048-token training sequences, sharded
-    * by source; per-sequence doc/token counts and boundary straddles.
+  /** Concat-and-chunk packing into fixed-budget training sequences,
+    * sharded by source; per-sequence doc/token counts and boundary
+    * straddles. Budget is 256 here (the op default is 2048) so the sf0.01
+    * fixture — ~1.3–1.6k tokens per source — actually crosses chunk
+    * boundaries: every source yields multiple seq_ids and straddles, and
+    * the oracle exercises the boundary math, not just token sums. Runs
+    * the contract-enforcing scalable variant (distributed prefix sum);
+    * output is bit-identical to the single-window form the oracle uses.
     */
   private val packSequences: Q = (s, d) =>
     CorpusOps
-      .packSequences(withTok(documents(s, d)), "source", "doc_id", "n_tok", 2048L)
+      .packSequencesScalable(withTok(documents(s, d)), "source", "doc_id", "n_tok", 256L)
       .groupBy("source", "seq_id")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -312,8 +318,8 @@ object CorpusQueries {
         |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM n),
-        |b AS (SELECT source, n_tok, (cum - n_tok) // 2048 AS seq_id,
-        |    CASE WHEN (cum - 1) // 2048 > (cum - n_tok) // 2048 THEN 1 ELSE 0 END AS straddle
+        |b AS (SELECT source, n_tok, (cum - n_tok) // 256 AS seq_id,
+        |    CASE WHEN (cum - 1) // 256 > (cum - n_tok) // 256 THEN 1 ELSE 0 END AS straddle
         |  FROM c)
         |SELECT source, seq_id, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tok) AS BIGINT) AS tok_sum,

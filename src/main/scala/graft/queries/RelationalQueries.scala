@@ -401,15 +401,32 @@ object RelationalQueries {
           .as("corr_qty_price"))
       .orderBy("l_returnflag")
 
-  /** Equi-depth deciles of order value: ntile over a TOTAL order (price +
-    * key tiebreak) so bucket membership is engine-independent.
+  /** Equi-depth deciles of order value: exact rank over a TOTAL order
+    * (price + key tiebreak) so bucket membership is engine-independent.
+    *
+    * Scale path: the rank is a distributed two-phase prefix count
+    * ([[graft.ext.Prefix.globalRank]] — range-partitioned local
+    * row-numbers + per-partition offsets), NOT `ntile` over a
+    * no-partition window, which would sort the whole table in one task.
+    * The SQL-standard ntile bucket is then recovered arithmetically from
+    * (rank, total): with q = total/10 and r = total%10, the first r
+    * buckets hold q+1 rows and the rest hold q — identical output to the
+    * oracle's `ntile(10)`, all in integer math.
     */
   private val orderDeciles: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    orders(s, d)
+    val base = orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    val ranked = graft.ext.Prefix
+      .globalRank(base, Seq(col("o_totalprice"), col("o_orderkey")), "rnk")
+      .crossJoin(broadcast(orders(s, d).agg(count(lit(1)).as("total"))))
+    val q = (col("total") / 10).cast(LongType)
+    val r = col("total") % 10
+    val bigSpan = (q + 1) * r // ranks 1..bigSpan fall in the q+1-sized buckets
+    ranked
       .withColumn(
         "decile",
-        ntile(10).over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+        when(col("rnk") <= bigSpan, ((col("rnk") - 1) / (q + 1)).cast(LongType) + 1)
+          .otherwise(r + ((col("rnk") - bigSpan - 1) / q).cast(LongType) + 1)
+          .cast(IntegerType))
       .groupBy("decile")
       .agg(
         count(lit(1)).as("n"),

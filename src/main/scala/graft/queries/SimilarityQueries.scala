@@ -33,9 +33,20 @@ object SimilarityQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** Sign-bucket LSH top-k with bucket bits derived from corpus size
+    * (same [[Vectors.signBucketBits]] statistics-then-plan move as
+    * `dedup_embedding`, oracle-mirrored as a CASE ladder over COUNT(*)).
+    * minBits=4 here instead of dedup's 12: retrieval needs each query's
+    * bucket to hold ~`target` candidates — near-dup detection only needs
+    * near-identical vectors to collide, so it can afford far sparser
+    * buckets. Candidates per query stay ~64 at ANY corpus size (24-bit
+    * cap = 16M buckets), instead of the old fixed 16 buckets' O(n/16).
+    */
   private val lshTopK: Q = (s, d) => {
+    val bits = Vectors.signBucketBits(
+      embeddings(s, d).count(), minBits = 4)
     val base = normed(s, d)
-      .withColumn("bucket", Vectors.signBucket(col("embedding"), 4))
+      .withColumn("bucket", Vectors.signBucket(col("embedding"), bits))
     val q = base
       .select(col("vec_id").as("query_id"), col("bucket"), col("v").as("qv"), col("nrm").as("qn"))
       .filter(col("query_id") < 10)
@@ -111,11 +122,11 @@ object SimilarityQueries {
         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM p)
         |SELECT query_id, rk, neighbor_id, cos FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     "sim_topk_lsh" ->
-      """WITH n AS (SELECT vec_id,
-        |    concat(CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END,
-        |           CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END,
-        |           CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END,
-        |           CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END) AS bucket,
+      s"""WITH bitsv AS (SELECT ${Vectors.signBucketBitsSql("COUNT(*)", minBits = 4)} AS bits
+        |    FROM embeddings),
+        |  n AS (SELECT vec_id,
+        |    array_to_string(list_transform(generate_series(1, (SELECT bits FROM bitsv)),
+        |      i -> CASE WHEN embedding[i] > 0 THEN '1' ELSE '0' END), '') AS bucket,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
         |  m AS (SELECT vec_id, bucket, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),
