@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,7 +18,7 @@ object Bench {
     // session startup (aggregation + shuffle + codegen + parquet reader).
     spark.range(1000000).selectExpr("sum(id % 7)", "count(distinct id % 13)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop-format write, not .count(): count() lets Catalyst prune
       // top-level sorts/projections (most queries end in orderBy), which
@@ -27,14 +28,27 @@ object Bench {
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       // a crashed query reports -1, never a plausible-looking time
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // min of N reps per query: single-sample times at this scale carry
+    // ±40% machine noise (BENCH_r02's 12s vs 4s dedup_pipeline_e2e);
+    // the min is the stable "cost of the plan" signal.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to reps).map(_ => runOnce(name, fn))
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+    }
+    def f(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""cpus":$cpus,"shuffle_partitions":$cpus,"action":"noop_write"}""")
+    // ONE compact line (ms precision keeps it short enough that a log
+    // tail capture cannot truncate the total), also persisted to a file
+    // so the artifact survives any stdout capture window.
+    val line =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""cpus":$cpus,"shuffle_partitions":$cpus,"action":"noop_write","reps":$reps,"agg":"min"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last_run.json"), line)
+    println(line)
     spark.stop()
   }
 }

@@ -9,10 +9,13 @@ import org.apache.spark.sql.types._
   * extractor with the partitioning/batching layout a Pandas-UDF
   * (`mapInPandas`) pipeline would use on a Python-enabled cluster.
   *
-  * The decode step is a clearly-marked STUB (no image/audio codecs in
-  * this environment): it derives deterministic fake features from the
-  * raw bytes so the Spark-side plumbing — schema, batch iteration,
-  * per-partition state, output shape — is real and testable.
+  * Two decode lanes share the batch shape: a REAL image codec
+  * ([[extractImageFeatures]] — `javax.imageio`, pixel-derived
+  * histograms) for modalities the JVM can decode, and a clearly-marked
+  * STUB ([[decodeStub]] — deterministic md5-derived fakes, used for
+  * codec-less modalities and as the corrupt-payload fallback) that keeps
+  * the plumbing — schema, batch iteration, per-partition state, output
+  * shape — oracle-checkable end-to-end.
   */
 object Multimodal {
 
@@ -119,6 +122,85 @@ object Multimodal {
                 payload,
                 (j - 1) * lit(frameBytes) + lit(1),
                 lit(frameBytes)))))
+  }
+
+  case class ImageFeatures(
+      doc_id: Long,
+      byte_len: Int,
+      width: Int,
+      height: Int,
+      decoded: Boolean,
+      features: Array[Float])
+
+  /** REAL codec path: decode an image payload on the JVM
+    * (`javax.imageio` — PNG/JPEG/BMP/GIF readers ship with the JDK, no
+    * external libs). Returns None for payloads ImageIO cannot decode, so
+    * mixed/corrupt corpora degrade row-by-row instead of failing a task.
+    */
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Throwable => None }
+
+  /** Pixel-derived features: per-channel (R,G,B) intensity histogram with
+    * `bins` buckets each, normalized to fractions of the pixel count —
+    * 3*bins floats. Deterministic in the decoded pixels (integer bucket
+    * counts divided once at the end).
+    */
+  def imageHistogram(img: java.awt.image.BufferedImage, bins: Int): Array[Float] = {
+    val counts = new Array[Long](3 * bins)
+    val w = img.getWidth
+    val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        counts(((rgb >> 16) & 0xff) * bins / 256) += 1
+        counts(bins + (((rgb >> 8) & 0xff) * bins / 256)) += 1
+        counts(2 * bins + ((rgb & 0xff) * bins / 256)) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    counts.map(c => (c.toDouble / n).toFloat)
+  }
+
+  /** Image featurizer with a REAL decode step, in the same
+    * mapPartitions-batch shape as [[extractFeatures]]: per-batch decoder
+    * session, bounded memory, partition-parallel. Decodable payloads get
+    * (width, height, per-channel histogram); everything else falls back
+    * to the md5 stub features (marked `decoded = false`, width/height
+    * -1) so the oracle-checked stub lane and this codec lane share one
+    * schema and one pipeline.
+    */
+  def extractImageFeatures(
+      binarized: DataFrame,
+      bins: Int = 4,
+      batchSize: Int = 64): Dataset[ImageFeatures] = {
+    val spark = binarized.sparkSession
+    import spark.implicits._
+    binarized
+      .select(col("doc_id").cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val tags = dimTags(3 * bins)
+          batch.iterator.map { case (id, payload) =>
+            decodeImage(payload) match {
+              case Some(img) =>
+                ImageFeatures(
+                  id, payload.length, img.getWidth, img.getHeight,
+                  decoded = true, imageHistogram(img, bins))
+              case None =>
+                ImageFeatures(
+                  id, payload.length, -1, -1,
+                  decoded = false, decodeStub(md, payload, tags))
+            }
+          }
+        }
+      }
   }
 
   /** Batch-shaped feature extraction over (doc_id, payload) rows.
