@@ -194,7 +194,120 @@ object CorpusQueries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("decile")
 
+  /** End-to-end DEcontamination (the drop step the audit feeds): train
+    * docs sharing at least half their 5-gram shingles with the eval set
+    * are removed. Same distinct-shingle equi-join shape as the audit,
+    * roles swapped (per-TRAIN-doc hits against the eval shingle
+    * vocabulary); docs too short to shingle are kept. Integer
+    * cross-multiplied threshold — no ratio floats.
+    */
+  private val decontaminateDrop: Q = (s, d) => {
+    val sh = graft.ext.Dedup.wordShingles(
+      documents(s, d).select(col("doc_id"), TextStats.normText(col("text")).as("t")),
+      "doc_id", "t", 5)
+    val hits = CorpusOps.contamination(
+      sh.filter(col("doc_id") % 97 === 0),
+      sh.filter(col("doc_id") % 97 =!= 0),
+      "doc_id")
+    documents(s, d)
+      .filter(col("doc_id") % 97 =!= 0)
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn(
+        "dropped",
+        coalesce(col("n_contaminated") * 2 >= col("n_shingles"), lit(false)))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_train"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).cast(LongType).as("n_dropped"),
+        sum(when(!col("dropped"), col("doc_id")).otherwise(0L)).cast(LongType).as("kept_id_sum"))
+      .orderBy("source")
+  }
+
+  /** Temperature-balanced source mixing (the multilingual-rebalance move:
+    * keep-rate_s = sqrt(min_tokens / tokens_s), so token-rich sources are
+    * downsampled toward the alpha=0.5 temperature mix and the smallest
+    * source keeps everything). sqrt and double division are
+    * correctly-rounded IEEE ops, bit-identical across engines, and the
+    * acceptance test is an integer millionths threshold on the portable
+    * hash — one stats aggregate + one scan-stage filter, no shuffle of
+    * the corpus itself.
+    */
+  private val sampleTemperature: Q = (s, d) => {
+    val tok = withTok(documents(s, d))
+    val per = tok.groupBy("source").agg(sum("n_tok").cast(LongType).as("tok_s"))
+    val mn = per.agg(min("tok_s").as("tok_min"))
+    val rates = per
+      .crossJoin(broadcast(mn))
+      .withColumn(
+        "thr",
+        floor(sqrt(col("tok_min").cast(DoubleType) / col("tok_s").cast(DoubleType)) * 1e6)
+          .cast(LongType))
+    val h = pmod(
+      graft.ext.Dedup.portableHash64(
+        concat(col("source"), lit("@"), col("doc_id").cast(StringType))),
+      lit(1000000L))
+    tok
+      .join(broadcast(rates.select("source", "thr")), Seq("source"))
+      .withColumn("kept", h < col("thr"))
+      .groupBy("source", "thr")
+      .agg(
+        sum(when(col("kept"), 1L).otherwise(0L)).cast(LongType).as("n_kept"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).cast(LongType).as("tok_kept"))
+      .orderBy("source")
+  }
+
+  /** Deterministic train/val/test assignment (98/1/1 by portable hash):
+    * the split is a pure per-row projection — disjoint and exhaustive by
+    * construction, stable under any partitioning, no RNG state. The same
+    * doc always lands in the same split on every cluster and every rerun,
+    * which is the property that matters when the corpus is rebuilt
+    * incrementally.
+    */
+  private val splitAssign: Q = (s, d) => {
+    val h = pmod(
+      graft.ext.Dedup.portableHash64(
+        concat(lit("split:"), col("doc_id").cast(StringType))),
+      lit(1000000L))
+    withTok(documents(s, d))
+      .withColumn(
+        "split",
+        when(h < 980000L, "train").when(h < 990000L, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").cast(LongType).as("tok_sum"),
+        sum("doc_id").cast(LongType).as("id_sum"))
+      .orderBy("split")
+  }
+
+  /** Deterministic global interleave of packed training sequences: order
+    * every (source, seq_id) sequence by a portable hash and assign its
+    * shuffled position with the distributed exact rank
+    * ([[graft.ext.Prefix.globalRank]]) — the "shuffle the corpus before
+    * epoch 0" step, without a single-reducer sort and without RNG. Output
+    * samples every 11th position to stay bounded.
+    */
+  private val shuffleInterleave: Q = (s, d) => {
+    val seqs = CorpusOps
+      .packSequencesScalable(withTok(documents(s, d)), "source", "doc_id", "n_tok", 256L)
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").cast(LongType).as("tok_sum"))
+      .withColumn(
+        "h",
+        graft.ext.Dedup.portableHash64(
+          concat(col("source"), lit("#"), col("seq_id").cast(StringType))))
+    graft.ext.Prefix
+      .globalRank(seqs, Seq(col("h"), col("source"), col("seq_id")), "pos")
+      .filter(col("pos") % 11 === 0)
+      .select("pos", "source", "seq_id", "n_docs", "tok_sum")
+      .orderBy("pos")
+  }
+
   val queries: Map[String, Q] = Map(
+    "decontaminate_drop" -> decontaminateDrop,
+    "sample_temperature" -> sampleTemperature,
+    "split_assign" -> splitAssign,
+    "shuffle_interleave" -> shuffleInterleave,
     "contamination_audit" -> contaminationAudit,
     "pii_redaction" -> piiRedaction,
     "repetition_score" -> repetitionScore,
@@ -209,6 +322,72 @@ object CorpusQueries {
   private val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
 
   val oracle: Map[String, String] = Map(
+    "decontaminate_drop" ->
+      s"""WITH nn AS (SELECT doc_id, $normSql AS t FROM documents),
+        |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM nn),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
+        |    i -> array_to_string(toks[i:i+4], ' '))) AS shingle
+        |  FROM tk WHERE len(toks) >= 5) q),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+        |hits AS (SELECT tr.doc_id, COUNT(*) AS n_shingles,
+        |    SUM(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+        |  FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle GROUP BY tr.doc_id),
+        |base AS (SELECT d.source, d.doc_id,
+        |    COALESCE(h.n_contaminated * 2 >= h.n_shingles, FALSE) AS dropped
+        |  FROM documents d LEFT JOIN hits h USING (doc_id) WHERE d.doc_id % 97 <> 0)
+        |SELECT source, COUNT(*) AS n_train,
+        |  CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(SUM(CASE WHEN NOT dropped THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+        |FROM base GROUP BY source ORDER BY source""".stripMargin,
+    "sample_temperature" ->
+      s"""WITH n AS (SELECT source, doc_id,
+        |    CAST(len(string_split(coalesce($normSql, ''), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |per AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tok_s FROM n GROUP BY source),
+        |mn AS (SELECT MIN(tok_s) AS tok_min FROM per),
+        |r AS (SELECT source,
+        |    CAST(FLOOR(sqrt(CAST(tok_min AS DOUBLE) / CAST(tok_s AS DOUBLE)) * 1000000) AS BIGINT) AS thr
+        |  FROM per, mn),
+        |k AS (SELECT n.source, r.thr, n.n_tok,
+        |    CAST('0x' || substr(md5(n.source || '@' || CAST(n.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 1000000 AS h
+        |  FROM n JOIN r ON n.source = r.source)
+        |SELECT source, thr,
+        |  CAST(SUM(CASE WHEN h < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN h < thr THEN n_tok ELSE 0 END) AS BIGINT) AS tok_kept
+        |FROM k GROUP BY source, thr ORDER BY source""".stripMargin,
+    "split_assign" ->
+      s"""WITH n AS (SELECT doc_id,
+        |    CAST(len(string_split(coalesce($normSql, ''), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_tok,
+        |    CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 1000000 AS h
+        |  FROM n)
+        |SELECT CASE WHEN h < 980000 THEN 'train' WHEN h < 990000 THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    "shuffle_interleave" ->
+      s"""WITH n AS (SELECT doc_id, source,
+        |    CAST(len(string_split(coalesce($normSql, ''), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM n),
+        |b AS (SELECT source, (cum - n_tok) // 256 AS seq_id, n_tok FROM c),
+        |q AS (SELECT source, seq_id, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS tok_sum
+        |  FROM b GROUP BY source, seq_id),
+        |hh AS (SELECT *, CAST('0x' || substr(md5(source || '#' || CAST(seq_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM q),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY h, source, seq_id) AS pos FROM hh)
+        |SELECT pos, source, seq_id, n_docs, tok_sum FROM r WHERE pos % 11 = 0
+        |ORDER BY pos""".stripMargin,
     "contamination_audit" ->
       s"""WITH nn AS (SELECT doc_id, $normSql AS t FROM documents),
         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM nn),

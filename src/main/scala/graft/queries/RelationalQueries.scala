@@ -499,7 +499,63 @@ object RelationalQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** TPC-H Q6-style forecast-revenue change: pure filter + one global
+    * decimal-product sum. The whole query should collapse to a pushed
+    * parquet scan (shipdate/discount/quantity filters at the reader, 3
+    * columns read) + partial/final agg — the canonical "is pushdown
+    * working" probe.
+    */
+  private val q6: Q = (s, d) =>
+    lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= tsLit("1997-01-01 00:00:00") &&
+          col("l_shipdate") < tsLit("1998-01-01 00:00:00") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+      .agg(
+        sum(dec2(col("l_extendedprice")) * rate2(col("l_discount")))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** TPC-H Q10-style returned-item revenue: lineitem('R') x orders(one
+    * quarter) x customer x broadcast(nation), top-20 customers by lost
+    * revenue — the multi-join + TakeOrderedAndProject shape.
+    */
+  private val q10: Q = (s, d) => {
+    val o = orders(s, d).filter(
+      col("o_orderdate") >= tsLit("1997-10-01 00:00:00") &&
+        col("o_orderdate") < tsLit("1998-01-01 00:00:00"))
+    val l = lineitem(s, d).filter(col("l_returnflag") === "R")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice")) * oneMinusDisc).cast(DoubleType).as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q13-style customer order-count distribution: LEFT join keeps
+    * order-less customers (count 0 bucket), then a two-level aggregation
+    * — the histogram-of-counts shape. Both aggs are narrow after the one
+    * custkey shuffle.
+    */
+  private val q13: Q = (s, d) =>
+    customer(s, d)
+      .join(
+        orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"),
+        "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+
   val queries: Map[String, Q] = Map(
+    "q6_forecast_revenue" -> q6,
+    "q10_returned_items" -> q10,
+    "q13_order_distribution" -> q13,
     "rolling_7d_value" -> rolling7d,
     "corr_qty_price" -> corrQtyPrice,
     "order_deciles" -> orderDeciles,
@@ -529,6 +585,33 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM lineitem, orders, customer, nation
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q13_order_distribution" ->
+      """WITH cc AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM cc GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "sketch_stats" ->
       s"""SELECT
         |  ${graft.ext.Sketches.kmvOracleSql("lineitem", "CAST(l_orderkey AS VARCHAR)", 1024)} AS orders_kmv,
