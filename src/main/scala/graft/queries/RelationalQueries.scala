@@ -162,6 +162,36 @@ object RelationalQueries {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Scale-safe EXACT order statistics: nearest-rank p50/p90/p99 of
+    * l_quantity via the distributed global rank
+    * ([[graft.ext.Prefix.globalRank]]) — value at rank ceil(p*n) over a
+    * total order. `percentile()` (percentiles_qty) buffers each group's
+    * values in one aggregator; this path sorts nothing through a single
+    * reducer and holds no per-group array, so it is the exact-quantile
+    * form that survives a table that doesn't fit one executor. Rank
+    * targets are pure integer math: ceil(n*p) = (n*num + den-1) div den.
+    */
+  private val percentilesExactRank: Q = (s, d) => {
+    val ranked = graft.ext.Prefix.globalRank(
+      lineitem(s, d).select(col("l_quantity"), col("l_orderkey"), col("l_linenumber")),
+      Seq(col("l_quantity"), col("l_orderkey"), col("l_linenumber")),
+      "rnk")
+    val tot = lineitem(s, d).agg(count(lit(1)).as("n"))
+    def target(num: Int, den: Int) =
+      ((col("n") * num + (den - 1)) / den).cast(LongType)
+    ranked
+      .crossJoin(broadcast(tot))
+      .filter(
+        col("rnk") === target(1, 2) ||
+          col("rnk") === target(9, 10) ||
+          col("rnk") === target(99, 100))
+      .agg(
+        max(when(col("rnk") === target(1, 2), col("l_quantity"))).as("p50"),
+        max(when(col("rnk") === target(9, 10), col("l_quantity"))).as("p90"),
+        max(when(col("rnk") === target(99, 100), col("l_quantity"))).as("p99"),
+        max("n").cast(LongType).as("n"))
+  }
+
   /** Fixed-memory distinct-count sketches: deterministic KMV over the
     * portable md5-derived hash, estimate + exact side by side — fully
     * oracle-checked (DuckDB reproduces the k-minimum-values estimate
@@ -556,6 +586,7 @@ object RelationalQueries {
     "q6_forecast_revenue" -> q6,
     "q10_returned_items" -> q10,
     "q13_order_distribution" -> q13,
+    "percentiles_exact_rank" -> percentilesExactRank,
     "rolling_7d_value" -> rolling7d,
     "corr_qty_price" -> corrQtyPrice,
     "order_deciles" -> orderDeciles,
@@ -605,6 +636,16 @@ object RelationalQueries {
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "percentiles_exact_rank" ->
+      """WITH r AS (SELECT l_quantity,
+        |    ROW_NUMBER() OVER (ORDER BY l_quantity, l_orderkey, l_linenumber) AS rnk
+        |  FROM lineitem),
+        |t AS (SELECT COUNT(*) AS n FROM lineitem)
+        |SELECT MAX(CASE WHEN rnk = (n * 1 + 1) // 2 THEN l_quantity END) AS p50,
+        |  MAX(CASE WHEN rnk = (n * 9 + 9) // 10 THEN l_quantity END) AS p90,
+        |  MAX(CASE WHEN rnk = (n * 99 + 99) // 100 THEN l_quantity END) AS p99,
+        |  MAX(n) AS n
+        |FROM r, t""".stripMargin,
     "q13_order_distribution" ->
       """WITH cc AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
         |  FROM customer LEFT JOIN orders

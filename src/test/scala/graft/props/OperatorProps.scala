@@ -110,6 +110,30 @@ object OperatorProps extends Properties("graft.operators") {
     out.map(_._3).headOption.forall(_ == 0L)
   }
 
+  private val shardRowGen: Gen[List[(String, Long)]] =
+    Gen.listOfN(24, Gen.zip(Gen.oneOf("p", "q", "r"), Gen.chooseNum(0L, 20L)))
+
+  property("Prefix.runningSum equals the driver-computed per-shard prefix sum at any split count") =
+    forAll(shardRowGen, Gen.chooseNum(1, 6)) { (rows, nParts) =>
+      import spark.implicits._
+      val df = rows.zipWithIndex.map { case ((s, v), i) => (s, i.toLong, v) }
+        .toDF("shard", "id", "v")
+      val got = graft.ext.Prefix
+        .runningSum(df, col("shard"), Seq(col("id")), col("v"), "cum", nParts)
+        .select("shard", "id", "cum").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val expected = rows.zipWithIndex
+        .map { case ((s, v), i) => (s, i.toLong, v) }
+        .groupBy(_._1)
+        .flatMap { case (_, g) =>
+          val sorted = g.sortBy(_._2)
+          sorted.zip(sorted.scanLeft(0L)(_ + _._3).tail).map { case ((s, i, _), cum) =>
+            (s, i) -> cum
+          }
+        }
+      got == expected
+    }
+
   private val feedGen: Gen[List[(Long, String)]] =
     Gen.listOfN(12, Gen.zip(Gen.chooseNum(1L, 3L), Gen.oneOf("A", "B", "C")))
 
