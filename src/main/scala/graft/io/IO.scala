@@ -19,6 +19,23 @@ object Sources {
       .option("inferSchema", "true")
       .csv(path)
 
+  /** JSONL corpus source — the interchange format LLM training corpora
+    * actually ship in (one JSON document per line, gzip-splittable per
+    * file). The schema is EXPLICIT, never inferred: inference reads the
+    * whole input twice, and on a 100 TB corpus the second pass costs more
+    * than the job. Unparseable lines land in `_corrupt_record` (PERMISSIVE)
+    * instead of failing the task, mirroring the ragged-CSV posture.
+    */
+  def jsonlDocs(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   /** O1 — directory discovery: non-hidden *.csv / *.csv.gz, case-insensitive
     * (spark_etl_dag.py:46-48), sorted for determinism.
     */
@@ -50,6 +67,15 @@ object Sinks {
       .option("header", "true")
       .option("compression", "gzip")
       .csv(path)
+
+  /** JSONL corpus sink (one doc per line, gzip) — the write half of the
+    * corpus interchange lane.
+    */
+  def jsonlGzip(df: DataFrame, path: String): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("compression", "gzip")
+      .json(path)
 
   /** S3 — insights JSON document (pyspark_etl.py:59-62). */
   def writeTextFile(content: String, path: String): Unit = {
