@@ -192,6 +192,35 @@ object RelationalQueries {
         max("n").cast(LongType).as("n"))
   }
 
+  /** Point-in-interval RANGE join ([[graft.ops.RangeJoin]]): events
+    * against derived 90-minute "incident windows" (every 6th hour). No
+    * equi key exists, so a naive plan is a nested-loop cross —
+    * the banded rewrite meets each (event, window) pair in exactly one
+    * hour bucket via a hash join. The oracle states the plain range
+    * predicate; matching it proves the band rewrite loses/duplicates
+    * nothing.
+    */
+  private val eventsRangeJoin: Q = (s, d) => {
+    val hour = 3600000L
+    val ev = events(s, d)
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"))
+    val windows = ev
+      .select((col("ms") / hour).cast(LongType).as("hr"))
+      .distinct()
+      .filter(col("hr") % 6 === 0)
+      .select(
+        (col("hr") * hour).as("lo"),
+        (col("hr") * hour + 5400000L).as("hi"))
+    graft.ops.RangeJoin
+      .pointInInterval(ev, "ms", windows, "lo", "hi", hour)
+      .groupBy("lo")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        sum("event_id").cast(LongType).as("id_sum"))
+      .orderBy("lo")
+  }
+
   /** Fixed-memory distinct-count sketches: deterministic KMV over the
     * portable md5-derived hash, estimate + exact side by side — fully
     * oracle-checked (DuckDB reproduces the k-minimum-values estimate
@@ -587,6 +616,7 @@ object RelationalQueries {
     "q10_returned_items" -> q10,
     "q13_order_distribution" -> q13,
     "percentiles_exact_rank" -> percentilesExactRank,
+    "events_range_join" -> eventsRangeJoin,
     "rolling_7d_value" -> rolling7d,
     "corr_qty_price" -> corrQtyPrice,
     "order_deciles" -> orderDeciles,
@@ -636,6 +666,15 @@ object RelationalQueries {
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "events_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events),
+        |w AS (SELECT DISTINCT ms // 3600000 AS hr FROM e),
+        |iv AS (SELECT hr * 3600000 AS lo, hr * 3600000 + 5400000 AS hi
+        |  FROM w WHERE hr % 6 = 0)
+        |SELECT lo, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM e JOIN iv ON e.ms >= iv.lo AND e.ms < iv.hi
+        |GROUP BY lo ORDER BY lo""".stripMargin,
     "percentiles_exact_rank" ->
       """WITH r AS (SELECT l_quantity,
         |    ROW_NUMBER() OVER (ORDER BY l_quantity, l_orderkey, l_linenumber) AS rnk
