@@ -100,6 +100,37 @@ object FuzzVerify {
        |  FROM ${t.name}) WHERE rk <= $k ORDER BY $cat, rk""".stripMargin
   }
 
+  /** Running-aggregate template: decimal-exact prefix sums + running
+    * counts over a TOTAL order (unique-key tables only — a ROWS frame
+    * over a non-unique order would be tie-order-dependent). Exercises the
+    * window-frame semantics the Prefix/pack operators rely on; output
+    * sampled by key to stay bounded.
+    */
+  private val uniqueKeyed: Seq[(String, String, String, String)] = Seq(
+    ("orders", "o_orderkey", "o_totalprice", "o_orderstatus"),
+    ("customer", "c_custkey", "c_acctbal", "c_mktsegment"),
+    ("part", "p_partkey", "p_retailprice", "p_brand"))
+
+  def genRunningQuery(r: Random): String = {
+    val (t, key, num, cat) = pick(r, uniqueKeyed)
+    val m = 7 + r.nextInt(90)
+    val frame = s"PARTITION BY $cat ORDER BY $key " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    s"""SELECT cat, k, run, rn FROM (
+       |  SELECT $cat AS cat, $key AS k,
+       |    CAST(SUM(CAST($num AS DECIMAL(12,2))) OVER ($frame) AS DOUBLE) AS run,
+       |    COUNT(*) OVER ($frame) AS rn
+       |  FROM $t) WHERE k % $m = 0 ORDER BY cat, k""".stripMargin
+  }
+
+  /** Set-op template over aligned key columns. */
+  def genSetOpQuery(r: Random): String = {
+    val op = pick(r, Seq("EXCEPT", "INTERSECT"))
+    val v = (r.nextInt(40) + 1) * 250
+    s"""SELECT c_custkey AS k FROM customer WHERE c_acctbal > $v
+       |$op SELECT o_custkey AS k FROM orders ORDER BY k""".stripMargin
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
@@ -120,7 +151,12 @@ object FuzzVerify {
     new java.io.File(outDir).mkdirs()
     val r = new Random(seed)
     val sqls = (0 until n).map { i =>
-      val sql = if (i % 5 == 4) genWindowQuery(r) else genQuery(r)
+      val sql = i % 7 match {
+        case 4 => genWindowQuery(r)
+        case 5 => genRunningQuery(r)
+        case 6 => genSetOpQuery(r)
+        case _ => genQuery(r)
+      }
       f"fuzz_$i%03d" -> sql
     }
     sqls.foreach { case (name, sql) =>

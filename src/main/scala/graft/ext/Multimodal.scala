@@ -166,6 +166,32 @@ object Multimodal {
     counts.map(c => (c.toDouble / n).toFloat)
   }
 
+  /** Deterministic nearest-neighbor resize — the normalize-resolution
+    * step a vision pipeline runs between decode and feature extraction.
+    * Nearest-neighbor (not bilinear) on purpose: integer source-index
+    * math `sx = x * srcW / dstW`, so resized pixels are exact picks from
+    * the source raster — bit-reproducible everywhere, no
+    * rendering-hints/filtering variance across JVMs.
+    */
+  def resizeImage(
+      img: java.awt.image.BufferedImage,
+      dstW: Int,
+      dstH: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(
+      dstW, dstH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < dstH) {
+      val sy = y * img.getHeight / dstH
+      var x = 0
+      while (x < dstW) {
+        out.setRGB(x, y, img.getRGB(x * img.getWidth / dstW, sy))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Image featurizer with a REAL decode step, in the same
     * mapPartitions-batch shape as [[extractFeatures]]: per-batch decoder
     * session, bounded memory, partition-parallel. Decodable payloads get
@@ -177,7 +203,8 @@ object Multimodal {
   def extractImageFeatures(
       binarized: DataFrame,
       bins: Int = 4,
-      batchSize: Int = 64): Dataset[ImageFeatures] = {
+      batchSize: Int = 64,
+      resizeTo: Option[(Int, Int)] = None): Dataset[ImageFeatures] = {
     val spark = binarized.sparkSession
     import spark.implicits._
     binarized
@@ -190,9 +217,13 @@ object Multimodal {
           batch.iterator.map { case (id, payload) =>
             decodeImage(payload) match {
               case Some(img) =>
+                // decode -> (resize) -> featurize; reported dims are the
+                // ORIGINAL raster's (the resize is a normalization step,
+                // not a metadata change)
+                val norm = resizeTo.fold(img) { case (w, h) => resizeImage(img, w, h) }
                 ImageFeatures(
                   id, payload.length, img.getWidth, img.getHeight,
-                  decoded = true, imageHistogram(img, bins))
+                  decoded = true, imageHistogram(norm, bins))
               case None =>
                 ImageFeatures(
                   id, payload.length, -1, -1,

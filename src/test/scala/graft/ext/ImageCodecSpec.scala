@@ -53,6 +53,27 @@ class ImageCodecSpec extends SparkSpec {
     assert(r.features.sameElements(expected))
   }
 
+  test("nearest-neighbor resize picks exact source pixels, deterministically") {
+    // left half red, right half blue; downscale 8x4 -> 4x2 keeps the
+    // halves exactly (sx = x*8/4 lands on source columns 0,2,4,6)
+    val img = new BufferedImage(8, 4, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8) img.setRGB(x, y, if (x < 4) 0xff0000 else 0x0000ff)
+    val small = Multimodal.resizeImage(img, 4, 2)
+    assert(small.getWidth == 4 && small.getHeight == 2)
+    for (y <- 0 until 2; x <- 0 until 4)
+      assert((small.getRGB(x, y) & 0xffffff) == (if (x < 2) 0xff0000 else 0x0000ff))
+    // and through the featurizer: histogram computed on the RESIZED raster
+    val out = java.io.File.createTempFile("graft", ".png")
+    javax.imageio.ImageIO.write(img, "png", out)
+    val payload = java.nio.file.Files.readAllBytes(out.toPath)
+    val r = Multimodal
+      .extractImageFeatures(
+        Seq((9L, payload)).toDF("doc_id", "payload"), bins = 2, resizeTo = Some((4, 2)))
+      .collect().head
+    assert(r.width == 8 && r.height == 4, "reported dims stay the original's")
+    assert(r.features(1) == 0.5f && r.features(5) == 0.5f, "half top-bin red, half top-bin blue")
+  }
+
   test("mixed batch keeps lanes independent and partition-parallel") {
     val rows = (0L until 40L).map { i =>
       if (i % 3 == 0) (i, "junk %d".format(i).getBytes("UTF-8"))
