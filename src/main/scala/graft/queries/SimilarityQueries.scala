@@ -61,6 +61,39 @@ object SimilarityQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** Multi-probe sign-bucket LSH: each query probes its own bucket plus
+    * every Hamming-1 neighbor (bits+1 probes — flip one sign at a time),
+    * recovering most boundary-loss recall of single-probe LSH for a
+    * bounded ~(bits+1) x target candidate cost per query. Probing only
+    * the QUERY side keeps the corpus indexed once; a (query, candidate)
+    * pair can meet in at most one probe (the candidate's bucket), so no
+    * dedup pass is needed. This is the classic multi-probe trade:
+    * recall of 2^bits/2 buckets at the cost of bits+1 lookups.
+    */
+  private val lshMultiProbe: Q = (s, d) => {
+    val bits = Vectors.signBucketBits(embeddings(s, d).count(), minBits = 4)
+    val base = normed(s, d)
+      .withColumn("bucket", Vectors.signBucket(col("embedding"), bits))
+    val probes = explode(array(
+      col("bucket") +: (1 to bits).map(i =>
+        concat(
+          substring(col("bucket"), 1, i - 1),
+          when(substring(col("bucket"), i, 1) === "1", lit("0")).otherwise(lit("1")),
+          substring(col("bucket"), i + 1, bits - i))): _*))
+    val q = base
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), probes.as("bucket"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = base.select(col("vec_id").as("neighbor_id"), col("bucket"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    q.join(c, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("query_id", "rk", "neighbor_id", "cos")
+      .orderBy("query_id", "rk")
+  }
+
   /** IVF ANN with TRAINED centroids: max(8, n/256) cells from 2 Lloyd's
     * iterations over a bounded sample ([[graft.ext.IvfIndex]]), corpus
     * assigned to its nearest cell, queries probe their 5 nearest cells
@@ -97,6 +130,7 @@ object SimilarityQueries {
   val queries: Map[String, Q] = Map(
     "sim_topk_brute" -> bruteTopK,
     "sim_topk_lsh" -> lshTopK,
+    "sim_topk_lsh_multiprobe" -> lshMultiProbe,
     "sim_topk_ivf" -> ivfTopK
   )
 
@@ -121,6 +155,27 @@ object SimilarityQueries {
         |  r AS (SELECT query_id, neighbor_id, cos,
         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM p)
         |SELECT query_id, rk, neighbor_id, cos FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "sim_topk_lsh_multiprobe" ->
+      s"""WITH bitsv AS (SELECT ${Vectors.signBucketBitsSql("COUNT(*)", minBits = 4)} AS bits
+        |    FROM embeddings),
+        |  n AS (SELECT vec_id,
+        |    array_to_string(list_transform(generate_series(1, (SELECT bits FROM bitsv)),
+        |      i -> CASE WHEN embedding[i] > 0 THEN '1' ELSE '0' END), '') AS bucket,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |  m AS (SELECT vec_id, bucket, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),
+        |  qp AS (SELECT vec_id, v, nrm, unnest(list_prepend(bucket,
+        |      list_transform(generate_series(1, bits),
+        |        i -> substr(bucket, 1, i - 1) ||
+        |             (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END) ||
+        |             substr(bucket, i + 1, bits - i)))) AS bucket
+        |    FROM m, bitsv WHERE vec_id < 10),
+        |  p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+        |    FROM qp q JOIN m c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+        |  r AS (SELECT query_id, neighbor_id, cos,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM p)
+        |SELECT query_id, rk, neighbor_id, cos FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
     "sim_topk_lsh" ->
       s"""WITH bitsv AS (SELECT ${Vectors.signBucketBitsSql("COUNT(*)", minBits = 4)} AS bits
         |    FROM embeddings),

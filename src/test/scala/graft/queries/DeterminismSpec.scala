@@ -16,7 +16,12 @@ class DeterminismSpec extends SparkSpec {
     "q1_pricing_summary",    // decimal-exact aggregation
     "dedup_exact",           // content-hash window
     "dedup_minhash_lsh",     // portable hash family + band join
-    "pack_sequences",        // per-shard running window
+    "pack_sequences",        // distributed prefix sum (split count = shuffle partitions)
+    "order_deciles",         // distributed exact rank + ntile arithmetic
+    "shuffle_interleave",    // hash-ordered global rank over packed sequences
+    "percentiles_exact_rank", // rank-targeted order statistics
+    "events_range_join",     // banded interval equi-join
+    "sample_temperature",    // sqrt-rate mixing (IEEE determinism)
     "corpus_curation_funnel", // flag algebra + two windows
     "corr_qty_price",        // double assembly from exact sums
     "sim_topk_ivf")          // trained centroids + top-k
