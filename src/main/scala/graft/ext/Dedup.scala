@@ -190,6 +190,78 @@ object Dedup {
     labels
   }
 
+  /** Alternating large-star / small-star connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond") — the
+    * documented upgrade path from [[duplicateClusters]]' min-label
+    * propagation. Label propagation needs O(component diameter) rounds;
+    * star contraction converges in O(log n) rounds even on path graphs,
+    * which is what matters if a 100 TB corpus ever produces long
+    * duplicate chains (label propagation stays the default: near-dup
+    * clusters are dense and shallow, and its per-round cost is lower).
+    *
+    * Each star op is one aggregation + one equi-join keyed by node id:
+    *  - large-star: every neighbor v > u links to m = min(N(u) ∪ {u})
+    *  - small-star: every neighbor v <= u (and u itself) links to m
+    * Edges stay canonical (parent < child); per-round localCheckpoint
+    * truncates the self-referencing lineage exactly as in
+    * [[duplicateClusters]]. Returns (node, cluster) like its sibling —
+    * DedupSpec and a scalacheck property pin the two implementations to
+    * identical output on chains, stars, cliques and random graphs.
+    */
+  def duplicateClustersStar(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 40): DataFrame = {
+    def canon(df: DataFrame): DataFrame =
+      df.select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    var edges = canon(
+      pairs.select(col(aCol).as("u"), col(bCol).as("v"))).localCheckpoint(true)
+    // star op over the directed adjacency: emit (v, m) for neighbors on
+    // the requested side of u, where m = min(N(u) ∪ {u})
+    def star(large: Boolean): DataFrame = {
+      val nbrs = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val m = nbrs
+        .groupBy("u")
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val side =
+        if (large) col("v") > col("u") else col("v") <= col("u")
+      val joined = nbrs
+        .join(m, Seq("u"))
+        .filter(side)
+        .select(col("v").as("u"), col("m").as("v"))
+      canon(if (large) joined else joined.union(m.select(col("u"), col("m").as("v"))))
+    }
+    def signature(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df
+        .agg(
+          count(lit(1)),
+          sum((col("u").cast(DecimalType(38, 0)) * 1000003L) + col("v").cast(DecimalType(38, 0))))
+        .first()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var it = 0
+    var converged = false
+    var prev = signature(edges)
+    while (!converged && it < maxIter) {
+      edges = star(large = true).localCheckpoint(true)
+      edges = star(large = false).localCheckpoint(true)
+      val sig = signature(edges)
+      converged = sig == prev
+      prev = sig
+      it += 1
+    }
+    require(converged, s"star contraction did not converge in $maxIter rounds")
+    // converged: every edge is (child, componentMin) with min < child
+    edges
+      .select(col("v").as("node"), col("u").as("cluster"))
+      .union(edges.select(col("u").as("node"), col("u").as("cluster")))
+      .distinct()
+  }
+
   /** X2 — MinHash signatures: numHashes min-hash values per doc from one
     * pass over exploded shingles (a single aggregation job). Each "hash
     * permutation" is xxhash64 seeded by the permutation index hashed

@@ -146,6 +146,24 @@ class DedupSpec extends SparkSpec {
     assert(labs.size == 12 && labs.values.forall(_ == 1L))
   }
 
+  test("star-contraction CC matches label propagation and handles a 40-chain") {
+    // the pathological case star contraction exists for: a long path.
+    // Label propagation needs ~diameter rounds; star contraction must
+    // resolve it within its O(log n) iteration budget (maxIter 10 here —
+    // 40 rounds of propagation would blow it)
+    val chain = (1L until 40L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val star = Dedup.duplicateClustersStar(chain, "id_a", "id_b", maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.size == 40 && star.values.forall(_ == 1L))
+    // same output as the default implementation on a mixed graph
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val lp = Dedup.duplicateClusters(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val st = Dedup.duplicateClustersStar(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(st == lp)
+  }
+
   test("stub featurizer is deterministic and batch-boundary independent") {
     val d = graft.Tables.documents(spark, sf).limit(100)
     val f1 = Multimodal.extractFeatures(Multimodal.binarize(d), dim = 8, batchSize = 64)

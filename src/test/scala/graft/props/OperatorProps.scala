@@ -134,6 +134,22 @@ object OperatorProps extends Properties("graft.operators") {
       got == expected
     }
 
+  private val edgeGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(18, Gen.zip(Gen.chooseNum(0L, 14L), Gen.chooseNum(0L, 14L)))
+      .map(_.filter { case (a, b) => a != b })
+      .suchThat(_.nonEmpty)
+
+  property("star-contraction CC equals min-label propagation on random graphs") =
+    forAll(edgeGen) { es =>
+      import spark.implicits._
+      val pairs = es.toDF("id_a", "id_b")
+      def toMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val lp = toMap(graft.ext.Dedup.duplicateClusters(pairs, "id_a", "id_b"))
+      val st = toMap(graft.ext.Dedup.duplicateClustersStar(pairs, "id_a", "id_b"))
+      lp == st
+    }
+
   private val feedGen: Gen[List[(Long, String)]] =
     Gen.listOfN(12, Gen.zip(Gen.chooseNum(1L, 3L), Gen.oneOf("A", "B", "C")))
 
