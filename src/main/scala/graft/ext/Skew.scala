@@ -29,6 +29,32 @@ object Skew {
       .agg(sum("__cnt").cast("long").as("n"), sum("__sum").as("total"))
   }
 
+  /** Salted equi-join for a statically-known hot-key skew: the big
+    * (skewed) side salts each row into one of `salts` sub-keys from its
+    * task partition id; the small side is REPLICATED across all `salts`
+    * sub-keys (explode over 0..salts-1). The join key becomes
+    * (key, salt), so a hot key's rows spread over `salts` reducers
+    * instead of one. Results are exactly the inner join's — each big-side
+    * row meets each matching small-side row at exactly one salt (its
+    * own). Cost: small side x salts, the standard replicate-broadcast
+    * trade. Use when AQE's runtime skew split can't fire (e.g. the skew
+    * is inside an aggregation-feeding join it cannot re-plan, or
+    * deterministic partitioning is required); prefer AQE otherwise.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      salts: Int): DataFrame = {
+    val bigS = big.withColumn("__salt", pmod(spark_partition_id(), lit(salts)))
+    val smallS = small.withColumn(
+      "__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    bigS
+      .join(smallS, keys :+ "__salt")
+      .drop("__salt")
+  }
+
   /** Bloom semi-join pruning: drop probe-side rows whose key cannot exist
     * on the build side BEFORE the join's shuffle. The filter is built
     * driver-side from the (small, often pre-filtered) build side — a

@@ -11,6 +11,21 @@ import org.apache.spark.sql.functions._
 class SkewJoinSpec extends SparkSpec {
   import spark.implicits._
 
+  test("salted join equals the direct join exactly on a 90%-one-key skew") {
+    val facts = spark.range(100000)
+      .select(
+        when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 50).as("k"),
+        col("id").as("v"))
+    val dim = (0L until 50L).map(k => (k, s"name$k")).toDF("k", "name")
+    val direct = facts.join(dim, Seq("k"))
+      .agg(count(lit(1)), sum("v").cast("long"), min("name"), max("name"))
+      .collect().head.toString
+    val salted = Skew.saltedJoin(facts, dim, Seq("k"), salts = 8)
+      .agg(count(lit(1)), sum("v").cast("long"), min("name"), max("name"))
+      .collect().head.toString
+    assert(salted == direct)
+  }
+
   test("AQE splits the skewed join partition; results unchanged") {
     val conf = spark.conf
     val saved = Seq(

@@ -37,4 +37,34 @@ class StreamingCurationSpec extends SparkSpec {
     val batch = curate(docs).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(batch.nonEmpty && streamed == batch)
   }
+
+  test("train/val/test assignment is a pure projection: in-stream == batch") {
+    // the property that makes the split safe for incremental corpus
+    // rebuilds: assignment depends only on the row, so streamed arrivals
+    // get the same split as a batch rebuild
+    val in = Files.createTempDirectory("spl_in")
+    val ckpt = Files.createTempDirectory("spl_ckpt").toString
+    val docs = Tables.documents(spark, sf)
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$in/d.parquet")
+    val schema = spark.read.parquet(s"$in/d.parquet").schema
+
+    def assign(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val h = pmod(
+        graft.ext.Dedup.portableHash64(concat(lit("split:"), col("doc_id").cast("string"))),
+        lit(1000000L))
+      df.select(
+        col("doc_id"),
+        when(h < 980000L, "train").when(h < 990000L, "val").otherwise("test").as("split"))
+    }
+
+    FileWatch.runAvailableNow(
+      assign(FileWatch.watchParquetDir(spark, s"$in/*.parquet", schema))
+        .writeStream.format("memory").queryName("splits").outputMode("append"),
+      ckpt)
+    val streamed = spark.table("splits").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = assign(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(batch.nonEmpty && streamed == batch)
+    assert(streamed.values.toSet.subsetOf(Set("train", "val", "test")))
+  }
 }
