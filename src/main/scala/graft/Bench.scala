@@ -40,13 +40,18 @@ object Bench {
     def f(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // total covers SUCCESSFUL queries only — summing the -1 sentinels
+    // would make a broken run read FASTER than a healthy one; failures
+    // are listed explicitly so a non-empty list is impossible to misread
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total = results.map(_._2).filter(_ >= 0).sum
     // ONE compact line (ms precision keeps it short enough that a log
     // tail capture cannot truncate the total), also persisted to a file
     // so the artifact survives any stdout capture window.
     val line =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""cpus":$cpus,"shuffle_partitions":$cpus,"action":"noop_write","reps":$reps,"agg":"min"}"""
+        s""""cpus":$cpus,"shuffle_partitions":$cpus,"action":"noop_write","reps":$reps,""" +
+        s""""agg":"min","failed":${failed.mkString("[", ",", "]")}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last_run.json"), line)
     println(line)
     spark.stop()

@@ -235,23 +235,24 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
       canon(if (large) joined else joined.union(m.select(col("u"), col("m").as("v"))))
     }
-    def signature(df: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = df
-        .agg(
-          count(lit(1)),
-          sum((col("u").cast(DecimalType(38, 0)) * 1000003L) + col("v").cast(DecimalType(38, 0))))
-        .first()
-      (r.getLong(0), r.getDecimal(1))
-    }
+    // EXACT convergence: both frames are distinct canonical sets, so
+    // new == old iff |new| == |old| == |new ∪ old|. A hashed signature
+    // would risk silent early stop on a collision — unlike the sibling
+    // duplicateClusters, whose per-node labels are monotone
+    // non-increasing (sum equal there PROVES nothing changed), star
+    // rounds rewrite edges non-monotonically, so only a set check is
+    // sound.
     var it = 0
     var converged = false
-    var prev = signature(edges)
+    var prevCount = edges.count()
     while (!converged && it < maxIter) {
+      val prevEdges = edges
       edges = star(large = true).localCheckpoint(true)
       edges = star(large = false).localCheckpoint(true)
-      val sig = signature(edges)
-      converged = sig == prev
-      prev = sig
+      val n = edges.count()
+      converged = n == prevCount &&
+        edges.union(prevEdges).distinct().count() == n
+      prevCount = n
       it += 1
     }
     require(converged, s"star contraction did not converge in $maxIter rounds")

@@ -138,8 +138,10 @@ object Multimodal {
     * mixed/corrupt corpora degrade row-by-row instead of failing a task.
     */
   def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    // NonFatal only: a decompression-bomb OOM must kill the task, not be
+    // misreported as a cleanly-stubbed row from a corrupted JVM
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-    catch { case _: Throwable => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Pixel-derived features: per-channel (R,G,B) intensity histogram with
     * `bins` buckets each, normalized to fractions of the pixel count —
@@ -214,7 +216,10 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           val md = java.security.MessageDigest.getInstance("MD5")
           val tags = dimTags(3 * bins)
-          batch.iterator.map { case (id, payload) =>
+          batch.iterator.map { case (id, rawPayload) =>
+            // null payloads (nullable binary columns) degrade to the stub
+            // lane like any other undecodable row — never an executor NPE
+            val payload = if (rawPayload == null) Array.emptyByteArray else rawPayload
             decodeImage(payload) match {
               case Some(img) =>
                 // decode -> (resize) -> featurize; reported dims are the
@@ -252,7 +257,8 @@ object Multimodal {
           // codec context / model handle across the batch)
           val md = java.security.MessageDigest.getInstance("MD5")
           val tags = dimTags(dim)
-          batch.iterator.map { case (id, payload) =>
+          batch.iterator.map { case (id, rawPayload) =>
+            val payload = if (rawPayload == null) Array.emptyByteArray else rawPayload
             MediaFeatures(id, payload.length, portableHash60(md, payload), decodeStub(md, payload, tags))
           }
         }

@@ -96,8 +96,13 @@ object Prefix {
         "left")
       .groupBy("__pid", "__shard")
       .agg(coalesce(sum("__tot"), lit(0L)).as("__off"))
+    // no broadcast hint: offsets is Θ(#partitions + #shards) rows — tiny
+    // for global ranks (AQE broadcasts it on its own), but a file/day-
+    // sharded 100 TB corpus has millions of shards, where forcing a
+    // driver-collected broadcast would OOM exactly where this class must
+    // scale; the keyed shuffle join is the safe default either way
     local
-      .join(broadcast(offsets), Seq("__pid", "__shard"))
+      .join(offsets, Seq("__pid", "__shard"))
       .withColumn(out, col("__off") + col("__lcum"))
       .drop("__pid", "__shard", "__v", "__lcum", "__off")
   }

@@ -46,6 +46,9 @@ object Skew {
       small: DataFrame,
       keys: Seq[String],
       salts: Int): DataFrame = {
+    // fail fast: with ANSI off, salts=0 would make pmod null on every
+    // big-side row and silently join to nothing
+    require(salts > 0, s"salts must be positive, got $salts")
     val bigS = big.withColumn("__salt", pmod(spark_partition_id(), lit(salts)))
     val smallS = small.withColumn(
       "__salt",

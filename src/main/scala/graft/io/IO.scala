@@ -29,12 +29,16 @@ object Sources {
   def jsonlDocs(
       spark: SparkSession,
       path: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame =
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val withQuarantine =
+      if (schema.fieldNames.contains("_corrupt_record")) schema
+      else schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
     spark.read
-      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .schema(withQuarantine)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
+  }
 
   /** O1 — directory discovery: non-hidden *.csv / *.csv.gz, case-insensitive
     * (spark_etl_dag.py:46-48), sorted for determinism.
