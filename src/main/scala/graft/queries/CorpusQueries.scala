@@ -303,7 +303,45 @@ object CorpusQueries {
       .orderBy("pos")
   }
 
+  /** Sliding-window chunking WITH OVERLAP (64-token windows, stride 48):
+    * the intra-document chunker a RAG index or long-doc pretraining run
+    * uses, distinct from [[CorpusOps.packSequences]]' inter-document
+    * concat-and-chunk. Chunk count is exact integer math
+    * (1 + ceil((n-size)/step) for n > size); chunk membership is a pure
+    * projection (explode over a computed index range + O(size) slice per
+    * chunk), so the op runs at scan speed and never shuffles the corpus.
+    * Per-source digest: chunk/token tallies (overlap tokens counted per
+    * chunk — the tok_sum > corpus tokens gap IS the overlap cost) and a
+    * min chunk fingerprint to pin exact chunk text.
+    */
+  private val chunkSlidingWindow: Q = (s, d) => {
+    val size = 64
+    val step = 48
+    val docs = documents(s, d)
+      .withColumn("toks", split(coalesce(TextStats.normText(col("text")), lit("")), " "))
+      .withColumn("n", size2(col("toks")))
+      .withColumn(
+        "n_chunks",
+        when(col("n") <= size, 1L)
+          .otherwise(lit(1L) + ((col("n") - size + (step - 1)) / step).cast(LongType)))
+    docs
+      .select(
+        col("source"),
+        col("toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("ci"))
+      .withColumn("chunk", slice(col("toks"), (col("ci") * step + 1).cast(IntegerType), lit(size)))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(size2(col("chunk"))).cast(LongType).as("tok_sum"),
+        min(md5(concat_ws(" ", col("chunk")))).as("min_fp"))
+      .orderBy("source")
+  }
+
+  private def size2(c: org.apache.spark.sql.Column) = size(c).cast(LongType)
+
   val queries: Map[String, Q] = Map(
+    "chunk_sliding_window" -> chunkSlidingWindow,
     "decontaminate_drop" -> decontaminateDrop,
     "sample_temperature" -> sampleTemperature,
     "split_assign" -> splitAssign,
@@ -322,6 +360,16 @@ object CorpusQueries {
   private val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
 
   val oracle: Map[String, String] = Map(
+    "chunk_sliding_window" ->
+      s"""WITH n0 AS (SELECT source, string_split(coalesce($normSql, ''), ' ') AS toks
+        |  FROM documents),
+        |n1 AS (SELECT source, toks, CAST(len(toks) AS BIGINT) AS n FROM n0),
+        |c AS (SELECT source, toks, unnest(generate_series(0,
+        |    CASE WHEN n <= 64 THEN 0 ELSE (n - 64 + 47) // 48 END)) AS ci FROM n1),
+        |ch AS (SELECT source, toks[ci * 48 + 1 : ci * 48 + 64] AS chunk FROM c)
+        |SELECT source, COUNT(*) AS n_chunks, CAST(SUM(len(chunk)) AS BIGINT) AS tok_sum,
+        |  MIN(md5(array_to_string(chunk, ' '))) AS min_fp
+        |FROM ch GROUP BY source ORDER BY source""".stripMargin,
     "decontaminate_drop" ->
       s"""WITH nn AS (SELECT doc_id, $normSql AS t FROM documents),
         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM nn),
