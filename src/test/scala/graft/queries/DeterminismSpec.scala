@@ -22,6 +22,7 @@ class DeterminismSpec extends SparkSpec {
     "percentiles_exact_rank", // rank-targeted order statistics
     "events_range_join",     // banded interval equi-join
     "sample_temperature",    // sqrt-rate mixing (IEEE determinism)
+    "chunk_sliding_window",  // explode+slice chunker, md5 fingerprints
     "corpus_curation_funnel", // flag algebra + two windows
     "corr_qty_price",        // double assembly from exact sums
     "sim_topk_ivf")          // trained centroids + top-k
