@@ -239,6 +239,99 @@ object Multimodal {
       }
   }
 
+  case class AudioFeatures(
+      doc_id: Long,
+      byte_len: Int,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      decoded: Boolean,
+      rms: Array[Float])
+
+  /** REAL audio codec path: parse WAV/AIFF/AU via `javax.sound.sampled`
+    * (ships with the JDK, headless-safe). Accepts 16-bit signed PCM;
+    * anything else — or any unparseable payload — degrades to None and
+    * the caller's stub lane. Returns the format plus the raw PCM bytes.
+    */
+  def decodeAudio(payload: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Array[Byte])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      val fmt = in.getFormat
+      if (fmt.getSampleSizeInBits != 16 ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+      else Some((fmt, in.readAllBytes()))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Windowed RMS amplitude over 16-bit PCM (all channels pooled):
+    * `windows` equal spans, each sqrt(mean(sample^2)) / 32768 — the
+    * loudness-envelope feature an audio curation pass filters on
+    * (silence/clipping detection). Double accumulation, one rounding to
+    * float per window — deterministic for a given payload everywhere.
+    */
+  def pcmRmsWindows(pcm: Array[Byte], bigEndian: Boolean, windows: Int): Array[Float] = {
+    val nSamples = pcm.length / 2
+    val out = new Array[Float](windows)
+    if (nSamples == 0) return out
+    var w = 0
+    while (w < windows) {
+      val from = nSamples.toLong * w / windows
+      val until = nSamples.toLong * (w + 1) / windows
+      var acc = 0.0
+      var i = from
+      while (i < until) {
+        val o = (i * 2).toInt
+        val s =
+          if (bigEndian) ((pcm(o) << 8) | (pcm(o + 1) & 0xff)).toShort
+          else ((pcm(o + 1) << 8) | (pcm(o) & 0xff)).toShort
+        acc += s.toDouble * s.toDouble
+        i += 1
+      }
+      val n = until - from
+      out(w) = if (n == 0) 0f else (math.sqrt(acc / n) / 32768.0).toFloat
+      w += 1
+    }
+    out
+  }
+
+  /** Audio featurizer in the shared mapPartitions batch shape: WAV rows
+    * get (sample_rate, channels, frames, windowed RMS); undecodable or
+    * non-PCM16 rows fall back to the md5 stub, flagged — same contract
+    * as [[extractImageFeatures]].
+    */
+  def extractAudioFeatures(
+      binarized: DataFrame,
+      windows: Int = 4,
+      batchSize: Int = 64): Dataset[AudioFeatures] = {
+    val spark = binarized.sparkSession
+    import spark.implicits._
+    binarized
+      .select(col("doc_id").cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val tags = dimTags(windows)
+          batch.iterator.map { case (id, rawPayload) =>
+            val payload = if (rawPayload == null) Array.emptyByteArray else rawPayload
+            decodeAudio(payload) match {
+              case Some((fmt, pcm)) =>
+                AudioFeatures(
+                  id, payload.length,
+                  fmt.getSampleRate.toInt, fmt.getChannels,
+                  pcm.length / 2L / fmt.getChannels,
+                  decoded = true,
+                  pcmRmsWindows(pcm, fmt.isBigEndian, windows))
+              case None =>
+                AudioFeatures(
+                  id, payload.length, -1, -1, -1L,
+                  decoded = false, decodeStub(md, payload, tags))
+            }
+          }
+        }
+      }
+  }
+
   /** Batch-shaped feature extraction over (doc_id, payload) rows.
     * `mapPartitions` + an inner batch loop of `batchSize` mirrors the
     * Arrow-batch contract of `mapInPandas`: per-batch amortized decode
