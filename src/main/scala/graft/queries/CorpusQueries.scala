@@ -340,7 +340,69 @@ object CorpusQueries {
 
   private def size2(c: org.apache.spark.sql.Column) = size(c).cast(LongType)
 
+  /** The WHOLE corpus build as one plan: quality filter -> exact dedup ->
+    * decontamination against the eval split -> stratified downsample ->
+    * train/val/test assignment, reported as one summary row of per-stage
+    * survivors and per-split token budgets. Every stage is a FLAG (the
+    * funnel pattern — no driver count() per stage); the only joins are
+    * the per-doc contamination hits and the one dedup window. This is
+    * the "raw crawl in, training manifest out" composition a data team
+    * actually ships; packing/chunking consume its output downstream
+    * (`pack_sequences`, `chunk_sliding_window`).
+    */
+  private val corpusBuildE2e: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val sh = graft.ext.Dedup.wordShingles(
+      documents(s, d).select(col("doc_id"), TextStats.normText(col("text")).as("t")),
+      "doc_id", "t", 5)
+    val hits = CorpusOps.contamination(
+      sh.filter(col("doc_id") % 97 === 0),
+      sh.filter(col("doc_id") % 97 =!= 0),
+      "doc_id")
+    val raw = withTok(documents(s, d))
+      .filter(col("doc_id") % 97 =!= 0)
+      .withColumn("q", CorpusOps.qualityReason(col("t")) === "keep")
+      .withColumn("tkey", sha2(col("t"), 256))
+      .drop("t")
+      .join(hits, Seq("doc_id"), "left")
+    val wD = Window
+      .partitionBy("tkey")
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = when(col("lang") === "en", 500000L).otherwise(800000L)
+    val h = pmod(
+      graft.ext.Dedup.portableHash64(
+        concat(col("lang"), lit(":"), col("doc_id").cast(StringType))),
+      lit(1000000L))
+    val hs = pmod(
+      graft.ext.Dedup.portableHash64(
+        concat(lit("split:"), col("doc_id").cast(StringType))),
+      lit(1000000L))
+    raw
+      .withColumn("keep_d",
+        col("q") && sum(when(col("q"), 1L).otherwise(0L)).over(wD) === 1L)
+      .withColumn("clean",
+        col("keep_d") &&
+          !coalesce(col("n_contaminated") * 2 >= col("n_shingles"), lit(false)))
+      .withColumn("sampled", col("clean") && h < thr)
+      .withColumn("split",
+        when(hs < 980000L, "train").when(hs < 990000L, "val").otherwise("test"))
+      .agg(
+        count(lit(1)).as("n_train_docs"),
+        sum(when(col("q"), 1L).otherwise(0L)).cast(LongType).as("n_quality"),
+        sum(when(col("keep_d"), 1L).otherwise(0L)).cast(LongType).as("n_deduped"),
+        sum(when(col("clean"), 1L).otherwise(0L)).cast(LongType).as("n_clean"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).cast(LongType).as("n_sampled"),
+        sum(when(col("sampled") && col("split") === "train", col("n_tok")).otherwise(0L))
+          .cast(LongType).as("tok_train"),
+        sum(when(col("sampled") && col("split") === "val", col("n_tok")).otherwise(0L))
+          .cast(LongType).as("tok_val"),
+        sum(when(col("sampled") && col("split") === "test", col("n_tok")).otherwise(0L))
+          .cast(LongType).as("tok_test"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "corpus_build_e2e" -> corpusBuildE2e,
     "chunk_sliding_window" -> chunkSlidingWindow,
     "decontaminate_drop" -> decontaminateDrop,
     "sample_temperature" -> sampleTemperature,
@@ -360,6 +422,49 @@ object CorpusQueries {
   private val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
 
   val oracle: Map[String, String] = Map(
+    "corpus_build_e2e" ->
+      s"""WITH nn AS (SELECT doc_id, $normSql AS t FROM documents),
+        |tkq AS (SELECT doc_id, string_split(t, ' ') AS toks FROM nn),
+        |shq AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
+        |    i -> array_to_string(toks[i:i+4], ' '))) AS shingle
+        |  FROM tkq WHERE len(toks) >= 5) z),
+        |ev AS (SELECT DISTINCT shingle FROM shq WHERE doc_id % 97 = 0),
+        |trn AS (SELECT doc_id, shingle FROM shq WHERE doc_id % 97 <> 0),
+        |hits AS (SELECT trn.doc_id, COUNT(*) AS n_sh,
+        |    SUM(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_cont
+        |  FROM trn LEFT JOIN ev ON trn.shingle = ev.shingle GROUP BY trn.doc_id),
+        |m AS (SELECT d.doc_id, d.lang, coalesce($normSql, '') AS t,
+        |    CAST(len(string_split(coalesce($normSql, ''), ' ')) AS BIGINT) AS n_tok,
+        |    CAST(length(coalesce($normSql, '')) AS BIGINT) AS chars,
+        |    CAST(len(regexp_extract_all(coalesce($normSql, ''), '[^A-Za-z0-9\\s]')) AS BIGINT) AS punct,
+        |    CAST(len(regexp_extract_all(coalesce($normSql, ''), '\\b(the|a|of|and|to)\\b')) AS BIGINT) AS stop
+        |  FROM documents d WHERE d.doc_id % 97 <> 0),
+        |kept AS (SELECT * FROM m
+        |  WHERE n_tok >= 5 AND n_tok <= 5000
+        |    AND chars - (n_tok - 1) >= n_tok * 3 AND chars - (n_tok - 1) <= n_tok * 10
+        |    AND punct * 10 <= chars AND stop > 0),
+        |ded AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+        |    FROM kept) x WHERE rn = 1),
+        |cln AS (SELECT ded.* FROM ded LEFT JOIN hits ON ded.doc_id = hits.doc_id
+        |  WHERE NOT COALESCE(hits.n_cont * 2 >= hits.n_sh, FALSE)),
+        |samp AS (SELECT * FROM cln WHERE
+        |  CAST('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |    % 1000000 < CASE lang WHEN 'en' THEN 500000 ELSE 800000 END),
+        |spl AS (SELECT n_tok,
+        |    CASE WHEN h < 980000 THEN 'train' WHEN h < 990000 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT *,
+        |    CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 1000000 AS h FROM samp) y)
+        |SELECT (SELECT COUNT(*) FROM m) AS n_train_docs,
+        |  (SELECT COUNT(*) FROM kept) AS n_quality,
+        |  (SELECT COUNT(*) FROM ded) AS n_deduped,
+        |  (SELECT COUNT(*) FROM cln) AS n_clean,
+        |  COUNT(*) AS n_sampled,
+        |  CAST(SUM(CASE WHEN split = 'train' THEN n_tok ELSE 0 END) AS BIGINT) AS tok_train,
+        |  CAST(SUM(CASE WHEN split = 'val' THEN n_tok ELSE 0 END) AS BIGINT) AS tok_val,
+        |  CAST(SUM(CASE WHEN split = 'test' THEN n_tok ELSE 0 END) AS BIGINT) AS tok_test
+        |FROM spl""".stripMargin,
     "chunk_sliding_window" ->
       s"""WITH n0 AS (SELECT source, string_split(coalesce($normSql, ''), ' ') AS toks
         |  FROM documents),
