@@ -1,0 +1,39 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan-shape regression guard over EVERY registered query: no
+  * CartesianProduct anywhere, and BroadcastNestedLoopJoin only in the
+  * queries whose non-equi joins are bounded frames BY CONSTRUCTION
+  * (1-row totals, <= numPartitions offset stats, fixed 10-query
+  * broadcast sides, IVF centroid models). A new query accidentally
+  * shipping a data x data cross join fails here before it ever reaches
+  * a benchmark.
+  */
+class PlanHealthSpec extends SparkSpec {
+
+  /** Queries whose NLJ operands are bounded by construction (audited in
+    * SURVEY round-3 scale notes). Keep this list SHORT and justified.
+    */
+  private val boundedNlj = Set(
+    "order_deciles",          // 1-row total + <=numPartitions offsets
+    "percentiles_exact_rank", // same two frames
+    "sample_temperature",     // 1-row min-token frame
+    "set_ops_customers",      // scalar-aggregate set algebra
+    "sim_topk_brute",         // deliberate exact baseline: 10 fixed queries broadcast
+    "sim_topk_ivf",           // bounded centroid model
+    "sketch_stats",           // scalar sketch subqueries
+    "shuffle_interleave")     // global-rank offsets over sequence groups
+
+  test("no cartesian products; NLJ only where operands are bounded") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      if (!boundedNlj(name))
+        assert(
+          !plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unexpected BroadcastNestedLoopJoin — if its operands " +
+            "are genuinely bounded, add it to boundedNlj with a justification")
+    }
+  }
+}
