@@ -57,6 +57,33 @@ object DedupQueries {
       .exactDedup(dupCorpus(s, d), Seq("text"), "doc_id")
       .agg(count(lit(1)).as("n_docs"), sum("doc_id").cast(LongType).as("id_sum"))
 
+  /** Incremental (continuous-crawl) dedup: an incoming batch is deduped
+    * WITHIN itself (first doc per content key) and AGAINST the existing
+    * corpus state — which at scale is the bounded (content_key ->
+    * canonical_id) table, not the corpus: the anti-join touches only
+    * keys. Docs with id % 3 == 0 play the new batch; the rest are prior
+    * state. One intra-batch window + one key anti-join; the accepted-set
+    * id_sum pins exactly WHICH docs survive, not just how many.
+    */
+  private val incrementalDedup: Q = (s, d) => {
+    val keyed = documents(s, d)
+      .select(
+        col("doc_id"),
+        sha2(coalesce(TextStats.normText(col("text")), lit("")), 256).as("tkey"))
+    val state = keyed.filter(col("doc_id") % 3 =!= 0).select("tkey").distinct()
+    val incoming = keyed.filter(col("doc_id") % 3 === 0)
+    val firstInBatch = Dedup.exactDedup(incoming, Seq("tkey"), "doc_id")
+    val accepted = firstInBatch.join(state, Seq("tkey"), "left_anti")
+    incoming
+      .agg(count(lit(1)).as("n_incoming"))
+      .crossJoin(
+        firstInBatch.agg(count(lit(1)).as("n_first_in_batch")))
+      .crossJoin(
+        accepted.agg(
+          count(lit(1)).as("n_accepted"),
+          coalesce(sum("doc_id"), lit(0L)).cast(LongType).as("accepted_id_sum")))
+  }
+
   private val ngramJaccard: Q = (s, d) => {
     // measured: materializing the shingle table does NOT help here —
     // Spark already reuses the exchange across the self-join's two sides,
@@ -169,6 +196,7 @@ object DedupQueries {
     "dedup_pipeline_e2e" -> pipelineE2e,
     "dedup_clusters" -> clusters,
     "dedup_exact" -> exact,
+    "dedup_incremental" -> incrementalDedup,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
@@ -279,6 +307,21 @@ object DedupQueries {
         |  WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.6)
         |SELECT COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM exact_d WHERE doc_id NOT IN (SELECT doc_id FROM drop2)""".stripMargin,
+    "dedup_incremental" ->
+      """WITH n AS (SELECT doc_id,
+        |    coalesce(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '') AS t
+        |  FROM documents),
+        |inc AS (SELECT doc_id, t FROM n WHERE doc_id % 3 = 0),
+        |st AS (SELECT DISTINCT t FROM n WHERE doc_id % 3 <> 0),
+        |fib AS (SELECT doc_id, t FROM (
+        |    SELECT doc_id, t, ROW_NUMBER() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+        |    FROM inc) x WHERE rn = 1),
+        |acc AS (SELECT doc_id FROM fib
+        |  WHERE NOT EXISTS (SELECT 1 FROM st WHERE st.t = fib.t))
+        |SELECT (SELECT COUNT(*) FROM inc) AS n_incoming,
+        |  (SELECT COUNT(*) FROM fib) AS n_first_in_batch,
+        |  (SELECT COUNT(*) FROM acc) AS n_accepted,
+        |  (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM acc) AS accepted_id_sum""".stripMargin,
     "dedup_exact" ->
       """WITH all_docs AS (SELECT doc_id, text FROM documents
         |    UNION ALL

@@ -23,7 +23,8 @@ class PlanHealthSpec extends SparkSpec {
     "sim_topk_brute",         // deliberate exact baseline: 10 fixed queries broadcast
     "sim_topk_ivf",           // bounded centroid model
     "sketch_stats",           // scalar sketch subqueries
-    "shuffle_interleave")     // global-rank offsets over sequence groups
+    "shuffle_interleave",     // global-rank offsets over sequence groups
+    "dedup_incremental")      // three 1-row stage-summary aggregates crossed
 
   test("no cartesian products; NLJ only where operands are bounded") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
