@@ -221,6 +221,44 @@ object RelationalQueries {
       .orderBy("lo")
   }
 
+  /** TPC-H Q19-style disjunctive-predicate join: OR-of-ANDs mixing
+    * join-side and both-side predicates — the shape that exercises
+    * Catalyst's CNF conversion so each disjunct's part-side conjuncts
+    * still push to the part scan while the cross-side residual stays in
+    * the join condition.
+    */
+  private val q19: Q = (s, d) => {
+    val j = lineitem(s, d).join(part(s, d), col("l_partkey") === col("p_partkey"))
+    val disj =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+    j.filter(disj)
+      .agg(
+        sum(dec2(col("l_extendedprice")) * oneMinusDisc).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Explicit GROUPING SETS (the general form cube/rollup specialize):
+    * per-(status, priority), per-status, and grand total in one pass,
+    * with grouping_id disambiguating real NULLs from subtotal rows.
+    */
+  private val groupingSetsOrders: Q = (s, d) => {
+    orders(s, d).createOrReplaceTempView("__gs_orders")
+    s.sql(
+          """SELECT coalesce(o_orderstatus, '<all>') AS status,
+            |  coalesce(o_orderpriority, '<all>') AS priority,
+            |  grouping_id(o_orderstatus, o_orderpriority) AS gid,
+            |  count(1) AS n,
+            |  cast(sum(cast(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS price_sum
+            |FROM __gs_orders
+            |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+            |ORDER BY gid, status, priority""".stripMargin)
+  }
+
   /** Fixed-memory distinct-count sketches: deterministic KMV over the
     * portable md5-derived hash, estimate + exact side by side — fully
     * oracle-checked (DuckDB reproduces the k-minimum-values estimate
@@ -617,6 +655,8 @@ object RelationalQueries {
     "q13_order_distribution" -> q13,
     "percentiles_exact_rank" -> percentilesExactRank,
     "events_range_join" -> eventsRangeJoin,
+    "q19_disjunctive_join" -> q19,
+    "grouping_sets_orders" -> groupingSetsOrders,
     "rolling_7d_value" -> rolling7d,
     "corr_qty_price" -> corrQtyPrice,
     "order_deciles" -> orderDeciles,
@@ -666,6 +706,26 @@ object RelationalQueries {
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q19_disjunctive_join" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "grouping_sets_orders" ->
+      """SELECT coalesce(o_orderstatus, '<all>') AS status,
+        |  coalesce(o_orderpriority, '<all>') AS priority,
+        |  GROUPING(o_orderstatus, o_orderpriority) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS price_sum
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, status, priority""".stripMargin,
     "events_range_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events),
         |w AS (SELECT DISTINCT ms // 3600000 AS hr FROM e),
