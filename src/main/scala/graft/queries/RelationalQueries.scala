@@ -259,6 +259,23 @@ object RelationalQueries {
             |ORDER BY gid, status, priority""".stripMargin)
   }
 
+  /** Correlated scalar subquery (TPC-H Q17's shape): parts priced at
+    * their brand's minimum. Catalyst de-correlates this into a
+    * brand-keyed aggregate + equi-join (RewriteCorrelatedScalarSubquery)
+    * — the rewrite that makes correlated SQL scale instead of running
+    * the inner query per row.
+    */
+  private val q17Correlated: Q = (s, d) => {
+    part(s, d).createOrReplaceTempView("__q17_part")
+    s.sql(
+      """SELECT p_brand, count(1) AS n_min_priced,
+        |  cast(min(p_retailprice) AS DOUBLE) AS min_price
+        |FROM __q17_part p
+        |WHERE p_retailprice = (SELECT min(p2.p_retailprice)
+        |  FROM __q17_part p2 WHERE p2.p_brand = p.p_brand)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+  }
+
   /** Fixed-memory distinct-count sketches: deterministic KMV over the
     * portable md5-derived hash, estimate + exact side by side — fully
     * oracle-checked (DuckDB reproduces the k-minimum-values estimate
@@ -657,6 +674,7 @@ object RelationalQueries {
     "events_range_join" -> eventsRangeJoin,
     "q19_disjunctive_join" -> q19,
     "grouping_sets_orders" -> groupingSetsOrders,
+    "q17_correlated_min" -> q17Correlated,
     "rolling_7d_value" -> rolling7d,
     "corr_qty_price" -> corrQtyPrice,
     "order_deciles" -> orderDeciles,
@@ -706,6 +724,13 @@ object RelationalQueries {
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q17_correlated_min" ->
+      """SELECT p_brand, COUNT(*) AS n_min_priced,
+        |  CAST(MIN(p_retailprice) AS DOUBLE) AS min_price
+        |FROM part p
+        |WHERE p_retailprice = (SELECT MIN(p2.p_retailprice)
+        |  FROM part p2 WHERE p2.p_brand = p.p_brand)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q19_disjunctive_join" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
         |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
