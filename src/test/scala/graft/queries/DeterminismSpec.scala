@@ -23,6 +23,8 @@ class DeterminismSpec extends SparkSpec {
     "events_range_join",     // banded interval equi-join
     "sample_temperature",    // sqrt-rate mixing (IEEE determinism)
     "chunk_sliding_window",  // explode+slice chunker, md5 fingerprints
+    "dedup_incremental",     // key-state anti-join summary
+    "grouping_sets_orders",  // grouping_id bitmask + decimal sums
     "corpus_curation_funnel", // flag algebra + two windows
     "corr_qty_price",        // double assembly from exact sums
     "sim_topk_ivf")          // trained centroids + top-k
