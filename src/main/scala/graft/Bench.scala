@@ -54,6 +54,15 @@ object Bench {
         s""""agg":"min","failed":${failed.mkString("[", ",", "]")}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last_run.json"), line)
     println(line)
+    // The driver captures only the LAST ~2000 chars of stdout; the full
+    // line above overflowed that window in round 3 and truncated the
+    // total. Repeat the summary WITHOUT the per-query map as the final
+    // line so totals always land inside any tail capture (the full
+    // per-query map persists in bench_last_run.json either way).
+    println(
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},""" +
+        s""""sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"action":"noop_write",""" +
+        s""""reps":$reps,"agg":"min","failed":${failed.mkString("[", ",", "]")}}""")
     spark.stop()
   }
 }

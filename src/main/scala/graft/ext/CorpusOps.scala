@@ -198,12 +198,15 @@ object CorpusOps {
 
   /** Chunk assignment from an inclusive running token sum: the doc's
     * sequence is where its FIRST token lands; it straddles when its last
-    * token lands in a later chunk. budget a power of two keeps the
-    * double-division floor exact in both engines.
+    * token lands in a later chunk. Pure integer `div` end-to-end (the
+    * operands are non-negative longs, so truncating div == floor
+    * division == DuckDB `//`): no floating point anywhere in the chunk
+    * math, at any token count a 100-TB corpus can reach.
     */
-  private def chunkByCum(df: DataFrame, tokCol: String, cum: Column, budget: Long): DataFrame = {
-    val before = cum - col(tokCol)
-    df.withColumn("seq_id", floor(before / budget))
-      .withColumn("straddles", floor((cum - 1) / budget) > floor(before / budget))
-  }
+  private def chunkByCum(df: DataFrame, tokCol: String, cum: Column, budget: Long): DataFrame =
+    df.withColumn("__pk_cum", cum)
+      .withColumn("__pk_before", col("__pk_cum") - col(tokCol))
+      .withColumn("seq_id", expr(s"__pk_before div ${budget}L"))
+      .withColumn("straddles", expr(s"(__pk_cum - 1L) div ${budget}L") > col("seq_id"))
+      .drop("__pk_cum", "__pk_before")
 }

@@ -303,6 +303,99 @@ object CorpusQueries {
       .orderBy("pos")
   }
 
+  // ------------------------------------------------------------------
+  // Packing-pipeline PROBES. `pack_sequences`/`shuffle_interleave` have
+  // been rows-green/schema-green/hash-RED in the driver for two rounds
+  // while every local falsification (full DuckDB re-run, cpus=3 vs 8
+  // bit-identity, key-uniqueness, all-integer outputs) says green — a
+  // divergence only the driver's environment can see. These probes
+  // decompose the pipeline into separately-oracled stages so the
+  // driver's own green/red pattern localizes the diverging stage:
+  //   tok  — per-doc token counts            (pins withTok)
+  //   cum  — per-doc running sums            (pins Prefix.runningSum)
+  //   seq  — per-doc chunk assignment        (pins chunkByCum)
+  //   group— the grouped (source,seq_id) rows (pins the aggregation)
+  //   rank — the interleave position of every sequence (pins globalRank)
+  // Each emits a per-source sum of 30-bit row digests (portable md5
+  // hash of the stage's per-row values), so ANY single-cell divergence
+  // at that stage flips that probe red. All integers; sums stay far
+  // below 2^63.
+  // ------------------------------------------------------------------
+  private def digest9(c: org.apache.spark.sql.Column) =
+    pmod(graft.ext.Dedup.portableHash64(c), lit(1000000000L))
+
+  private def packedDocs(s: SparkSession, d: String): DataFrame =
+    CorpusOps
+      .packSequencesScalable(withTok(documents(s, d)), "source", "doc_id", "n_tok", 256L)
+      .withColumn("st", when(col("straddles"), 1L).otherwise(0L))
+
+  private val packProbeTok: Q = (s, d) =>
+    withTok(documents(s, d))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").cast(LongType).as("tok_sum"),
+        sum(digest9(concat(col("doc_id").cast(StringType), lit(":"),
+          col("n_tok").cast(StringType)))).cast(LongType).as("tok_digest"))
+      .orderBy("source")
+
+  private val packProbeCum: Q = (s, d) =>
+    graft.ext.Prefix
+      .runningSum(withTok(documents(s, d)), col("source"), Seq(col("doc_id")),
+        col("n_tok"), "cum")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max("cum").cast(LongType).as("cum_max"),
+        sum(digest9(concat(col("doc_id").cast(StringType), lit(":"),
+          col("cum").cast(StringType)))).cast(LongType).as("cum_digest"))
+      .orderBy("source")
+
+  private val packProbeSeq: Q = (s, d) =>
+    packedDocs(s, d)
+      .groupBy("source")
+      .agg(
+        max("seq_id").cast(LongType).as("max_seq"),
+        countDistinct("seq_id").as("n_seqs"),
+        sum("st").cast(LongType).as("n_straddle"),
+        sum(digest9(concat(col("doc_id").cast(StringType), lit(":"),
+          col("seq_id").cast(StringType), lit(":"),
+          col("st").cast(StringType)))).cast(LongType).as("seq_digest"))
+      .orderBy("source")
+
+  private val packProbeGroup: Q = (s, d) =>
+    packedDocs(s, d)
+      .groupBy("source", "seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").cast(LongType).as("tok_sum"),
+        sum("st").cast(LongType).as("n_straddle"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(digest9(concat(col("seq_id").cast(StringType), lit(":"),
+          col("n_docs").cast(StringType), lit(":"),
+          col("tok_sum").cast(StringType), lit(":"),
+          col("n_straddle").cast(StringType)))).cast(LongType).as("grp_digest"))
+      .orderBy("source")
+
+  private val packProbeRank: Q = (s, d) => {
+    val seqs = packedDocs(s, d)
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn(
+        "h",
+        graft.ext.Dedup.portableHash64(
+          concat(col("source"), lit("#"), col("seq_id").cast(StringType))))
+    graft.ext.Prefix
+      .globalRank(seqs, Seq(col("h"), col("source"), col("seq_id")), "pos")
+      .agg(
+        count(lit(1)).as("n_seqs"),
+        max("pos").cast(LongType).as("max_pos"),
+        sum(digest9(concat(col("pos").cast(StringType), lit(":"), col("source"),
+          lit("#"), col("seq_id").cast(StringType)))).cast(LongType).as("rank_digest"))
+  }
+
   /** Sliding-window chunking WITH OVERLAP (64-token windows, stride 48):
     * the intra-document chunker a RAG index or long-doc pretraining run
     * uses, distinct from [[CorpusOps.packSequences]]' inter-document
@@ -414,10 +507,34 @@ object CorpusQueries {
     "quality_filter" -> qualityFilter,
     "sample_stratified" -> sampleStratified,
     "pack_sequences" -> packSequences,
+    "pack_probe_tok" -> packProbeTok,
+    "pack_probe_cum" -> packProbeCum,
+    "pack_probe_seq" -> packProbeSeq,
+    "pack_probe_group" -> packProbeGroup,
+    "pack_probe_rank" -> packProbeRank,
     "corpus_curation_funnel" -> curationFunnel
   )
 
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+
+  /** DuckDB twin of [[digest9]]: 60-bit portable md5 hash mod 1e9. */
+  private def digSql(x: String) =
+    s"(CAST('0x' || substr(md5($x), 1, 15) AS BIGINT) % 1000000000)"
+
+  /** Shared probe prefix: per-doc token counts, running sums, and chunk
+    * assignment at budget 256 — the exact stages of `pack_sequences`.
+    */
+  private val probeBase =
+    s"""WITH n AS (SELECT source, doc_id,
+      |    CAST(len(string_split(coalesce($normSql, ''), ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (SELECT source, doc_id, n_tok,
+      |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM n),
+      |b AS (SELECT source, doc_id, n_tok, (cum - n_tok) // 256 AS seq_id,
+      |    CASE WHEN (cum - 1) // 256 > (cum - n_tok) // 256 THEN 1 ELSE 0 END AS st
+      |  FROM c)""".stripMargin
 
   private val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
 
@@ -642,6 +759,41 @@ object CorpusQueries {
         |  COUNT(DISTINCT source || '#' || CAST(seq_id AS VARCHAR)) AS n_sequences,
         |  CAST(SUM(straddle) AS BIGINT) AS n_straddle
         |FROM pb""".stripMargin,
+    "pack_probe_tok" ->
+      s"""$probeBase
+        |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
+        |  CAST(SUM(${digSql("CAST(doc_id AS VARCHAR) || ':' || CAST(n_tok AS VARCHAR)")}) AS BIGINT) AS tok_digest
+        |FROM n GROUP BY source ORDER BY source""".stripMargin,
+    "pack_probe_cum" ->
+      s"""$probeBase
+        |SELECT source, COUNT(*) AS n_docs, CAST(MAX(cum) AS BIGINT) AS cum_max,
+        |  CAST(SUM(${digSql("CAST(doc_id AS VARCHAR) || ':' || CAST(cum AS VARCHAR)")}) AS BIGINT) AS cum_digest
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "pack_probe_seq" ->
+      s"""$probeBase
+        |SELECT source, CAST(MAX(seq_id) AS BIGINT) AS max_seq,
+        |  COUNT(DISTINCT seq_id) AS n_seqs,
+        |  CAST(SUM(st) AS BIGINT) AS n_straddle,
+        |  CAST(SUM(${digSql("CAST(doc_id AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR) || ':' || CAST(st AS VARCHAR)")}) AS BIGINT) AS seq_digest
+        |FROM b GROUP BY source ORDER BY source""".stripMargin,
+    "pack_probe_group" ->
+      s"""$probeBase,
+        |g AS (SELECT source, seq_id, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS tok_sum, CAST(SUM(st) AS BIGINT) AS n_straddle
+        |  FROM b GROUP BY source, seq_id)
+        |SELECT source, COUNT(*) AS n_groups,
+        |  CAST(SUM(${digSql("CAST(seq_id AS VARCHAR) || ':' || CAST(n_docs AS VARCHAR) || ':' || CAST(tok_sum AS VARCHAR) || ':' || CAST(n_straddle AS VARCHAR)")}) AS BIGINT) AS grp_digest
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
+    "pack_probe_rank" ->
+      s"""$probeBase,
+        |q AS (SELECT source, seq_id FROM b GROUP BY source, seq_id),
+        |hh AS (SELECT *,
+        |    CAST('0x' || substr(md5(source || '#' || CAST(seq_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM q),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY h, source, seq_id) AS pos FROM hh)
+        |SELECT COUNT(*) AS n_seqs, CAST(MAX(pos) AS BIGINT) AS max_pos,
+        |  CAST(SUM(${digSql("CAST(pos AS VARCHAR) || ':' || source || '#' || CAST(seq_id AS VARCHAR)")}) AS BIGINT) AS rank_digest
+        |FROM r""".stripMargin,
     "pack_sequences" ->
       s"""WITH n AS (SELECT doc_id, source,
         |    CAST(len(string_split(coalesce($normSql, ''), ' ')) AS BIGINT) AS n_tok
