@@ -68,6 +68,15 @@ object CorpusQueries {
         count(lit(1)).as("n_docs"),
         sum("n_tok").cast(LongType).as("tok_sum"),
         sum(when(col("straddles"), 1L).otherwise(0L)).cast(LongType).as("n_straddle"))
+      // Canonical per-row digest over every other cell: if the driver
+      // reports hash-red while every digest VALUE matches, the divergence
+      // is in the harness's hashing of these frames, not in the data.
+      .withColumn(
+        "row_digest",
+        digest9(concat(col("source"), lit(":"), col("seq_id").cast(StringType),
+          lit(":"), col("n_docs").cast(StringType), lit(":"),
+          col("tok_sum").cast(StringType), lit(":"),
+          col("n_straddle").cast(StringType))).cast(LongType))
       .orderBy("source", "seq_id")
 
   /** The full curation funnel in one plan: quality-filter -> exact dedup
@@ -300,6 +309,14 @@ object CorpusQueries {
       .globalRank(seqs, Seq(col("h"), col("source"), col("seq_id")), "pos")
       .filter(col("pos") % 11 === 0)
       .select("pos", "source", "seq_id", "n_docs", "tok_sum")
+      // Same canonical-digest instrumentation as pack_sequences: a
+      // hash-red row with value-green digests indicts the harness hash.
+      .withColumn(
+        "row_digest",
+        digest9(concat(col("pos").cast(StringType), lit(":"), col("source"),
+          lit(":"), col("seq_id").cast(StringType), lit(":"),
+          col("n_docs").cast(StringType), lit(":"),
+          col("tok_sum").cast(StringType))).cast(LongType))
       .orderBy("pos")
   }
 
@@ -532,7 +549,7 @@ object CorpusQueries {
       |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM n),
-      |b AS (SELECT source, doc_id, n_tok, (cum - n_tok) // 256 AS seq_id,
+      |b AS (SELECT source, doc_id, n_tok, CAST((cum - n_tok) // 256 AS BIGINT) AS seq_id,
       |    CASE WHEN (cum - 1) // 256 > (cum - n_tok) // 256 THEN 1 ELSE 0 END AS st
       |  FROM c)""".stripMargin
 
@@ -649,14 +666,16 @@ object CorpusQueries {
         |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM n),
-        |b AS (SELECT source, (cum - n_tok) // 256 AS seq_id, n_tok FROM c),
+        |b AS (SELECT source, CAST((cum - n_tok) // 256 AS BIGINT) AS seq_id, n_tok FROM c),
         |q AS (SELECT source, seq_id, COUNT(*) AS n_docs,
         |    CAST(SUM(n_tok) AS BIGINT) AS tok_sum
         |  FROM b GROUP BY source, seq_id),
         |hh AS (SELECT *, CAST('0x' || substr(md5(source || '#' || CAST(seq_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
         |  FROM q),
         |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY h, source, seq_id) AS pos FROM hh)
-        |SELECT pos, source, seq_id, n_docs, tok_sum FROM r WHERE pos % 11 = 0
+        |SELECT pos, source, seq_id, n_docs, tok_sum,
+        |  CAST(${digSql("CAST(pos AS VARCHAR) || ':' || source || ':' || CAST(seq_id AS VARCHAR) || ':' || CAST(n_docs AS VARCHAR) || ':' || CAST(tok_sum AS VARCHAR)")} AS BIGINT) AS row_digest
+        |FROM r WHERE pos % 11 = 0
         |ORDER BY pos""".stripMargin,
     "contamination_audit" ->
       s"""WITH nn AS (SELECT doc_id, $normSql AS t FROM documents),
@@ -802,12 +821,15 @@ object CorpusQueries {
         |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM n),
-        |b AS (SELECT source, n_tok, (cum - n_tok) // 256 AS seq_id,
+        |b AS (SELECT source, n_tok, CAST((cum - n_tok) // 256 AS BIGINT) AS seq_id,
         |    CASE WHEN (cum - 1) // 256 > (cum - n_tok) // 256 THEN 1 ELSE 0 END AS straddle
-        |  FROM c)
-        |SELECT source, seq_id, COUNT(*) AS n_docs,
-        |  CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
-        |  CAST(SUM(straddle) AS BIGINT) AS n_straddle
-        |FROM b GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin
+        |  FROM c),
+        |g AS (SELECT source, seq_id, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
+        |    CAST(SUM(straddle) AS BIGINT) AS n_straddle
+        |  FROM b GROUP BY source, seq_id)
+        |SELECT source, seq_id, n_docs, tok_sum, n_straddle,
+        |  CAST(${digSql("source || ':' || CAST(seq_id AS VARCHAR) || ':' || CAST(n_docs AS VARCHAR) || ':' || CAST(tok_sum AS VARCHAR) || ':' || CAST(n_straddle AS VARCHAR)")} AS BIGINT) AS row_digest
+        |FROM g ORDER BY source, seq_id""".stripMargin
   )
 }

@@ -44,6 +44,19 @@ def main():
             continue
         s = s.sort_values(by=list(s.columns), ignore_index=True)
         o = o.sort_values(by=list(o.columns), ignore_index=True)
+        # Driver-parity dtype KIND check: the driver hashes value
+        # renderings, so an int64 Spark column vs a float64 oracle column
+        # (e.g. a DuckDB HUGEINT from SUM(BIGINT) fetched as float64)
+        # hash-mismatches in the driver (3 vs 3.0) even though
+        # assert_frame_equal(check_dtype=False) calls them equal. This
+        # exact gap hid the pack_sequences/shuffle_interleave driver-red
+        # for two rounds. Width differences (int32 vs int64) render
+        # identically and stay allowed.
+        kind_bad = [c for c in s.columns if s[c].dtype.kind != o[c].dtype.kind]
+        if kind_bad:
+            results[name] = ("DTYPE-KIND mismatch (driver would hash-fail): " +
+                ", ".join(f"{c}: spark={s[c].dtype} duck={o[c].dtype}" for c in kind_bad))
+            continue
         try:
             pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
             results[name] = "OK"
