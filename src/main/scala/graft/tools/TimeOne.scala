@@ -22,8 +22,11 @@ object TimeOne {
     spark.range(1000000).selectExpr("sum(id % 7)").collect()
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s (rows=$n)")
+      // Same action as Bench: noop-format write consumes every row of the
+      // final plan (count() would let Catalyst prune top-level sorts and
+      // report times Bench can never reproduce).
+      SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+      println(f"run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }
