@@ -332,6 +332,137 @@ object Multimodal {
       }
   }
 
+  /** AVI container metadata + the byte spans of its video frame chunks.
+    * Spans point into the original payload (no frame copies at parse
+    * time); `totalFrames`/`microsPerFrame` come from the `avih` header,
+    * `frames` from the actual `##db`/`##dc` chunks in the `movi` list.
+    */
+  case class AviMeta(
+      width: Int,
+      height: Int,
+      microsPerFrame: Long,
+      totalFrames: Long,
+      frames: Array[(Int, Int)])
+
+  /** REAL video container path: a RIFF/AVI walk in pure JVM code — no
+    * codec libraries. Parses the standard layout
+    * (`RIFF('AVI ' LIST('hdrl' avih ...) LIST('movi' 00db/00dc ...))`):
+    * chunks are fourcc + little-endian u32 size + data padded to even
+    * offsets; `LIST` chunks nest. Returns None unless the payload is a
+    * well-formed RIFF AVI with an `avih` header, so arbitrary binary
+    * corpora degrade to the stub lane row-by-row. Frame DECODE (the
+    * per-frame pixel codec) is deliberately out of scope — sandbox JVMs
+    * ship no video codecs — but container structure, frame boundaries,
+    * and per-frame identity are fully real.
+    */
+  def parseAvi(payload: Array[Byte]): Option[AviMeta] = {
+    def u32(o: Int): Long =
+      if (o < 0 || o + 4 > payload.length) -1L
+      else ((payload(o) & 0xffL)) | ((payload(o + 1) & 0xffL) << 8) |
+        ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    def fourcc(o: Int, s: String): Boolean =
+      o + 4 <= payload.length && (0 until 4).forall(i => payload(o + i) == s.charAt(i).toByte)
+    def isFrameChunk(o: Int): Boolean = {
+      // stream-numbered video chunk: two ASCII digits + "db" (uncompressed)
+      // or "dc" (compressed)
+      if (o + 4 > payload.length) return false
+      val d0 = payload(o); val d1 = payload(o + 1)
+      val suf = (payload(o + 2).toChar, payload(o + 3).toChar)
+      d0 >= '0' && d0 <= '9' && d1 >= '0' && d1 <= '9' &&
+      (suf == ('d', 'b') || suf == ('d', 'c'))
+    }
+    if (payload.length < 12 || !fourcc(0, "RIFF") || !fourcc(8, "AVI ")) return None
+    val riffEnd = math.min(payload.length.toLong, 8L + u32(4)).toInt
+    var avih: Option[(Int, Int, Long, Long)] = None
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    // iterative chunk walk (explicit stack — malformed nesting can't
+    // blow the JVM stack); a chunk whose declared size overruns its
+    // enclosing region ends that region's walk, never reads past it
+    var regions = List((12, riffEnd))
+    while (regions.nonEmpty) {
+      val (start, end) = regions.head
+      regions = regions.tail
+      var o = start
+      while (o + 8 <= end) {
+        val size = u32(o + 4)
+        val dataEnd = o + 8 + size
+        if (size < 0 || dataEnd > end) { o = end } // malformed: stop region
+        else {
+          if (fourcc(o, "LIST") && size >= 4) {
+            regions = ((o + 12, dataEnd.toInt)) :: regions
+          } else if (fourcc(o, "avih") && size >= 40) {
+            val d = o + 8
+            avih = Some((u32(d + 32).toInt, u32(d + 36).toInt, u32(d), u32(d + 16)))
+          } else if (isFrameChunk(o)) {
+            frames += ((o + 8, size.toInt))
+          }
+          o = (dataEnd + (size & 1L)).toInt // chunks pad to even offsets
+        }
+      }
+    }
+    avih.map { case (w, h, mpf, tf) => AviMeta(w, h, mpf, tf, frames.toArray) }
+  }
+
+  case class VideoFeatures(
+      doc_id: Long,
+      byte_len: Int,
+      width: Int,
+      height: Int,
+      total_frames: Long,
+      n_frame_chunks: Long,
+      micros_per_frame: Long,
+      decoded: Boolean,
+      frame_hashes: Array[Long])
+
+  /** Video featurizer in the shared mapPartitions batch shape: AVI rows
+    * get container metadata plus per-frame identity hashes (portable
+    * 60-bit md5 of each frame chunk's bytes, evenly sampled down to
+    * `maxFrames` so output width stays bounded on hour-long payloads);
+    * everything else degrades to the stub lane — a single whole-payload
+    * hash, flagged `decoded = false` — same contract as
+    * [[extractImageFeatures]]/[[extractAudioFeatures]].
+    */
+  def extractVideoFeatures(
+      binarized: DataFrame,
+      maxFrames: Int = 32,
+      batchSize: Int = 64): Dataset[VideoFeatures] = {
+    val spark = binarized.sparkSession
+    import spark.implicits._
+    binarized
+      .select(col("doc_id").cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          batch.iterator.map { case (id, rawPayload) =>
+            val payload = if (rawPayload == null) Array.emptyByteArray else rawPayload
+            (try parseAvi(payload)
+            catch { case scala.util.control.NonFatal(_) => None }) match {
+              case Some(m) =>
+                val n = m.frames.length
+                val take = math.min(n, maxFrames)
+                val hashes = Array.tabulate(take) { i =>
+                  // even integer-index sampling (same scheme as
+                  // pcmRmsWindows): frame i*n/take — deterministic, first
+                  // frame always included
+                  val (off, len) = m.frames(i * n / take)
+                  md.reset()
+                  md.update(payload, off, len)
+                  org.apache.spark.sql.graftnative.PortableMd5.prefix60(md.digest())
+                }
+                VideoFeatures(
+                  id, payload.length, m.width, m.height, m.totalFrames,
+                  n.toLong, m.microsPerFrame, decoded = true, hashes)
+              case None =>
+                VideoFeatures(
+                  id, payload.length, -1, -1, -1L, -1L, -1L,
+                  decoded = false, Array(portableHash60(md, payload)))
+            }
+          }
+        }
+      }
+  }
+
   /** Batch-shaped feature extraction over (doc_id, payload) rows.
     * `mapPartitions` + an inner batch loop of `batchSize` mirrors the
     * Arrow-batch contract of `mapInPandas`: per-batch amortized decode

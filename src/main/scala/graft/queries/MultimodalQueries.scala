@@ -106,12 +106,41 @@ object MultimodalQueries {
         dsum(col("value")).as("value_sum"))
       .orderBy("k_mod")
 
+  /** Video featurizer over the text corpus: no document is an AVI, so
+    * every row must take the flagged fallback lane (`n_decoded = 0` is
+    * asserted by the oracle's literal) with the whole-payload portable
+    * hash as its single frame hash — pinning the fallback contract and
+    * the featurize -> join-back -> aggregate plumbing. The REAL RIFF/AVI
+    * parse (header metadata, frame-chunk spans, even-padding walk) is
+    * pinned by VideoCodecSpec on synthetic AVIs.
+    */
+  private val mediaVideoMeta: Q = (s, d) => {
+    val docs = documents(s, d)
+    Multimodal
+      .extractVideoFeatures(Multimodal.binarize(docs))
+      .toDF()
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(
+        col("source"),
+        col("byte_len"),
+        (col("frame_hashes")(0) % 1000000L).as("h_u"),
+        when(col("decoded"), 1L).otherwise(0L).as("dec"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("dec").cast(LongType).as("n_decoded"),
+        sum("byte_len").cast(LongType).as("total_bytes"),
+        sum("h_u").cast(LongType).as("sum_h_u"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "props_typed_map" -> propsTypedMap,
     "props_extract" -> propsExtract,
     "binary_meta" -> binaryMeta,
     "media_features_stub" -> mediaFeatures,
-    "media_frame_hashes" -> mediaFrames
+    "media_frame_hashes" -> mediaFrames,
+    "media_video_meta" -> mediaVideoMeta
   )
 
   val oracle: Map[String, String] = Map(
@@ -154,6 +183,15 @@ object MultimodalQueries {
         |  FROM documents WHERE octet_length(encode(text)) > 0)
         |SELECT source, COUNT(*) AS n_frames, COUNT(DISTINCT fh) AS n_distinct,
         |  MIN(fh) AS min_fh
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "media_video_meta" ->
+      """WITH f AS (SELECT source,
+        |    octet_length(encode(text)) AS byte_len,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 1000000 AS h_u
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs, CAST(0 AS BIGINT) AS n_decoded,
+        |  CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(h_u) AS BIGINT) AS sum_h_u
         |FROM f GROUP BY source ORDER BY source""".stripMargin
   )
 }
