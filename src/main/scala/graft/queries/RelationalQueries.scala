@@ -276,6 +276,113 @@ object RelationalQueries {
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
   }
 
+  /** TPC-H Q2's shape (min-cost supplier): correlated scalar subquery
+    * whose inner query is itself a JOIN (region-filtered suppliers), so
+    * Catalyst must de-correlate an aggregate-over-join, not just an
+    * aggregate-over-scan. The region/nation dimension join broadcasts;
+    * the de-correlated min joins back on the part key. (No partsupp
+    * table in the fixture — lineitem is the part↔supplier relation.)
+    */
+  private val q2MinCost: Q = (s, d) => {
+    lineitem(s, d).createOrReplaceTempView("__q2_lineitem")
+    part(s, d).createOrReplaceTempView("__q2_part")
+    supplier(s, d).createOrReplaceTempView("__q2_supplier")
+    nation(s, d).createOrReplaceTempView("__q2_nation")
+    region(s, d).createOrReplaceTempView("__q2_region")
+    s.sql(
+      """WITH eu AS (SELECT s_suppkey FROM __q2_supplier
+        |    JOIN __q2_nation ON s_nationkey = n_nationkey
+        |    JOIN __q2_region ON n_regionkey = r_regionkey
+        |    WHERE r_name = 'EUROPE')
+        |SELECT p_brand, count(1) AS n_offers,
+        |  count(DISTINCT l.l_partkey) AS n_parts,
+        |  cast(min(l.l_extendedprice) AS DOUBLE) AS min_price
+        |FROM __q2_lineitem l
+        |JOIN __q2_part p ON l.l_partkey = p.p_partkey
+        |JOIN eu ON l.l_suppkey = eu.s_suppkey
+        |WHERE l.l_extendedprice = (
+        |  SELECT min(l2.l_extendedprice)
+        |  FROM __q2_lineitem l2 JOIN eu e2 ON l2.l_suppkey = e2.s_suppkey
+        |  WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+  }
+
+  /** TPC-H Q11's shape (important stock): per-key aggregate filtered
+    * against a fraction of the SAME aggregate's global total — the
+    * aggregate-vs-rescan-of-itself family. The threshold is one IEEE
+    * multiply of a decimal-exact total, so the comparison is
+    * bit-deterministic cross-engine; per-part revenue is decimal-summed.
+    */
+  private val q11Important: Q = (s, d) => {
+    lineitem(s, d).createOrReplaceTempView("__q11_lineitem")
+    part(s, d).createOrReplaceTempView("__q11_part")
+    s.sql(
+      """WITH pr AS (SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+        |  FROM __q11_lineitem GROUP BY l_partkey)
+        |SELECT p_brand, COUNT(1) AS n_parts,
+        |  CAST(SUM(CAST(rev AS DECIMAL(12,2))) AS DOUBLE) AS rev_sum
+        |FROM pr JOIN __q11_part ON p_partkey = l_partkey
+        |WHERE rev > (SELECT CAST(SUM(CAST(rev AS DECIMAL(12,2))) AS DOUBLE)
+        |  FROM pr) * 0.0006
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+  }
+
+  /** TPC-H Q15's shape (top supplier): a revenue "view" referenced twice
+    * — once as the join input, once under MAX — the view-reuse family
+    * (Catalyst plans the CTE once per reference; the decimal-exact
+    * revenue makes the equality join against MAX deterministic).
+    */
+  private val q15TopSupplier: Q = (s, d) => {
+    lineitem(s, d).createOrReplaceTempView("__q15_lineitem")
+    supplier(s, d).createOrReplaceTempView("__q15_supplier")
+    s.sql(
+      """WITH revenue AS (SELECT l_suppkey AS supplier_no,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)
+        |      AS total_revenue
+        |  FROM __q15_lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM __q15_supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  /** TPC-H Q20's shape (excess suppliers): nested IN subqueries (supplier
+    * IN grouped-lineitem IN name-filtered-parts) with a scalar-subquery
+    * threshold inside the HAVING — the deepest subquery nesting in the
+    * set; every membership test rewrites to a semi-join, quantities are
+    * decimal-summed on both sides of the threshold.
+    */
+  private val q20Excess: Q = (s, d) => {
+    lineitem(s, d).createOrReplaceTempView("__q20_lineitem")
+    part(s, d).createOrReplaceTempView("__q20_part")
+    supplier(s, d).createOrReplaceTempView("__q20_supplier")
+    nation(s, d).createOrReplaceTempView("__q20_nation")
+    s.sql(
+      """SELECT s.s_suppkey, s.s_name
+        |FROM __q20_supplier s JOIN __q20_nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE n.n_name IN ('NATION_0', 'NATION_5', 'NATION_10', 'NATION_15')
+        |  AND s.s_suppkey IN (
+        |    SELECT l_suppkey FROM __q20_lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM __q20_part
+        |        WHERE p_name LIKE 'small%')
+        |      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    GROUP BY l_suppkey
+        |    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) >
+        |      (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) * 0.011
+        |       FROM __q20_lineitem
+        |       WHERE l_partkey IN (SELECT p_partkey FROM __q20_part
+        |           WHERE p_name LIKE 'small%')
+        |         AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |         AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
+        |ORDER BY s.s_suppkey""".stripMargin)
+  }
+
   /** Fixed-memory distinct-count sketches: deterministic KMV over the
     * portable md5-derived hash, estimate + exact side by side — fully
     * oracle-checked (DuckDB reproduces the k-minimum-values estimate
@@ -673,6 +780,10 @@ object RelationalQueries {
     "percentiles_exact_rank" -> percentilesExactRank,
     "events_range_join" -> eventsRangeJoin,
     "q19_disjunctive_join" -> q19,
+    "q2_min_cost_supplier" -> q2MinCost,
+    "q11_important_parts" -> q11Important,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q20_excess_suppliers" -> q20Excess,
     "grouping_sets_orders" -> groupingSetsOrders,
     "q17_correlated_min" -> q17Correlated,
     "rolling_7d_value" -> rolling7d,
@@ -731,6 +842,64 @@ object RelationalQueries {
         |WHERE p_retailprice = (SELECT MIN(p2.p_retailprice)
         |  FROM part p2 WHERE p2.p_brand = p.p_brand)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH eu AS (SELECT s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |    WHERE r_name = 'EUROPE')
+        |SELECT p_brand, COUNT(1) AS n_offers,
+        |  COUNT(DISTINCT l.l_partkey) AS n_parts,
+        |  CAST(MIN(l.l_extendedprice) AS DOUBLE) AS min_price
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN eu ON l.l_suppkey = eu.s_suppkey
+        |WHERE l.l_extendedprice = (
+        |  SELECT MIN(l2.l_extendedprice)
+        |  FROM lineitem l2 JOIN eu e2 ON l2.l_suppkey = e2.s_suppkey
+        |  WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q11_important_parts" ->
+      """WITH pr AS (SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT p_brand, COUNT(1) AS n_parts,
+        |  CAST(SUM(CAST(rev AS DECIMAL(12,2))) AS DOUBLE) AS rev_sum
+        |FROM pr JOIN part ON p_partkey = l_partkey
+        |WHERE rev > (SELECT CAST(SUM(CAST(rev AS DECIMAL(12,2))) AS DOUBLE)
+        |  FROM pr) * 0.0006
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (SELECT l_suppkey AS supplier_no,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q20_excess_suppliers" ->
+      """SELECT s.s_suppkey, s.s_name
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE n.n_name IN ('NATION_0', 'NATION_5', 'NATION_10', 'NATION_15')
+        |  AND s.s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part
+        |        WHERE p_name LIKE 'small%')
+        |      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    GROUP BY l_suppkey
+        |    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) >
+        |      (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) * 0.011
+        |       FROM lineitem
+        |       WHERE l_partkey IN (SELECT p_partkey FROM part
+        |           WHERE p_name LIKE 'small%')
+        |         AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |         AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
+        |ORDER BY s.s_suppkey""".stripMargin,
     "q19_disjunctive_join" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
         |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
