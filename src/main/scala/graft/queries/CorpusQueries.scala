@@ -79,6 +79,25 @@ object CorpusQueries {
           col("n_straddle").cast(StringType))).cast(LongType))
       .orderBy("source", "seq_id")
 
+  /** Length-bucketed batching audit: bucket docs by token count (64-token
+    * buckets — the bucketed-batching pass that minimizes padding waste in
+    * fixed-shape training batches) and report per-bucket doc/token
+    * tallies plus the padding overhead batching this bucket to its max
+    * length would cost. Pure integer math at scan speed; one aggregate.
+    */
+  private val lengthBuckets: Q = (s, d) =>
+    withTok(documents(s, d))
+      .withColumn("bucket", expr("n_tok div 64L"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").cast(LongType).as("tok_sum"),
+        max("n_tok").cast(LongType).as("max_tok"))
+      .withColumn(
+        "padded_tokens",
+        (col("n_docs") * col("max_tok") - col("tok_sum")).cast(LongType))
+      .orderBy("bucket")
+
   /** The full curation funnel in one plan: quality-filter -> exact dedup
     * (by normalized text) -> stratified downsample -> pack into 2048-token
     * sequences, reporting the per-stage survivor counts plus final packed
@@ -524,6 +543,7 @@ object CorpusQueries {
     "quality_filter" -> qualityFilter,
     "sample_stratified" -> sampleStratified,
     "pack_sequences" -> packSequences,
+    "length_buckets" -> lengthBuckets,
     "pack_probe_tok" -> packProbeTok,
     "pack_probe_cum" -> packProbeCum,
     "pack_probe_seq" -> packProbeSeq,
@@ -778,6 +798,14 @@ object CorpusQueries {
         |  COUNT(DISTINCT source || '#' || CAST(seq_id AS VARCHAR)) AS n_sequences,
         |  CAST(SUM(straddle) AS BIGINT) AS n_straddle
         |FROM pb""".stripMargin,
+    "length_buckets" ->
+      s"""WITH n AS (SELECT CAST(len(string_split(coalesce($normSql, ''), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |b AS (SELECT n_tok, n_tok // 64 AS bucket FROM n)
+        |SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
+        |  CAST(MAX(n_tok) AS BIGINT) AS max_tok,
+        |  CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT) AS padded_tokens
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "pack_probe_tok" ->
       s"""$probeBase
         |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum,

@@ -123,7 +123,58 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** Bigram language-model scoring — the perplexity-proxy quality filter
+    * a pretraining pipeline runs with a small LM, expressed entirely in
+    * the engine: "train" the LM as a corpus-wide bigram-count aggregate
+    * (p(t2|t1) in integer millionths — (c_pair * 1e6) div c_prefix, so
+    * the model is exact and engine-portable), then score every document
+    * by joining its bigram instances back against the model (average
+    * conditional probability, integer div). High-scoring docs are
+    * predictable/repetitive text, low-scoring docs are unusual — the
+    * same decision axis as a real LM filter, with zero floating point.
+    * Scale shape: the model is a bigram-keyed aggregate (vocabulary²
+    * bound, sub-linear in corpus size); scoring is one equi-join on the
+    * bigram key — no broadcast of unbounded state, no driver loops.
+    */
+  private val lmBigramScore: Q = (s, d) => {
+    val docs = documents(s, d)
+    val bi = docs
+      .select(col("doc_id"), col("source"), split(normText(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(
+        col("doc_id"),
+        col("source"),
+        explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+          .as("bigram"))
+      // the exploded bigram relation feeds BOTH the model aggregate and
+      // the scoring join; materialize it once instead of re-exploding
+      // (the branches' differing aggregations defeat exchange reuse)
+      .localCheckpoint(true)
+    val counts = bi.groupBy("bigram").agg(count(lit(1)).as("c_pair"))
+    val prefixCounts = counts
+      .withColumn("prefix", substring_index(col("bigram"), " ", 1))
+      .groupBy("prefix")
+      .agg(sum("c_pair").cast(LongType).as("c_prefix"))
+    val model = counts
+      .withColumn("prefix", substring_index(col("bigram"), " ", 1))
+      .join(prefixCounts, Seq("prefix"))
+      .select(col("bigram"), expr("(c_pair * 1000000L) div c_prefix").as("p_u"))
+    bi.join(model, Seq("bigram"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_bi"), sum("p_u").cast(LongType).as("p_sum"))
+      .withColumn("score_u", expr("p_sum div n_bi"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("score_u").cast(LongType).as("score_sum"),
+        min("score_u").cast(LongType).as("score_min"),
+        max("score_u").cast(LongType).as("score_max"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_lm_score" -> lmBigramScore,
     "text_vocab_oov" -> vocabOov,
     "text_tfidf_top" -> tfidfTop,
     "text_bigram_top" -> bigrams,
@@ -135,6 +186,25 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_lm_score" ->
+      """WITH n AS (SELECT doc_id, source,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+        |tk AS (SELECT doc_id, source, string_split(t, ' ') AS toks FROM n
+        |  WHERE len(string_split(t, ' ')) >= 2),
+        |b AS (SELECT doc_id, source, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM tk),
+        |cnt AS (SELECT bigram, COUNT(*) AS c_pair FROM b GROUP BY bigram),
+        |pre AS (SELECT split_part(bigram, ' ', 1) AS prefix,
+        |    CAST(SUM(c_pair) AS BIGINT) AS c_prefix FROM cnt GROUP BY 1),
+        |model AS (SELECT bigram, (c_pair * 1000000) // c_prefix AS p_u
+        |  FROM cnt JOIN pre ON split_part(cnt.bigram, ' ', 1) = pre.prefix),
+        |ds AS (SELECT doc_id, source, COUNT(*) AS n_bi, CAST(SUM(p_u) AS BIGINT) AS p_sum
+        |  FROM b JOIN model USING (bigram) GROUP BY 1, 2),
+        |sc AS (SELECT source, p_sum // n_bi AS score_u FROM ds)
+        |SELECT source, COUNT(*) AS n_docs, CAST(SUM(score_u) AS BIGINT) AS score_sum,
+        |  CAST(MIN(score_u) AS BIGINT) AS score_min,
+        |  CAST(MAX(score_u) AS BIGINT) AS score_max
+        |FROM sc GROUP BY source ORDER BY source""".stripMargin,
     "text_vocab_oov" ->
       """WITH n AS (SELECT doc_id, lang, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
         |  FROM documents),
