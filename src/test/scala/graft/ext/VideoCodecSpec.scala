@@ -107,6 +107,28 @@ class VideoCodecSpec extends graft.SparkSpec {
     assert(rows(2L).byte_len == truncated.length)
   }
 
+  test("parseAvi never throws on arbitrary bytes (fuzz, incl. RIFF-prefixed)") {
+    val rnd = new scala.util.Random(31415)
+    (1 to 500).foreach { i =>
+      val len = rnd.nextInt(200)
+      val b = new Array[Byte](len)
+      rnd.nextBytes(b)
+      // half the cases: force plausible RIFF/AVI magic so the walker runs
+      if (i % 2 == 0 && len >= 12) {
+        "RIFF".getBytes("US-ASCII").copyToArray(b, 0)
+        "AVI ".getBytes("US-ASCII").copyToArray(b, 8)
+      }
+      Multimodal.parseAvi(b) // must return, not throw
+    }
+    // adversarial declared sizes: negative-as-unsigned and max-u32 chunk
+    // sizes inside a valid RIFF envelope must terminate without reading
+    // out of bounds
+    val evil = "RIFF".getBytes("US-ASCII") ++ le32(0xffffffffL) ++
+      "AVI ".getBytes("US-ASCII") ++ "avih".getBytes("US-ASCII") ++
+      le32(0xfffffff0L) ++ Array.fill[Byte](8)(1)
+    assert(Multimodal.parseAvi(evil).isEmpty)
+  }
+
   test("mixed corpus routes video rows to the codec lane only") {
     val v = avi(4, 4, 1000L, Seq("x".getBytes("UTF-8")))
     val rows = Seq((1L, v), (2L, "text doc".getBytes("UTF-8")))
