@@ -24,6 +24,29 @@ object MultimodalQueries {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .orderBy("k_bucket")
 
+  /** Spark 4 VariantType lane: `parse_json` turns the props string into
+    * an open-schema variant (the modern semi-structured column type —
+    * binary-encoded, shreddable, no schema declaration), `variant_get`
+    * path-extracts with a target type, and `is_variant_null` guards
+    * missing paths. This is the engine-native alternative to both the
+    * regexp lane (propsExtract) and the fixed-schema from_json lane
+    * (propsTypedMap): at 100 TB the variant encoding parses once at scan
+    * and every downstream path access is a cheap binary probe, not a
+    * re-parse. Aggregates stay integer/decimal-exact.
+    */
+  private val propsVariant: Q = (s, d) =>
+    events(s, d)
+      .withColumn("vp", parse_json(col("props")))
+      .withColumn("k", expr("variant_get(vp, '$.k', 'long')"))
+      .withColumn("missing", expr("variant_get(vp, '$.absent', 'long')"))
+      .groupBy((col("k") % 7).as("k_mod7"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("missing").isNull, 1L).otherwise(0L)).cast(LongType).as("n_no_absent"),
+        sum("k").cast(LongType).as("k_sum"),
+        dsum(col("value")).as("value_sum"))
+      .orderBy("k_mod7")
+
   /** Binary payload stats per source: byte totals + sha256 distincts. */
   private val binaryMeta: Q = (s, d) =>
     documents(s, d)
@@ -136,6 +159,7 @@ object MultimodalQueries {
 
   val queries: Map[String, Q] = Map(
     "props_typed_map" -> propsTypedMap,
+    "props_variant" -> propsVariant,
     "props_extract" -> propsExtract,
     "binary_meta" -> binaryMeta,
     "media_features_stub" -> mediaFeatures,
@@ -144,6 +168,15 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "props_variant" ->
+      """WITH x AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |    CAST(json_extract(props, '$.absent') AS BIGINT) AS missing, value
+        |  FROM events)
+        |SELECT k % 7 AS k_mod7, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN missing IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_absent,
+        |  CAST(SUM(k) AS BIGINT) AS k_sum,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+        |FROM x GROUP BY 1 ORDER BY k_mod7""".stripMargin,
     "props_typed_map" ->
       """WITH x AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value
         |  FROM events)

@@ -383,6 +383,189 @@ object RelationalQueries {
         |ORDER BY s.s_suppkey""".stripMargin)
   }
 
+  /** TPC-H Q7's shape (volume shipping): the same dimension table joined
+    * in TWO roles — supplier nation and customer nation — with a
+    * cross-pair predicate, grouped by the (supp, cust, year) triple.
+    * Both nation joins broadcast; the fact side shuffles once per key.
+    */
+  private val q7Volume: Q = (s, d) => {
+    val n1 = broadcast(nation(s, d).select(
+      col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(nation(s, d).select(
+      col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation")))
+    val pair = Seq("NATION_2", "NATION_7")
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("sn_key"))
+      .join(n2, col("c_nationkey") === col("cn_key"))
+      .filter(
+        (col("supp_nation") === pair(0) && col("cust_nation") === pair(1)) ||
+          (col("supp_nation") === pair(1) && col("cust_nation") === pair(0)))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec2(col("l_extendedprice")) * oneMinusDisc).cast(DoubleType).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8's shape (market share): per-year ratio of one nation's
+    * decimal-exact revenue to the region total — conditional aggregation
+    * feeding a single final IEEE division, so the share is bit-identical
+    * cross-engine. The CASE puts zeros (not nulls) in the numerator so
+    * empty-nation years still produce exact 0.0 shares.
+    */
+  private val q8Share: Q = (s, d) => {
+    val rev = dec2(col("l_extendedprice")) * oneMinusDisc
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(
+        broadcast(nation(s, d).select(
+          col("n_nationkey").as("cn_key"), col("n_regionkey").as("c_region"))),
+        col("c_nationkey") === col("cn_key"))
+      .join(
+        broadcast(nation(s, d).select(
+          col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .join(
+        broadcast(region(s, d)).filter(col("r_name") === "ASIA"),
+        col("c_region") === col("r_regionkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_9", rev)
+          .otherwise(lit(0).cast(DecimalType(17, 4)))).cast(DoubleType).as("nation_rev"),
+        sum(rev).cast(DoubleType).as("total_rev"))
+      .select(
+        col("o_year"),
+        col("nation_rev"),
+        col("total_rev"),
+        (col("nation_rev") / col("total_rev")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q9's shape (product-type profit): profit = revenue minus cost
+    * (retail price × quantity stands in for ps_supplycost), all in exact
+    * decimal space until the final double render; grouped by supplier
+    * nation × year over a name-filtered part slice.
+    */
+  private val q9Profit: Q = (s, d) => {
+    val profit =
+      dec2(col("l_extendedprice")) * oneMinusDisc -
+        dec2(col("p_retailprice")) * dec2(col("l_quantity"))
+    lineitem(s, d)
+      .join(part(s, d).filter(col("p_name").like("%widget%")),
+        col("l_partkey") === col("p_partkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("n_items"), sum(profit).cast(DoubleType).as("sum_profit"))
+      .orderBy(asc("nation"), desc("o_year"))
+  }
+
+  /** TPC-H Q12's shape (shipmode priority audit): fact-fact join feeding
+    * two complementary conditional counts per class (the fixture carries
+    * no l_shipmode; l_returnflag plays the class axis).
+    */
+  private val q12Priority: Q = (s, d) =>
+    lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= tsLit("1998-01-01 00:00:00") &&
+          col("l_shipdate") < tsLit("1999-01-01 00:00:00"))
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag").as("ship_class"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+          .cast(LongType).as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+          col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+          .cast(LongType).as("low_line_count"))
+      .orderBy("ship_class")
+
+  /** TPC-H Q16's shape (supplier census with an exclusion list): COUNT
+    * DISTINCT per (brand, type, size) where the supplier key must NOT be
+    * in a subquery — the null-aware anti-join rewrite family, distinct
+    * from NOT EXISTS (NOT IN must stay empty-safe and null-safe, which
+    * Catalyst plans as NAAJ against a broadcast of the exclusion set).
+    */
+  private val q16Census: Q = (s, d) => {
+    lineitem(s, d).createOrReplaceTempView("__q16_lineitem")
+    part(s, d).createOrReplaceTempView("__q16_part")
+    supplier(s, d).createOrReplaceTempView("__q16_supplier")
+    s.sql(
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM __q16_lineitem JOIN __q16_part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#3' AND p_size IN (1, 4, 7)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM __q16_supplier
+        |    WHERE s_name LIKE '%77%')
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+  }
+
+  /** TPC-H Q21's shape (suppliers who kept orders waiting): a correlated
+    * EXISTS and a correlated NOT EXISTS against the SAME fact table with
+    * an inequality correlation (other supplier on the same order) — the
+    * deepest semi/anti rewrite family: Catalyst plans one left-semi and
+    * one left-anti shuffle join on the order key, each carrying the
+    * suppkey-disequality as a join-side filter. "Late" is shipping more
+    * than 60 days after the order date.
+    */
+  private val q21Waiting: Q = (s, d) => {
+    lineitem(s, d).createOrReplaceTempView("__q21_lineitem")
+    orders(s, d).createOrReplaceTempView("__q21_orders")
+    supplier(s, d).createOrReplaceTempView("__q21_supplier")
+    nation(s, d).createOrReplaceTempView("__q21_nation")
+    s.sql(
+      """SELECT s_name, count(1) AS numwait
+        |FROM __q21_supplier
+        |JOIN __q21_lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN __q21_orders ON o_orderkey = l1.l_orderkey
+        |JOIN __q21_nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND n_name IN ('NATION_1', 'NATION_4', 'NATION_8')
+        |  AND EXISTS (SELECT 1 FROM __q21_lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM __q21_lineitem l3
+        |    JOIN __q21_orders o3 ON l3.l_orderkey = o3.o_orderkey
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin)
+  }
+
+  /** TPC-H Q22's shape (global-sales opportunity): an uncorrelated scalar
+    * average as a filter threshold (decimal-exact sum / count, so the
+    * threshold double is bit-identical cross-engine) plus a NOT EXISTS
+    * anti-join against orders; customers grouped by a name-derived code.
+    */
+  private val q22Opportunity: Q = (s, d) => {
+    customer(s, d).createOrReplaceTempView("__q22_customer")
+    orders(s, d).createOrReplaceTempView("__q22_orders")
+    s.sql(
+      """WITH pos AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) /
+        |    CAST(count(1) AS DOUBLE) AS avg_bal
+        |  FROM __q22_customer WHERE c_acctbal > 0.0)
+        |SELECT substr(c_name, 18, 1) AS cntrycode, count(1) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM __q22_customer
+        |WHERE substr(c_name, 18, 1) IN ('1', '3', '5', '7', '9')
+        |  AND c_acctbal > (SELECT avg_bal FROM pos)
+        |  AND NOT EXISTS (SELECT 1 FROM __q22_orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin)
+  }
+
   /** Fixed-memory distinct-count sketches: deterministic KMV over the
     * portable md5-derived hash, estimate + exact side by side — fully
     * oracle-checked (DuckDB reproduces the k-minimum-values estimate
@@ -784,6 +967,13 @@ object RelationalQueries {
     "q11_important_parts" -> q11Important,
     "q15_top_supplier" -> q15TopSupplier,
     "q20_excess_suppliers" -> q20Excess,
+    "q7_volume_shipping" -> q7Volume,
+    "q8_market_share" -> q8Share,
+    "q9_product_profit" -> q9Profit,
+    "q12_priority_classes" -> q12Priority,
+    "q16_supplier_census" -> q16Census,
+    "q21_waiting_suppliers" -> q21Waiting,
+    "q22_global_sales" -> q22Opportunity,
     "grouping_sets_orders" -> groupingSetsOrders,
     "q17_correlated_min" -> q17Correlated,
     "rolling_7d_value" -> rolling7d,
@@ -900,6 +1090,111 @@ object RelationalQueries {
         |         AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |         AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
         |ORDER BY s.s_suppkey""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year, n_items, revenue FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS INT) AS l_year,
+        |    COUNT(1) AS n_items,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_7')
+        |     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_2')
+        |  GROUP BY 1, 2, 3)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q8_market_share" ->
+      """WITH base AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) AS rev,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |g AS (SELECT o_year,
+        |    CAST(SUM(CASE WHEN supp_nation = 'NATION_9' THEN rev
+        |      ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE) AS nation_rev,
+        |    CAST(SUM(rev) AS DOUBLE) AS total_rev
+        |  FROM base GROUP BY o_year)
+        |SELECT o_year, nation_rev, total_rev, nation_rev / total_rev AS mkt_share
+        |FROM g ORDER BY o_year""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  COUNT(1) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) -
+        |      CAST(p_retailprice AS DECIMAL(12,2)) *
+        |      CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC""".stripMargin,
+    "q12_priority_classes" ->
+      """SELECT l_returnflag AS ship_class,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY ship_class""".stripMargin,
+    "q16_supplier_census" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#3' AND p_size IN (1, 4, 7)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |    WHERE s_name LIKE '%77%')
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, COUNT(1) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND n_name IN ('NATION_1', 'NATION_4', 'NATION_8')
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
+    "q22_global_sales" ->
+      """WITH pos AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) /
+        |    CAST(COUNT(1) AS DOUBLE) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT substr(c_name, 18, 1) AS cntrycode, COUNT(1) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE substr(c_name, 18, 1) IN ('1', '3', '5', '7', '9')
+        |  AND c_acctbal > (SELECT avg_bal FROM pos)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin,
     "q19_disjunctive_join" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
         |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS revenue,

@@ -127,14 +127,49 @@ object SimilarityQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** Embedding-table audit — the drift/health check an embedding store
+    * runs per ingest batch: per-label vector counts, dimensionality
+    * bounds (a ragged table is a broken ingest), and exact per-dimension
+    * micro-unit sums for the leading dimensions. Each cell's float
+    * widens exactly to double and is floored to integer micro-units
+    * BEFORE summing, so the sums are order-independent and bit-identical
+    * cross-engine — the decimal-sum trick, applied to float features.
+    * One scan, one aggregate; no shuffle beyond the label groupBy.
+    */
+  private val dimAudit: Q = (s, d) => {
+    def micro(i: Int) =
+      floor(element_at(col("embedding"), i).cast("double") * 1000000d).cast("long")
+    embeddings(s, d)
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(size(col("embedding"))).cast("long").as("dim_min"),
+        max(size(col("embedding"))).cast("long").as("dim_max"),
+        sum(micro(1)).cast("long").as("d1_sum"),
+        sum(micro(2)).cast("long").as("d2_sum"),
+        sum(micro(3)).cast("long").as("d3_sum"),
+        sum(micro(4)).cast("long").as("d4_sum"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_topk_brute" -> bruteTopK,
     "sim_topk_lsh" -> lshTopK,
     "sim_topk_lsh_multiprobe" -> lshMultiProbe,
-    "sim_topk_ivf" -> ivfTopK
+    "sim_topk_ivf" -> ivfTopK,
+    "embedding_dim_audit" -> dimAudit
   )
 
   val oracle: Map[String, String] = Map(
+    "embedding_dim_audit" -> {
+      def m(i: Int) =
+        s"CAST(SUM(CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS d${i}_sum"
+      s"""SELECT label, COUNT(*) AS n_vecs,
+        |  CAST(MIN(len(embedding)) AS BIGINT) AS dim_min,
+        |  CAST(MAX(len(embedding)) AS BIGINT) AS dim_max,
+        |  ${m(1)}, ${m(2)}, ${m(3)}, ${m(4)}
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+    },
     "sim_topk_ivf" ->
       s"""WITH m0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |m AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM m0),

@@ -173,8 +173,92 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Hash-feature linear classifier — the fastText-style quality-model
+    * pass expressed model-free: each token's weight is a deterministic
+    * signed integer derived from its portable md5 hash (a frozen random
+    * projection), a doc's score is the weight sum, and `keep` is
+    * score > 0. The exact plumbing of a real learned linear model —
+    * featurize -> weight-lookup -> per-doc reduce -> threshold — with a
+    * weight table that needs no broadcast at any corpus size because it
+    * is computed from the hash inline. Zero floating point.
+    */
+  private val classifierScore: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(split(normText(col("text")), " ")).as("tok"))
+      .withColumn("w",
+        pmod(graft.ext.Dedup.portableHash64(col("tok")), lit(2001L)) - lit(1000L))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tok"), sum("w").cast(LongType).as("w_sum"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("w_sum") > 0, 1L).otherwise(0L)).cast(LongType).as("n_keep"),
+        sum("w_sum").cast(LongType).as("w_total"),
+        min("w_sum").cast(LongType).as("w_min"),
+        max("w_sum").cast(LongType).as("w_max"))
+      .orderBy("source")
+
+  /** BPE merge-candidate census — the first step of byte-pair-encoding
+    * vocabulary induction: count adjacent symbol pairs across the corpus,
+    * weighted by word frequency. Computed the way BPE training actually
+    * does it — on the TYPE table (distinct words + counts), not the raw
+    * token stream — so the pair explosion is vocabulary-bounded
+    * (sub-linear in corpus size) no matter how big the corpus grows.
+    */
+  private val bpePairs: Q = (s, d) =>
+    documents(s, d)
+      .select(explode(split(normText(col("text")), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(length(col("tok")) >= 2)
+      .select(col("cnt"),
+        explode(expr(
+          "transform(sequence(1, char_length(tok) - 1), i -> substr(tok, i, 2))")).as("pair"))
+      .groupBy("pair")
+      .agg(sum("cnt").cast(LongType).as("n_occ"), count(lit(1)).as("n_types"))
+      .orderBy(desc("n_occ"), asc("pair"))
+      .limit(20)
+
+  /** Boilerplate n-gram detection — the C4/RefinedWeb "remove text that
+    * repeats across many documents" pass: a trigram shingle appearing in
+    * >= 3 distinct docs is boilerplate; a doc whose shingle instances are
+    * >= 25% boilerplate gets flagged (integer cross-multiply, no
+    * division). Scale shape: the document-frequency table is
+    * vocabulary-bounded; membership is one equi-join on the shingle
+    * (broadcastable when the hot set is small, AQE decides); nothing is
+    * ever all-pairs.
+    */
+  private val boilerplateNgrams: Q = (s, d) => {
+    val tri = documents(s, d)
+      .select(col("doc_id"), col("source"), split(normText(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          "transform(sequence(1, size(toks) - 2), i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))")).as("g"))
+    val hot = tri.groupBy("g")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= 3)
+      .select("g")
+    val per = tri.groupBy("doc_id", "source").agg(count(lit(1)).as("n_g"))
+    val bp = tri.join(hot, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bp"))
+    per.join(bp, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_bp"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_g").cast(LongType).as("total_g"),
+        sum("n_bp").cast(LongType).as("bp_g"),
+        sum(when(col("n_bp") * 4 >= col("n_g"), 1L).otherwise(0L))
+          .cast(LongType).as("n_flagged"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "text_lm_score" -> lmBigramScore,
+    "text_classifier_score" -> classifierScore,
+    "text_bpe_pairs" -> bpePairs,
+    "text_boilerplate_ngrams" -> boilerplateNgrams,
     "text_vocab_oov" -> vocabOov,
     "text_tfidf_top" -> tfidfTop,
     "text_bigram_top" -> bigrams,
@@ -186,6 +270,50 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_classifier_score" ->
+      """WITH n AS (SELECT doc_id, source,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+        |tok AS (SELECT doc_id, source, unnest(string_split(t, ' ')) AS tok FROM n),
+        |w AS (SELECT doc_id, source,
+        |    (CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 2001) - 1000 AS w FROM tok),
+        |ds AS (SELECT doc_id, source, COUNT(*) AS n_tok, CAST(SUM(w) AS BIGINT) AS w_sum
+        |  FROM w GROUP BY 1, 2)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN w_sum > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  CAST(SUM(w_sum) AS BIGINT) AS w_total,
+        |  CAST(MIN(w_sum) AS BIGINT) AS w_min,
+        |  CAST(MAX(w_sum) AS BIGINT) AS w_max
+        |FROM ds GROUP BY source ORDER BY source""".stripMargin,
+    "text_bpe_pairs" ->
+      """WITH n AS (SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |tok AS (SELECT unnest(string_split(t, ' ')) AS tok FROM n),
+        |tc AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+        |pairs AS (SELECT cnt,
+        |    unnest(list_transform(generate_series(1, len(tok) - 1),
+        |      i -> substr(tok, i, 2))) AS pair
+        |  FROM tc WHERE len(tok) >= 2)
+        |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n_occ, COUNT(*) AS n_types
+        |FROM pairs GROUP BY pair ORDER BY n_occ DESC, pair LIMIT 20""".stripMargin,
+    "text_boilerplate_ngrams" ->
+      """WITH n AS (SELECT doc_id, source,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+        |tk AS (SELECT doc_id, source, string_split(t, ' ') AS toks FROM n
+        |  WHERE len(string_split(t, ' ')) >= 3),
+        |sh AS (SELECT doc_id, source,
+        |    unnest(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+        |  FROM tk),
+        |hot AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY g)
+        |  WHERE df >= 3),
+        |per AS (SELECT doc_id, source, COUNT(*) AS n_g,
+        |    CAST(SUM(CASE WHEN g IN (SELECT g FROM hot) THEN 1 ELSE 0 END) AS BIGINT) AS n_bp
+        |  FROM sh GROUP BY 1, 2)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_g) AS BIGINT) AS total_g,
+        |  CAST(SUM(n_bp) AS BIGINT) AS bp_g,
+        |  CAST(SUM(CASE WHEN n_bp * 4 >= n_g THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
     "text_lm_score" ->
       """WITH n AS (SELECT doc_id, source,
         |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
