@@ -566,6 +566,31 @@ object RelationalQueries {
         |ORDER BY cntrycode""".stripMargin)
   }
 
+  /** Spark's native `session_window` operator (batch mode): gap-based
+    * session assembly as a first-class grouping expression instead of the
+    * lag/cumsum manual rewrite (`events_sessionize`) or the stateful
+    * streaming assembler (StatefulSessions) — three routes to the same
+    * semantics, and this one's session merge happens inside the
+    * aggregation operator with no window-function pass at all. The oracle
+    * reconstructs sessions the manual way, so it also proves the native
+    * operator and the manual rewrite agree on every count and span.
+    */
+  private val eventsSessionWindow: Q = (s, d) => {
+    val sess = events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(
+        count(lit(1)).as("n_ev"),
+        (unix_millis(max(col("ts"))) - unix_millis(min(col("ts")))).as("span_ms"))
+    sess
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum("n_ev").cast(LongType).as("n_events"),
+        sum("span_ms").cast(LongType).as("span_ms_sum"),
+        max("n_ev").cast(LongType).as("max_session_events"))
+      .orderBy("user_id")
+  }
+
   /** Fixed-memory distinct-count sketches: deterministic KMV over the
     * portable md5-derived hash, estimate + exact side by side — fully
     * oracle-checked (DuckDB reproduces the k-minimum-values estimate
@@ -1001,6 +1026,7 @@ object RelationalQueries {
     "unpivot_lineitem" -> unpivotLineitem,
     "events_hourly" -> eventsHourly,
     "events_sessionize" -> eventsSessionize,
+    "events_session_window" -> eventsSessionWindow,
     "part_brand_qty" -> partBrandQty
   )
 
@@ -1470,6 +1496,30 @@ object RelationalQueries {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "events_session_window" ->
+      // session reconstruction runs in MICROseconds (Spark's timestamp
+      // resolution): session_window merges an event at EXACTLY prev + gap
+      // into the session (verified empirically — boundary event merges,
+      // boundary + 1 µs splits), so the split condition is strictly
+      // greater; a millisecond-floored rebuild would disagree near gap
+      // boundaries. Spans floor to ms only after grouping.
+      """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |y AS (SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |z AS (SELECT user_id, us,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM y),
+        |sess AS (SELECT user_id, sid, COUNT(*) AS n_ev,
+        |    MAX(us) // 1000 - MIN(us) // 1000 AS span_ms
+        |  FROM z GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(SUM(n_ev) AS BIGINT) AS n_events,
+        |  CAST(SUM(span_ms) AS BIGINT) AS span_ms_sum,
+        |  CAST(MAX(n_ev) AS BIGINT) AS max_session_events
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
     "events_sessionize" ->
       """WITH x AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
         |  y AS (SELECT user_id, ms,

@@ -235,6 +235,11 @@ object TextQueries {
       .select(col("doc_id"), col("source"),
         explode(expr(
           "transform(sequence(1, size(toks) - 2), i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))")).as("g"))
+      // three consumers (df census, per-doc totals, boilerplate counts)
+      // with incompatible aggregations defeat exchange reuse — materialize
+      // the exploded relation once instead of re-exploding per branch
+      // (same persist-the-tokenized-corpus move as text_lm_score)
+      .localCheckpoint(true)
     val hot = tri.groupBy("g")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") >= 3)

@@ -27,7 +27,12 @@ class DeterminismSpec extends SparkSpec {
     "grouping_sets_orders",  // grouping_id bitmask + decimal sums
     "corpus_curation_funnel", // flag algebra + two windows
     "corr_qty_price",        // double assembly from exact sums
-    "sim_topk_ivf")          // trained centroids + top-k
+    "sim_topk_ivf",          // trained centroids + top-k
+    "text_boilerplate_ngrams", // df-threshold semi-join + left join zero-fill
+    "text_lm_score",         // checkpointed bigram relation feeding two branches
+    "q21_waiting_suppliers", // EXISTS + NOT EXISTS same-table anti/semi pair
+    "q8_market_share",       // conditional decimal share + final IEEE division
+    "events_session_window") // native session merge in the aggregation operator
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf
