@@ -48,10 +48,13 @@ object Bench {
     // ONE compact line (ms precision keeps it short enough that a log
     // tail capture cannot truncate the total), also persisted to a file
     // so the artifact survives any stdout capture window.
-    val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""cpus":$cpus,"shuffle_partitions":$cpus,"action":"noop_write","reps":$reps,""" +
-        s""""agg":"min","failed":${failed.mkString("[", ",", "]")}}"""
+    // shared head/tail fields built ONCE so the two renderings below can
+    // never drift apart on a future edit
+    val head = s"""{"metric":"total","value":${f(total)},"unit":"sec""""
+    val tail =
+      s""""sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"action":"noop_write",""" +
+        s""""reps":$reps,"agg":"min","failed":${failed.mkString("[", ",", "]")}}"""
+    val line = s"""$head,"queries":$qs,$tail"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last_run.json"), line)
     println(line)
     // The driver captures only the LAST ~2000 chars of stdout; the full
@@ -59,10 +62,7 @@ object Bench {
     // total. Repeat the summary WITHOUT the per-query map as the final
     // line so totals always land inside any tail capture (the full
     // per-query map persists in bench_last_run.json either way).
-    println(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},""" +
-        s""""sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"action":"noop_write",""" +
-        s""""reps":$reps,"agg":"min","failed":${failed.mkString("[", ",", "]")}}""")
+    println(s"""$head,"n_queries":${results.size},$tail""")
     spark.stop()
   }
 }

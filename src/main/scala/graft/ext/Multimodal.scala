@@ -375,28 +375,42 @@ object Multimodal {
     val riffEnd = math.min(payload.length.toLong, 8L + u32(4)).toInt
     var avih: Option[(Int, Int, Long, Long)] = None
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-    // iterative chunk walk (explicit stack — malformed nesting can't
-    // blow the JVM stack); a chunk whose declared size overruns its
-    // enclosing region ends that region's walk, never reads past it
-    var regions = List((12, riffEnd))
-    while (regions.nonEmpty) {
-      val (start, end) = regions.head
-      regions = regions.tail
-      var o = start
-      while (o + 8 <= end) {
+    // iterative DEPTH-FIRST chunk walk in encounter order (explicit
+    // stack — malformed nesting can't blow the JVM stack): entering a
+    // LIST pushes the remainder of the enclosing region and descends
+    // immediately, so frames inside standard 'rec ' groups interleave at
+    // their file positions instead of trailing the walk (LIFO deferral
+    // emitted rec-group contents late and multiple groups in reverse). A
+    // chunk whose declared size overruns its enclosing region ends that
+    // region's walk, never reads past it.
+    var regions = List.empty[(Int, Int)]
+    var o = 12
+    var end = riffEnd
+    while (o + 8 <= end || regions.nonEmpty) {
+      if (o + 8 > end) {
+        val (s2, e2) = regions.head
+        regions = regions.tail
+        o = s2
+        end = e2
+      } else {
         val size = u32(o + 4)
         val dataEnd = o + 8 + size
         if (size < 0 || dataEnd > end) { o = end } // malformed: stop region
         else {
+          val next = (dataEnd + (size & 1L)).toInt // chunks pad to even offsets
           if (fourcc(o, "LIST") && size >= 4) {
-            regions = ((o + 12, dataEnd.toInt)) :: regions
-          } else if (fourcc(o, "avih") && size >= 40) {
-            val d = o + 8
-            avih = Some((u32(d + 32).toInt, u32(d + 36).toInt, u32(d), u32(d + 16)))
-          } else if (isFrameChunk(o)) {
-            frames += ((o + 8, size.toInt))
+            regions = ((next, end)) :: regions // resume after the LIST...
+            end = dataEnd.toInt // ...once its contents are walked
+            o = o + 12
+          } else {
+            if (fourcc(o, "avih") && size >= 40) {
+              val d = o + 8
+              avih = Some((u32(d + 32).toInt, u32(d + 36).toInt, u32(d), u32(d + 16)))
+            } else if (isFrameChunk(o)) {
+              frames += ((o + 8, size.toInt))
+            }
+            o = next
           }
-          o = (dataEnd + (size & 1L)).toInt // chunks pad to even offsets
         }
       }
     }
@@ -441,15 +455,21 @@ object Multimodal {
               case Some(m) =>
                 val n = m.frames.length
                 val take = math.min(n, maxFrames)
-                val hashes = Array.tabulate(take) { i =>
-                  // even integer-index sampling (same scheme as
-                  // pcmRmsWindows): frame i*n/take — deterministic, first
-                  // frame always included
-                  val (off, len) = m.frames(i * n / take)
-                  md.reset()
-                  md.update(payload, off, len)
-                  org.apache.spark.sql.graftnative.PortableMd5.prefix60(md.digest())
-                }
+                val hashes =
+                  if (n == 0) Array(portableHash60(md, payload))
+                  else Array.tabulate(take) { i =>
+                    // even integer-index sampling (same scheme as
+                    // pcmRmsWindows): frame i*n/take — deterministic, first
+                    // frame always included
+                    val (off, len) = m.frames(i * n / take)
+                    md.reset()
+                    md.update(payload, off, len)
+                    org.apache.spark.sql.graftnative.PortableMd5.prefix60(md.digest())
+                  }
+                // frame_hashes is never empty: a frameless-but-valid AVI
+                // (header-only, or truncated before movi) contributes the
+                // whole-payload hash, preserving the one-hash-per-row
+                // contract downstream aggregates rely on
                 VideoFeatures(
                   id, payload.length, m.width, m.height, m.totalFrames,
                   n.toLong, m.microsPerFrame, decoded = true, hashes)

@@ -189,7 +189,7 @@ object TextQueries {
       .withColumn("w",
         pmod(graft.ext.Dedup.portableHash64(col("tok")), lit(2001L)) - lit(1000L))
       .groupBy("doc_id", "source")
-      .agg(count(lit(1)).as("n_tok"), sum("w").cast(LongType).as("w_sum"))
+      .agg(sum("w").cast(LongType).as("w_sum"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -281,7 +281,7 @@ object TextQueries {
         |tok AS (SELECT doc_id, source, unnest(string_split(t, ' ')) AS tok FROM n),
         |w AS (SELECT doc_id, source,
         |    (CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 2001) - 1000 AS w FROM tok),
-        |ds AS (SELECT doc_id, source, COUNT(*) AS n_tok, CAST(SUM(w) AS BIGINT) AS w_sum
+        |ds AS (SELECT doc_id, source, CAST(SUM(w) AS BIGINT) AS w_sum
         |  FROM w GROUP BY 1, 2)
         |SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(CASE WHEN w_sum > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,

@@ -79,6 +79,46 @@ class VideoCodecSpec extends graft.SparkSpec {
     assert(r.frame_hashes.toSeq == expected)
   }
 
+  test("frames inside 'rec ' LIST groups come out in file order") {
+    // interleaved-AVI layout: movi nests frames in rec groups — the walk
+    // must emit them depth-first at their file positions (a LIFO-deferred
+    // walk emitted group contents late and multiple groups reversed)
+    val f = (0 until 4).map(i => s"frame-$i".getBytes("UTF-8"))
+    val moviBody =
+      list("rec ", chunk("00dc", f(0)) ++ chunk("00dc", f(1))) ++
+        list("rec ", chunk("00dc", f(2))) ++
+        chunk("00db", f(3)) // bare frame after the groups
+    val avihData = new java.io.ByteArrayOutputStream()
+    avihData.write(le32(1000L))
+    avihData.write(le32(0)); avihData.write(le32(0)); avihData.write(le32(0))
+    avihData.write(le32(4))
+    avihData.write(le32(0)); avihData.write(le32(1)); avihData.write(le32(0))
+    avihData.write(le32(64)); avihData.write(le32(48))
+    (0 until 4).foreach(_ => avihData.write(le32(0)))
+    val body = list("hdrl", chunk("avih", avihData.toByteArray)) ++
+      list("movi", moviBody)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le32(body.length + 4))
+    out.write("AVI ".getBytes("US-ASCII"))
+    out.write(body)
+    val m = Multimodal.parseAvi(out.toByteArray).get
+    assert(m.frames.length == 4)
+    val got = m.frames.map { case (off, len) =>
+      new String(out.toByteArray.slice(off, off + len), "UTF-8")
+    }.toSeq
+    assert(got == Seq("frame-0", "frame-1", "frame-2", "frame-3"))
+  }
+
+  test("frameless-but-valid AVI still contributes one whole-payload hash") {
+    val payload = avi(8, 8, 1000L, Seq.empty)
+    val r = Multimodal
+      .extractVideoFeatures(Seq((1L, payload)).toDF("doc_id", "payload"))
+      .collect().head
+    assert(r.decoded && r.n_frame_chunks == 0L)
+    assert(r.frame_hashes.toSeq == Seq(Multimodal.portableHash60(md, payload)))
+  }
+
   test("frame sampling is even and bounded by maxFrames") {
     val frames = (0 until 10).map(i => s"f$i".getBytes("UTF-8"))
     val payload = avi(16, 16, 1000L, frames)
