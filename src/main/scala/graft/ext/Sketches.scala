@@ -53,4 +53,42 @@ object Sketches {
        |  s AS (SELECT COUNT(*) AS n, MAX(h) AS kth FROM ks)
        |  SELECT CASE WHEN n < $k THEN CAST(n AS DOUBLE)
        |    ELSE (${(k - 1).toDouble} * $HashSpace) / CAST(kth AS DOUBLE) END FROM s)""".stripMargin
+
+  /** Count-min sketch over `key` (depth rows × width buckets, portable
+    * hashes): returns the bounded cell table `(d, b, c)` — depth*width
+    * rows no matter the stream size, the fixed-memory frequency summary
+    * a streaming pipeline maintains. Deterministic given the hash, so
+    * DuckDB reproduces every cell (and therefore every estimate) exactly.
+    */
+  def cmsCells(df: DataFrame, key: Column, depth: Int, width: Long): DataFrame =
+    df.select(
+        posexplode(array((0 until depth).map(dd =>
+          pmod(
+            Dedup.portableHash64(concat(lit(dd), lit(":"), key.cast(StringType))),
+            lit(width))): _*)).as(Seq("d", "b")))
+      .groupBy("d", "b")
+      .agg(count(lit(1)).as("c"))
+
+  /** Point-estimate frequencies for `candidates` against a CMS cell
+    * table: est(k) = min over rows of cell(d, h_d(k)) — the classic
+    * Cormode–Muthukrishnan upper bound. One equi-join against the
+    * bounded cell table (broadcastable: depth*width rows), never a
+    * second pass over the stream.
+    */
+  def cmsEstimate(
+      candidates: DataFrame,
+      key: Column,
+      cells: DataFrame,
+      depth: Int,
+      width: Long): DataFrame =
+    candidates
+      .select(
+        key.as("k"),
+        posexplode(array((0 until depth).map(dd =>
+          pmod(
+            Dedup.portableHash64(concat(lit(dd), lit(":"), key.cast(StringType))),
+            lit(width))): _*)).as(Seq("d", "b")))
+      .join(cells, Seq("d", "b"))
+      .groupBy("k")
+      .agg(min("c").cast(LongType).as("cms_est"))
 }

@@ -192,9 +192,31 @@ object DedupQueries {
       .orderBy("cluster_rep")
   }
 
+  /** The same candidate pairs clustered by large-star/small-star
+    * contraction instead of label propagation — the O(log n)-round scale
+    * path for long duplicate chains (a chain of k near-identical docs
+    * takes ~k label-propagation rounds but ~log k star rounds). Both
+    * routes are registered so the differential oracle pins them to the
+    * SAME recursive-CTE transitive closure, making the equivalence a
+    * per-round driver-checked fact rather than a one-time spec property.
+    */
+  private val clustersStar: Q = (s, d) => {
+    val sh = Dedup.wordShingles(nearDupCorpus(s, d), "doc_id", "t", 5)
+    val pairs = Dedup.jaccardPairs(sh, "doc_id", 0.5, ShingleDfCap)
+    Dedup
+      .duplicateClustersStar(pairs, "id_a", "id_b")
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max("node").cast(LongType).as("max_member"))
+      .withColumnRenamed("cluster", "cluster_rep")
+      .orderBy("cluster_rep")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_pipeline_e2e" -> pipelineE2e,
     "dedup_clusters" -> clusters,
+    "dedup_clusters_star" -> clustersStar,
     "dedup_exact" -> exact,
     "dedup_incremental" -> incrementalDedup,
     "dedup_ngram_jaccard" -> ngramJaccard,
@@ -206,6 +228,32 @@ object DedupQueries {
   /** DuckDB rendering of [[Dedup.portableHash64]]. */
   private def ph64(sqlExpr: String): String =
     s"CAST('0x' || substr(md5($sqlExpr), 1, 15) AS BIGINT)"
+
+  /** Shared by `dedup_clusters` and `dedup_clusters_star`: the ground
+    * truth is one recursive-CTE transitive closure, regardless of which
+    * distributed algorithm produced the clustering.
+    */
+  private lazy val clustersOracle: String =
+    s"""WITH RECURSIVE $corpusSql,
+      |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |pairsj AS (SELECT id_a, id_b FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      |    FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2) p
+      |  JOIN counts ca ON ca.doc_id = id_a
+      |  JOIN counts cb ON cb.doc_id = id_b
+      |  WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.5),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairsj
+      |  UNION SELECT id_b, id_a FROM pairsj),
+      |reach(node, r) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+      |lab AS (SELECT node, LEAST(node, MIN(r)) AS cluster_rep
+      |  FROM reach GROUP BY node)
+      |SELECT cluster_rep, COUNT(*) AS n_members,
+      |  CAST(MAX(node) AS BIGINT) AS max_member
+      |FROM lab GROUP BY cluster_rep ORDER BY cluster_rep""".stripMargin
 
   private val corpusSql =
     """base AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
@@ -341,27 +389,9 @@ object DedupQueries {
         |  JOIN counts cb ON cb.doc_id = id_b
         |WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE $corpusSql,
-        |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |pairsj AS (SELECT id_a, id_b FROM (
-        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-        |    FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |    GROUP BY 1, 2) p
-        |  JOIN counts ca ON ca.doc_id = id_a
-        |  JOIN counts cb ON cb.doc_id = id_b
-        |  WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.5),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairsj
-        |  UNION SELECT id_b, id_a FROM pairsj),
-        |reach(node, r) AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
-        |lab AS (SELECT node, LEAST(node, MIN(r)) AS cluster_rep
-        |  FROM reach GROUP BY node)
-        |SELECT cluster_rep, COUNT(*) AS n_members,
-        |  CAST(MAX(node) AS BIGINT) AS max_member
-        |FROM lab GROUP BY cluster_rep ORDER BY cluster_rep""".stripMargin,
+    "dedup_clusters" -> clustersOracle,
+    // the star-contraction route must land on the SAME transitive closure
+    "dedup_clusters_star" -> clustersOracle,
     "dedup_embedding" ->
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
         |    UNION ALL

@@ -614,6 +614,35 @@ object RelationalQueries {
           countDistinct("l_partkey").as("parts_exact")))
   }
 
+  /** Count-min-sketch heavy hitters: the fixed-memory frequency summary
+    * a streaming ingest maintains (depth x width cells — 3 x 1024 here —
+    * regardless of stream size), probed for keys whose estimate clears a
+    * total-relative threshold. The fixture's key distribution is
+    * near-uniform, so the query plants five hot keys carrying ~30% of
+    * the mass (the orphan-audit move: corrupt the stream, then detect
+    * the corruption). Every cell and estimate is portable-hash-derived,
+    * so DuckDB reproduces the sketch — estimates AND exact counts sit
+    * side by side, making the overestimate visible and checked.
+    */
+  private val heavyHitters: Q = (s, d) => {
+    val W = 1024L
+    val D = 3
+    val keyed = lineitem(s, d).select(
+      when(col("l_orderkey") % 10 < 3, expr("(l_orderkey div 10) % 5"))
+        .otherwise(col("l_partkey") + 1000000L).as("k"))
+    val cells = graft.ext.Sketches.cmsCells(keyed, col("k"), D, W)
+    val exact = keyed.groupBy("k").agg(count(lit(1)).cast(LongType).as("exact_n"))
+    val est = graft.ext.Sketches
+      .cmsEstimate(exact.select("k"), col("k"), broadcast(cells), D, W)
+    val thr = keyed.agg(expr("count(1) div 60").as("thr"))
+    est
+      .join(exact, Seq("k"))
+      .crossJoin(broadcast(thr))
+      .filter(col("cms_est") >= col("thr"))
+      .select(col("k").cast(LongType).as("k"), col("cms_est"), col("exact_n"))
+      .orderBy("k")
+  }
+
   /** CUBE over two dimensions — all 4 grouping sets, sentinel-labelled. */
   private val cubeOrders: Q = (s, d) =>
     orders(s, d)
@@ -1000,6 +1029,7 @@ object RelationalQueries {
     "q21_waiting_suppliers" -> q21Waiting,
     "q22_global_sales" -> q22Opportunity,
     "grouping_sets_orders" -> groupingSetsOrders,
+    "sketch_heavy_hitters" -> heavyHitters,
     "q17_correlated_min" -> q17Correlated,
     "rolling_7d_value" -> rolling7d,
     "corr_qty_price" -> corrQtyPrice,
@@ -1116,6 +1146,23 @@ object RelationalQueries {
         |         AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |         AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
         |ORDER BY s.s_suppkey""".stripMargin,
+    "sketch_heavy_hitters" ->
+      """WITH keyed AS (SELECT CASE WHEN l_orderkey % 10 < 3 THEN (l_orderkey // 10) % 5
+        |    ELSE l_partkey + 1000000 END AS k FROM lineitem),
+        |dd AS (SELECT unnest([0, 1, 2]) AS d),
+        |probes AS (SELECT k, d,
+        |    CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 15) AS BIGINT) % 1024 AS b
+        |  FROM keyed, dd),
+        |cells AS (SELECT d, b, COUNT(*) AS c FROM probes GROUP BY 1, 2),
+        |exact AS (SELECT k, COUNT(*) AS exact_n FROM keyed GROUP BY k),
+        |kp AS (SELECT exact.k, dd.d,
+        |    CAST('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':' || CAST(exact.k AS VARCHAR)), 1, 15) AS BIGINT) % 1024 AS b
+        |  FROM exact, dd),
+        |est AS (SELECT k, CAST(MIN(c) AS BIGINT) AS cms_est
+        |  FROM kp JOIN cells USING (d, b) GROUP BY k),
+        |thr AS (SELECT COUNT(*) // 60 AS t FROM keyed)
+        |SELECT CAST(est.k AS BIGINT) AS k, cms_est, CAST(exact_n AS BIGINT) AS exact_n
+        |FROM est JOIN exact USING (k), thr WHERE cms_est >= thr.t ORDER BY k""".stripMargin,
     "q7_volume_shipping" ->
       """SELECT supp_nation, cust_nation, l_year, n_items, revenue FROM (
         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -23,6 +23,7 @@ class PlanHealthSpec extends SparkSpec {
     "sim_topk_brute",         // deliberate exact baseline: 10 fixed queries broadcast
     "sim_topk_ivf",           // bounded centroid model
     "sketch_stats",           // scalar sketch subqueries
+    "sketch_heavy_hitters",   // 1-row threshold frame crossed in
     "shuffle_interleave",     // global-rank offsets over sequence groups
     "dedup_incremental")      // three 1-row stage-summary aggregates crossed
 
