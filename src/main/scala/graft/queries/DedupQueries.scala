@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables._
@@ -149,6 +150,125 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023 shape): k-means
+    * cluster the embedding space ([[graft.ext.IvfIndex]] — trained
+    * centroids, bounded sample, broadcast model), then compare pairs ONLY
+    * within a cluster and drop every vector that has a lower-id neighbor
+    * with cosine >= 0.9 in its cell, keeping that lowest-id vector as the
+    * retained representative. At 100 TB the cluster step is what makes
+    * semantic dedup tractable: cells stay ~256 vectors wide at any corpus
+    * size (the index grows cells, not cell size), so in-cell pair work is
+    * O(n * 256), never O(n^2), and the only shuffle is on the cell id.
+    * Recall loss at cell boundaries is inherent to the method (that IS
+    * SemDeDup's trade) and mirrored exactly by the oracle, which replays
+    * the identical training iterations.
+    */
+  private val semanticDedup: Q = (s, d) => {
+    val vec = dupVectors(s, d)
+      .withColumn("v", Vectors.toDouble(col("embedding")))
+      .withColumn("nrm", Vectors.l2Norm(col("v")))
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val n = vec.count()
+    val cent = graft.ext.IvfIndex.materialize(
+      s, graft.ext.IvfIndex.trainCentroids(vec, "vec_id", 64, n, iters = 2))
+    val asg = graft.ext.IvfIndex.assignCells(vec, "vec_id", cent, probes = 1)
+    val a = asg.select(col("cell"), col("vec_id").as("kept_id"), col("v").as("va"), col("nrm").as("na"))
+    val b = asg.select(col("cell"), col("vec_id").as("dropped_id"), col("v").as("vb"), col("nrm").as("nb"))
+    val w = Window.partitionBy("dropped_id").orderBy(asc("kept_id"))
+    a.join(b, Seq("cell"))
+      .filter(col("kept_id") < col("dropped_id"))
+      .withColumn("cos", Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.9)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("dropped_id", "kept_id", "cos")
+      .orderBy("dropped_id")
+  }
+
+  /** C4/CCNet-style duplicated-line removal, the curation op that REWRITES
+    * documents instead of dropping them: segment each doc into fixed
+    * 8-token "lines", count each line's document frequency across the
+    * corpus, delete every occurrence of lines appearing in >= 3 docs
+    * (the license-header/boilerplate case — the fixture prepends one to
+    * every 5th doc), and reassemble the surviving lines IN ORDER. At
+    * scale: the df pass is one hash aggregate on the line text, removal
+    * is one equi-anti-join, and reassembly is a per-doc sort of O(lines)
+    * structs — no window over the whole corpus, no driver text handling.
+    * Output carries md5(cleaned) so the reassembled text itself is
+    * hash-checked, not just the counts.
+    */
+  private val lineDedup: Q = (s, d) => {
+    val corpus = documents(s, d).select(
+      col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("copyright header all terms of use apply "), col("text")))
+        .otherwise(col("text")).as("txt"))
+    val segs = corpus
+      .select(col("doc_id"), expr(
+        """posexplode(transform(sequence(0, (size(split(txt, ' ')) + 7) div 8 - 1),
+          |  g -> array_join(slice(split(txt, ' '), g * 8 + 1, 8), ' ')))""".stripMargin))
+      .withColumnRenamed("col", "seg")
+    val hot = segs.groupBy("seg")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= 3)
+      .select("seg")
+    val kept = segs.join(hot, Seq("seg"), "left_anti")
+    val reasm = kept.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          expr("transform(array_sort(collect_list(struct(pos, seg))), x -> x.seg)"),
+          " ").as("cleaned"))
+    corpus
+      .join(segs.groupBy("doc_id").agg(count(lit(1)).as("n_seg")), Seq("doc_id"))
+      .join(reasm, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_seg"),
+        (col("n_seg") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        md5(coalesce(col("cleaned"), lit(""))).as("cleaned_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Fuzzy entity matching via deletion-neighborhood blocking (the
+    * SymSpell/FastSS symmetric-delete scheme): each name emits itself plus
+    * every delete-one-character variant as blocking keys; two strings
+    * within edit distance 1 are GUARANTEED to share a key (delete: b is in
+    * D1(a); insert: symmetric; substitute: both contain the string with
+    * that position deleted), so the candidate generator is a plain
+    * equi-join on the variant string — O(len) keys per record, never an
+    * all-pairs compare — and exact `levenshtein` verifies candidates.
+    * Fixture plants one-character-deleted copies of every 7th supplier
+    * name; natural matches (supplier numbers differing in one digit) are
+    * found by the same keys. For natural-language names the key table
+    * would get a df cap like the shingle joins; identifier-like keys stay
+    * near-unique by construction.
+    */
+  private val fuzzyMatch: Q = (s, d) => {
+    val base = supplier(s, d).select(col("s_suppkey").as("id"), col("s_name").as("nm"))
+    val planted = supplier(s, d)
+      .filter(col("s_suppkey") % 7 === 0)
+      .select(
+        (col("s_suppkey") + 500000).as("id"),
+        expr("substr(s_name, 1, CAST(s_suppkey % 18 AS INT)) || substr(s_name, CAST(s_suppkey % 18 AS INT) + 2)").as("nm"))
+    val names = base.unionAll(planted)
+    val keys = names
+      .select(col("id"), col("nm"),
+        explode(expr(
+          "concat(array(nm), transform(sequence(1, length(nm)), i -> substr(nm, 1, i - 1) || substr(nm, i + 1)))")).as("k"))
+      .dropDuplicates("id", "k")
+    val a = keys.select(col("id").as("id_a"), col("nm").as("nm_a"), col("k"))
+    val b = keys.select(col("id").as("id_b"), col("nm").as("nm_b"), col("k"))
+    a.join(b, Seq("k"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "nm_a", "nm_b")
+      .distinct()
+      .withColumn("dist", levenshtein(col("nm_a"), col("nm_b")).cast(LongType))
+      .filter(col("dist") <= 1)
+      .select("id_a", "id_b", "dist")
+      .orderBy("id_a", "id_b")
+  }
+
   /** End-to-end corpus cleaning: exact dedup, then near-dup pair removal
     * (shingle-join jaccard >= 0.6, drop the higher doc_id of every pair) —
     * the composite "give me the cleaned corpus" operation. The MinHash
@@ -222,7 +342,10 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
-    "dedup_embedding" -> embeddingNearDup
+    "dedup_embedding" -> embeddingNearDup,
+    "dedup_semantic" -> semanticDedup,
+    "dedup_lines" -> lineDedup,
+    "fuzzy_match_suppliers" -> fuzzyMatch
   )
 
   /** DuckDB rendering of [[Dedup.portableHash64]]. */
@@ -392,6 +515,57 @@ object DedupQueries {
     "dedup_clusters" -> clustersOracle,
     // the star-contraction route must land on the SAME transitive closure
     "dedup_clusters_star" -> clustersOracle,
+    "dedup_lines" ->
+      """WITH corpus AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'copyright header all terms of use apply ' || text
+        |         ELSE text END AS txt
+        |  FROM documents),
+        |tk AS (SELECT doc_id, string_split(txt, ' ') AS toks FROM corpus),
+        |segs AS (SELECT doc_id, pos,
+        |    array_to_string(toks[pos * 8 + 1 : pos * 8 + 8], ' ') AS seg
+        |  FROM (SELECT doc_id, toks,
+        |      unnest(generate_series(0, (len(toks) + 7) // 8 - 1)) AS pos FROM tk)),
+        |hot AS (SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 3),
+        |kept AS (SELECT s.* FROM segs s ANTI JOIN hot h ON s.seg = h.seg),
+        |reasm AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(seg, ' ' ORDER BY pos) AS cleaned
+        |  FROM kept GROUP BY doc_id),
+        |nsg AS (SELECT doc_id, COUNT(*) AS n_seg FROM segs GROUP BY doc_id)
+        |SELECT c.doc_id, n.n_seg,
+        |  CAST(n.n_seg - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped,
+        |  md5(COALESCE(r.cleaned, '')) AS cleaned_md5
+        |FROM corpus c JOIN nsg n ON c.doc_id = n.doc_id
+        |LEFT JOIN reasm r ON c.doc_id = r.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
+    "fuzzy_match_suppliers" ->
+      """WITH base AS (SELECT s_suppkey AS id, s_name AS nm FROM supplier),
+        |planted AS (SELECT s_suppkey + 500000 AS id,
+        |    substr(s_name, 1, CAST(s_suppkey % 18 AS INT)) || substr(s_name, CAST(s_suppkey % 18 AS INT) + 2) AS nm
+        |  FROM supplier WHERE s_suppkey % 7 = 0),
+        |names AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        |keys0 AS (SELECT id, nm, unnest(list_prepend(nm,
+        |    list_transform(generate_series(1, len(nm)), i -> substr(nm, 1, i - 1) || substr(nm, i + 1)))) AS k
+        |  FROM names),
+        |keys AS (SELECT DISTINCT id, nm, k FROM keys0),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.nm AS nm_a, b.nm AS nm_b
+        |  FROM keys a JOIN keys b ON a.k = b.k AND a.id < b.id)
+        |SELECT id_a, id_b, CAST(levenshtein(nm_a, nm_b) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(nm_a, nm_b) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+        |    UNION ALL
+        |    SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 9 = 0),
+        |  m0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM corpus),
+        |  m AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM m0),
+        |  ${graft.ext.IvfIndex.oracleCtes(64, 2, 1)},
+        |  p AS (SELECT a.vec_id AS kept_id, b.vec_id AS dropped_id,
+        |      list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+        |    FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9),
+        |  r AS (SELECT dropped_id, kept_id, cos,
+        |      ROW_NUMBER() OVER (PARTITION BY dropped_id ORDER BY kept_id) AS rk FROM p)
+        |SELECT dropped_id, kept_id, cos FROM r WHERE rk = 1 ORDER BY dropped_id""".stripMargin,
     "dedup_embedding" ->
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
         |    UNION ALL

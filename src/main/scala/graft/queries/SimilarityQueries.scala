@@ -127,6 +127,55 @@ object SimilarityQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** PQ-compressed ANN ([[graft.ext.PqIndex]]): 64-dim vectors split into
+    * 8 subspaces of 8 dims, each with a ~16-centroid trained codebook, so
+    * a vector is stored as 8 small codes (8 B vs 256 B — the 32x
+    * compression that keeps a 10^11-vector index RAM-resident). Scoring
+    * is ADC: the query materializes a (subspace, code) -> floor(dot*1e6)
+    * LUT (m*k integers, broadcast), candidates are scored by ONE equi-join
+    * of the codes table against the LUT plus an integer SUM — full vectors
+    * are only touched for the 32-candidate exact-cosine re-rank. The adc
+    * column stays in the output so the approximation itself is
+    * oracle-checked, not just the final ranking.
+    */
+  private val pqTopK: Q = (s, d) => {
+    val vec = normed(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    val n = vec.count()
+    val sub = graft.ext.PqIndex.subVectors(vec, "vec_id", m = 8, subDim = 8)
+    val cb = graft.ext.IvfIndex.materialize(
+      s, graft.ext.PqIndex.trainCodebooks(sub, "vec_id", subDim = 8, n, k = 16, iters = 2))
+    val codes = graft.ext.PqIndex.encode(sub, "vec_id", cb)
+    val lut = sub
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("s"), col("sv"))
+      .join(broadcast(cb), Seq("s"))
+      .select(
+        col("query_id"), col("s"), col("cid").as("code"),
+        floor(Vectors.dot(col("sv"), col("cv")) * 1e6).cast("long").as("d"))
+    val adc = codes
+      .join(broadcast(lut), Seq("s", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("d")).as("adc"))
+    val ws = Window.partitionBy("query_id").orderBy(desc("adc"), asc("vec_id"))
+    val short = adc
+      .withColumn("rs", row_number().over(ws))
+      .filter(col("rs") <= 32)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val qv = vec.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cv = vec.select(col("vec_id").as("neighbor_id"), col("v").as("cv2"), col("nrm").as("cn2"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    short
+      .join(qv, Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .withColumn("cos", Vectors.dot(col("qv"), col("cv2")) / (col("qn") * col("cn2")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("query_id", "rk", "neighbor_id", "adc", "cos")
+      .orderBy("query_id", "rk")
+  }
+
   /** Embedding-table audit — the drift/health check an embedding store
     * runs per ingest batch: per-label vector counts, dimensionality
     * bounds (a ragged table is a broken ingest), and exact per-dimension
@@ -157,6 +206,7 @@ object SimilarityQueries {
     "sim_topk_lsh" -> lshTopK,
     "sim_topk_lsh_multiprobe" -> lshMultiProbe,
     "sim_topk_ivf" -> ivfTopK,
+    "sim_topk_pq" -> pqTopK,
     "embedding_dim_audit" -> dimAudit
   )
 
@@ -170,6 +220,27 @@ object SimilarityQueries {
         |  ${m(1)}, ${m(2)}, ${m(3)}, ${m(4)}
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
     },
+    "sim_topk_pq" ->
+      s"""WITH m0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM m0),
+        |${graft.ext.PqIndex.oracleCtes(m = 8, subDim = 8, k = 16, iters = 2)},
+        |lut AS (SELECT q.vec_id AS query_id, c.s, c.cid AS code,
+        |    CAST(floor(list_dot_product(q.sv, c.cv) * 1000000.0) AS BIGINT) AS d
+        |  FROM subx q JOIN cent c ON q.s = c.s WHERE q.vec_id < 10),
+        |adcv AS (SELECT l.query_id, cd.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS adc
+        |  FROM codes cd JOIN lut l ON cd.s = l.s AND cd.code = l.code AND cd.vec_id <> l.query_id
+        |  GROUP BY 1, 2),
+        |short AS (SELECT query_id, neighbor_id, adc FROM (
+        |    SELECT query_id, neighbor_id, adc,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rs
+        |    FROM adcv) WHERE rs <= 32),
+        |rer AS (SELECT sh.query_id, sh.neighbor_id, sh.adc,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+        |  FROM short sh JOIN m q ON q.vec_id = sh.query_id JOIN m c ON c.vec_id = sh.neighbor_id)
+        |SELECT query_id, rk, neighbor_id, adc, cos FROM (
+        |  SELECT query_id, neighbor_id, adc, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM rer)
+        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
     "sim_topk_ivf" ->
       s"""WITH m0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |m AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM m0),

@@ -28,6 +28,8 @@ class DeterminismSpec extends SparkSpec {
     "corpus_curation_funnel", // flag algebra + two windows
     "corr_qty_price",        // double assembly from exact sums
     "sim_topk_ivf",          // trained centroids + top-k
+    "sim_topk_pq",           // keyed-kmeans codebooks + integer ADC
+    "dedup_semantic",        // SemDeDup cells + in-cell threshold
     "text_boilerplate_ngrams", // df-threshold semi-join + left join zero-fill
     "text_lm_score",         // checkpointed bigram relation feeding two branches
     "q21_waiting_suppliers", // EXISTS + NOT EXISTS same-table anti/semi pair

@@ -22,6 +22,8 @@ class PlanHealthSpec extends SparkSpec {
     "set_ops_customers",      // scalar-aggregate set algebra
     "sim_topk_brute",         // deliberate exact baseline: 10 fixed queries broadcast
     "sim_topk_ivf",           // bounded centroid model
+    "sim_topk_pq",            // bounded centroid model (subspace codebooks)
+    "dedup_semantic",         // bounded centroid model (SemDeDup cells)
     "sketch_stats",           // scalar sketch subqueries
     "sketch_heavy_hitters",   // 1-row threshold frame crossed in
     "shuffle_interleave",     // global-rank offsets over sequence groups
