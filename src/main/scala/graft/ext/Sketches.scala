@@ -24,7 +24,7 @@ import org.apache.spark.sql.types._
 object Sketches {
 
   /** 2^60 as an exact double — the portable-hash value space. */
-  private val HashSpace = 1152921504606846976.0
+  val HashSpace = 1152921504606846976.0
 
   /** One-row KMV distinct-count sketch of `key`: (n_seen, kth_min,
     * estimate). With fewer than k distinct hashes the sketch is exact;

@@ -670,6 +670,73 @@ object RelationalQueries {
       .select("o_orderpriority", "o_orderkey", "o_totalprice")
       .orderBy("o_orderpriority", "o_orderkey")
 
+  /** KMV sketch set algebra — audience overlap between segments at
+    * 100 TB: each segment (event type) keeps only its k smallest element
+    * hashes (user-day elements), built with the NATIVE bounded-heap
+    * TopKPerKey so no full sort ever happens; any segment PAIR is then
+    * analyzed from the two k-row sketches alone — union size from the
+    * merged sketch's kth minimum (Bar-Yossef et al.), Jaccard from the
+    * fraction of merged k-mins present in both sides, intersection =
+    * J * union. This is the "sketch once, combine many times" pattern:
+    * pairwise analysis cost is O(pairs * k), independent of corpus size.
+    * Exact union/intersection ride along so the estimator's error is
+    * itself oracle-checked. Deterministic given the portable hash; DuckDB
+    * replays every estimate bit-for-bit.
+    */
+  private val sketchOverlap: Q = (s, d) => {
+    val k = 256
+    val elems = events(s, d)
+      .select(
+        col("event_type").as("t"),
+        graft.ext.Dedup.portableHash64(
+          concat(col("user_id").cast("string"), lit(":"),
+            date_format(col("ts"), "yyyy-MM-dd"))).as("h"))
+      .filter(col("h").isNotNull)
+      .distinct()
+    val km = org.apache.spark.sql.graftnative.TopK
+      .perKey(elems, Seq("t"), Seq(("h", false)), k)
+    val types = elems.select("t").distinct()
+    val pairs = types.select(col("t").as("type_a"))
+      .join(broadcast(types.select(col("t").as("type_b"))), col("type_a") < col("type_b"))
+    // merged membership flags per (pair, element) — two equi-joins, no
+    // OR-join; works for both the k-min sketches and the exact baseline
+    def sides(src: DataFrame) = {
+      val a = pairs.join(src.withColumnRenamed("t", "type_a"), Seq("type_a"))
+        .select(col("type_a"), col("type_b"), col("h"), lit(1).as("in_a"), lit(0).as("in_b"))
+      val b = pairs.join(src.withColumnRenamed("t", "type_b"), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("h"), lit(0).as("in_a"), lit(1).as("in_b"))
+      a.unionByName(b)
+        .groupBy("type_a", "type_b", "h")
+        .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+    }
+    val wP = Window.partitionBy("type_a", "type_b").orderBy(asc("h"))
+    val est = sides(km)
+      .withColumn("rk", row_number().over(wP))
+      .filter(col("rk") <= k)
+      .groupBy("type_a", "type_b")
+      .agg(
+        count(lit(1)).as("n"),
+        max("h").as("tau"),
+        sum(col("in_a") * col("in_b")).cast(LongType).as("in_both"))
+      .select(
+        col("type_a"), col("type_b"),
+        when(col("n") < k, col("n").cast(DoubleType))
+          .otherwise(
+            lit((k - 1).toDouble * graft.ext.Sketches.HashSpace) / col("tau").cast(DoubleType))
+          .as("union_est"),
+        (col("in_both").cast(DoubleType) / lit(k.toDouble)).as("jaccard_est"))
+      .withColumn("inter_est", col("jaccard_est") * col("union_est"))
+    val exact = sides(elems)
+      .groupBy("type_a", "type_b")
+      .agg(
+        count(lit(1)).cast(LongType).as("exact_union"),
+        sum(col("in_a") * col("in_b")).cast(LongType).as("exact_inter"))
+    est.join(exact, Seq("type_a", "type_b"))
+      .select("type_a", "type_b", "union_est", "jaccard_est", "inter_est",
+        "exact_union", "exact_inter")
+      .orderBy("type_a", "type_b")
+  }
+
   /** PIVOT: order counts + decimal-exact totals per priority, one column
     * set per status value (explicit value list keeps the schema static —
     * required for both plan stability and the oracle).
@@ -1030,6 +1097,7 @@ object RelationalQueries {
     "q22_global_sales" -> q22Opportunity,
     "grouping_sets_orders" -> groupingSetsOrders,
     "sketch_heavy_hitters" -> heavyHitters,
+    "sketch_overlap" -> sketchOverlap,
     "q17_correlated_min" -> q17Correlated,
     "rolling_7d_value" -> rolling7d,
     "corr_qty_price" -> corrQtyPrice,
@@ -1146,6 +1214,44 @@ object RelationalQueries {
         |         AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |         AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
         |ORDER BY s.s_suppkey""".stripMargin,
+    "sketch_overlap" ->
+      """WITH elems AS (SELECT DISTINCT event_type AS t,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d')), 1, 15) AS BIGINT) AS h
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |km AS (SELECT t, h FROM (
+        |    SELECT t, h, ROW_NUMBER() OVER (PARTITION BY t ORDER BY h) AS rk FROM elems)
+        |  WHERE rk <= 256),
+        |types AS (SELECT DISTINCT t FROM elems),
+        |pairs AS (SELECT a.t AS type_a, b.t AS type_b FROM types a JOIN types b ON a.t < b.t),
+        |mk AS (SELECT p.type_a, p.type_b, s.h,
+        |    MAX(CASE WHEN s.t = p.type_a THEN 1 ELSE 0 END) AS in_a,
+        |    MAX(CASE WHEN s.t = p.type_b THEN 1 ELSE 0 END) AS in_b
+        |  FROM pairs p JOIN km s ON s.t = p.type_a OR s.t = p.type_b
+        |  GROUP BY 1, 2, 3),
+        |uk AS (SELECT type_a, type_b, h, in_a, in_b,
+        |    ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rk FROM mk),
+        |est AS (SELECT type_a, type_b, COUNT(*) AS n, MAX(h) AS tau,
+        |    CAST(SUM(in_a * in_b) AS BIGINT) AS in_both
+        |  FROM uk WHERE rk <= 256 GROUP BY 1, 2),
+        |me AS (SELECT p.type_a, p.type_b, e.h,
+        |    MAX(CASE WHEN e.t = p.type_a THEN 1 ELSE 0 END) AS in_a,
+        |    MAX(CASE WHEN e.t = p.type_b THEN 1 ELSE 0 END) AS in_b
+        |  FROM pairs p JOIN elems e ON e.t = p.type_a OR e.t = p.type_b
+        |  GROUP BY 1, 2, 3),
+        |ex AS (SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS exact_union,
+        |    CAST(SUM(in_a * in_b) AS BIGINT) AS exact_inter
+        |  FROM me GROUP BY 1, 2)
+        |SELECT e.type_a, e.type_b,
+        |  CASE WHEN e.n < 256 THEN CAST(e.n AS DOUBLE)
+        |       ELSE (255.0 * 1152921504606846976.0) / CAST(e.tau AS DOUBLE) END AS union_est,
+        |  CAST(e.in_both AS DOUBLE) / 256.0 AS jaccard_est,
+        |  (CAST(e.in_both AS DOUBLE) / 256.0) *
+        |    (CASE WHEN e.n < 256 THEN CAST(e.n AS DOUBLE)
+        |          ELSE (255.0 * 1152921504606846976.0) / CAST(e.tau AS DOUBLE) END) AS inter_est,
+        |  x.exact_union, x.exact_inter
+        |FROM est e JOIN ex x ON e.type_a = x.type_a AND e.type_b = x.type_b
+        |ORDER BY e.type_a, e.type_b""".stripMargin,
     "sketch_heavy_hitters" ->
       """WITH keyed AS (SELECT CASE WHEN l_orderkey % 10 < 3 THEN (l_orderkey // 10) % 5
         |    ELSE l_partkey + 1000000 END AS k FROM lineitem),

@@ -29,6 +29,7 @@ class DeterminismSpec extends SparkSpec {
     "corr_qty_price",        // double assembly from exact sums
     "sim_topk_ivf",          // trained centroids + top-k
     "sim_topk_pq",           // keyed-kmeans codebooks + integer ADC
+    "sketch_overlap",        // KMV k-mins via native TopKPerKey heaps
     "dedup_semantic",        // SemDeDup cells + in-cell threshold
     "text_boilerplate_ngrams", // df-threshold semi-join + left join zero-fill
     "text_lm_score",         // checkpointed bigram relation feeding two branches

@@ -26,6 +26,7 @@ class PlanHealthSpec extends SparkSpec {
     "dedup_semantic",         // bounded centroid model (SemDeDup cells)
     "sketch_stats",           // scalar sketch subqueries
     "sketch_heavy_hitters",   // 1-row threshold frame crossed in
+    "sketch_overlap",         // 5-row segment-type frames paired by <
     "shuffle_interleave",     // global-rank offsets over sequence groups
     "dedup_incremental")      // three 1-row stage-summary aggregates crossed
 
