@@ -1,0 +1,109 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.Path
+
+/** Versioned snapshot table — the immutable-manifest-log core of every
+  * lakehouse table format (Delta/Iceberg), reduced to its essential
+  * moves, on plain Hadoop FileSystem APIs so it works on any scheme the
+  * session resolves (file:, s3a:, the spec's graftstore:):
+  *
+  *   - every write lands in a NEW immutable data directory with a
+  *     writer-unique name — no in-place mutation, so readers of older
+  *     versions are never disturbed (snapshot isolation for free), and
+  *     two racing writers can never touch each other's files;
+  *   - a version becomes visible only when its manifest file
+  *     `_manifests/N` (whose CONTENT is the data-directory pointer) is
+  *     created, and creation is ATOMIC (FileSystem.create with
+  *     overwrite=false) — a crashed writer leaves invisible data files,
+  *     never a half-published table;
+  *   - the current table is simply the highest manifest number, so
+  *     "publish" is one file create and time travel is "follow the
+  *     manifest you pick";
+  *   - two concurrent writers racing to publish N collide on the atomic
+  *     create; the loser re-reads the log and retries at N+1 — classic
+  *     optimistic concurrency, no locks.
+  *
+  * At 100 TB the properties that matter: publish cost is O(1) files (the
+  * manifest), old versions stay readable during and after a write, and a
+  * failed job needs no cleanup before a retry (its orphaned data
+  * directory is unreferenced). Vacuuming unreferenced directories is a
+  * listing diff against the manifests, left to the caller.
+  */
+object Snapshots {
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(dir: String) = new Path(dir, "_manifests")
+
+  /** All published versions, ascending (empty for a fresh table). */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val f = fs(spark, dir)
+    val md = manifestDir(dir)
+    if (!f.exists(md)) Seq.empty
+    else
+      f.listStatus(md)
+        .map(_.getPath.getName)
+        .flatMap(n => scala.util.Try(n.toLong).toOption)
+        .sorted
+        .toSeq
+  }
+
+  /** Latest published version, if any. */
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] =
+    versions(spark, dir).lastOption
+
+  /** Write `df` as a new version and atomically publish it. Returns the
+    * published version number. Safe under concurrent committers: each
+    * writer's data directory is unique (no cross-writer clobbering even
+    * while racing for the same version number), and the manifest create
+    * is create-if-absent; the collision loser re-reads the log and
+    * retries with the next number against its already-written data.
+    */
+  def commitVersion(spark: SparkSession, df: DataFrame, dir: String, maxRetries: Int = 10): Long = {
+    val f = fs(spark, dir)
+    f.mkdirs(manifestDir(dir))
+    val dataName = s"data_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(new Path(dir, dataName).toString)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = latestVersion(spark, dir).map(_ + 1).getOrElse(0L)
+      try {
+        // atomic publish: create-if-absent; FileAlreadyExistsException =
+        // another writer won this version number — retry at the next
+        val out = f.create(new Path(manifestDir(dir), v.toString), false)
+        try out.writeUTF(dataName)
+        finally out.close()
+        return v
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+            _: java.io.IOException =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(s"could not publish a version after $maxRetries attempts")
+  }
+
+  /** Read the latest published version (snapshot-isolated: a concurrent
+    * commit cannot change the files this DataFrame reads).
+    */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readVersion(spark, dir,
+      latestVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no published versions in $dir")))
+
+  /** Time travel: read an explicit published version by following its
+    * manifest's data-directory pointer.
+    */
+  def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
+    val f = fs(spark, dir)
+    val mf = new Path(manifestDir(dir), v.toString)
+    require(f.exists(mf), s"version $v is not published in $dir")
+    val in = f.open(mf)
+    val dataName =
+      try in.readUTF()
+      finally in.close()
+    spark.read.parquet(new Path(dir, dataName).toString)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.io
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+
+/** The ACID-ish contract of the manifest-log snapshot table:
+  * atomic publish, snapshot isolation, time travel, crash invisibility,
+  * optimistic-concurrency retry.
+  */
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("versions publish atomically, time-travel reads see each snapshot") {
+    val dir = Files.createTempDirectory("snap").toString
+    assert(Snapshots.versions(spark, dir).isEmpty)
+
+    val v0 = Snapshots.commitVersion(spark, Seq(1L, 2L, 3L).toDF("x"), dir)
+    val v1 = Snapshots.commitVersion(spark, Seq(10L, 20L).toDF("x"), dir)
+    assert(v0 == 0L && v1 == 1L)
+    assert(Snapshots.versions(spark, dir) == Seq(0L, 1L))
+
+    // latest == v1; time travel to v0 still sees the original rows
+    assert(Snapshots.read(spark, dir).as[Long].collect().sorted.toSeq == Seq(10L, 20L))
+    assert(Snapshots.readVersion(spark, dir, 0L).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("unpublished data is invisible: a crashed writer leaves no trace") {
+    val dir = Files.createTempDirectory("snap_crash").toString
+    Snapshots.commitVersion(spark, Seq(1L).toDF("x"), dir)
+    // simulate a writer that died after writing data but before publishing
+    Seq(99L, 98L).toDF("x").write.parquet(s"$dir/data_deadbeef")
+    assert(Snapshots.versions(spark, dir) == Seq(0L))
+    assert(Snapshots.read(spark, dir).as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("a snapshot read keeps working while new versions land") {
+    val dir = Files.createTempDirectory("snap_iso").toString
+    Snapshots.commitVersion(spark, Seq(1L, 2L).toDF("x"), dir)
+    val pinned = Snapshots.read(spark, dir) // resolves to v0's files
+    Snapshots.commitVersion(spark, Seq(3L).toDF("x"), dir)
+    // the pinned plan still reads v0's immutable directory
+    assert(pinned.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(Snapshots.read(spark, dir).as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("optimistic concurrency: a stolen version number triggers a retry") {
+    val dir = Files.createTempDirectory("snap_occ").toString
+    Snapshots.commitVersion(spark, Seq(1L).toDF("x"), dir)
+    // another writer publishes manifest 1 between our data write and
+    // publish — emulate by pre-creating the manifest file
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(new Path(s"$dir/_manifests/1"), false)
+    out.writeUTF("data_other")
+    out.close()
+    val v = Snapshots.commitVersion(spark, Seq(7L).toDF("x"), dir)
+    assert(v == 2L, "loser must retry at the next version number")
+    assert(Snapshots.read(spark, dir).as[Long].collect().toSeq == Seq(7L))
+  }
+}
