@@ -106,6 +106,54 @@ object RelationalQueries {
       .crossJoin(withOrders.union(auto).distinct().agg(count(lit(1)).as("n_union")))
   }
 
+  /** Multiset (ALL) set operations — the OTHER set-op rewrite family:
+    * Catalyst compiles INTERSECT ALL / EXCEPT ALL into replication
+    * counters + generate (min/difference of per-row multiplicities), a completely
+    * different plan from the distinct variants' semi/anti joins. The
+    * result is summarized per returnflag so the replicated multiplicities
+    * themselves are value-checked, not just row counts.
+    */
+  private val setOpsAll: Q = (s, d) => {
+    val li = lineitem(s, d)
+    val a = li.filter(col("l_quantity") > 30).select("l_orderkey", "l_returnflag")
+    val b = li.filter(col("l_returnflag") =!= "N").select("l_orderkey", "l_returnflag")
+    val inter = a.intersectAll(b).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_intersect_all"), sum("l_orderkey").cast(LongType).as("key_sum_i"))
+    val exc = a.exceptAll(b).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_except_all"), sum("l_orderkey").cast(LongType).as("key_sum_e"))
+    inter.join(exc, Seq("l_returnflag"), "full")
+      .select(
+        col("l_returnflag"),
+        coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"),
+        coalesce(col("key_sum_i"), lit(0L)).as("key_sum_i"),
+        coalesce(col("n_except_all"), lit(0L)).as("n_except_all"),
+        coalesce(col("key_sum_e"), lit(0L)).as("key_sum_e"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the join
+    * path where NULL keys MATCH each other instead of vanishing, planned
+    * as a real equi-join (not NLJ). The "unknown bucket" join every
+    * dimension-with-missing-keys pipeline eventually needs. Sides are
+    * pre-aggregated to per-key counts so the join is O(keys) and the
+    * null-group multiplicity is value-checked via the count product.
+    */
+  private val nullsafeJoin: Q = (s, d) => {
+    val c = customer(s, d)
+    val a = c.select(
+      when(col("c_custkey") % 10 === 0, lit(null)).otherwise(col("c_nationkey")).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_a"))
+    val b = c.select(
+      when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_nationkey")).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_b"))
+    a.join(b, a("k") <=> b("k"))
+      .select(
+        coalesce(a("k"), lit(-1L)).cast(LongType).as("k"),
+        col("n_a"), col("n_b"),
+        (col("n_a") * col("n_b")).as("n_pairs"))
+      .orderBy("k")
+  }
+
   /** ROLLUP over order status x priority; rollup-nulls coalesced to a
     * sentinel so ordering is engine-independent (Spark sorts nulls first,
     * DuckDB last).
@@ -1115,6 +1163,8 @@ object RelationalQueries {
     "q18_large_orders" -> q18,
     "window_top_customers" -> windowTopCustomers,
     "set_ops_customers" -> setOpsCustomers,
+    "set_ops_all" -> setOpsAll,
+    "nullsafe_join" -> nullsafeJoin,
     "rollup_orders" -> rollupOrders,
     "cube_orders" -> cubeOrders,
     "percentiles_qty" -> percentilesQty,
@@ -1214,6 +1264,32 @@ object RelationalQueries {
         |         AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |         AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
         |ORDER BY s.s_suppkey""".stripMargin,
+    "set_ops_all" ->
+      """WITH a AS (SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_quantity > 30),
+        |b AS (SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_returnflag <> 'N'),
+        |i AS (SELECT l_returnflag, COUNT(*) AS n_intersect_all,
+        |    CAST(SUM(l_orderkey) AS BIGINT) AS key_sum_i
+        |  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1),
+        |e AS (SELECT l_returnflag, COUNT(*) AS n_except_all,
+        |    CAST(SUM(l_orderkey) AS BIGINT) AS key_sum_e
+        |  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1)
+        |SELECT COALESCE(i.l_returnflag, e.l_returnflag) AS l_returnflag,
+        |  COALESCE(n_intersect_all, 0) AS n_intersect_all,
+        |  COALESCE(key_sum_i, 0) AS key_sum_i,
+        |  COALESCE(n_except_all, 0) AS n_except_all,
+        |  COALESCE(key_sum_e, 0) AS key_sum_e
+        |FROM i FULL JOIN e ON i.l_returnflag = e.l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "nullsafe_join" ->
+      """WITH ga AS (SELECT k, COUNT(*) AS n_a FROM (
+        |    SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_nationkey END AS k
+        |    FROM customer) GROUP BY k),
+        |gb AS (SELECT k, COUNT(*) AS n_b FROM (
+        |    SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS k
+        |    FROM customer) GROUP BY k)
+        |SELECT CAST(COALESCE(ga.k, -1) AS BIGINT) AS k, n_a, n_b, n_a * n_b AS n_pairs
+        |FROM ga JOIN gb ON ga.k IS NOT DISTINCT FROM gb.k
+        |ORDER BY k""".stripMargin,
     "sketch_overlap" ->
       """WITH elems AS (SELECT DISTINCT event_type AS t,
         |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d')), 1, 15) AS BIGINT) AS h

@@ -44,6 +44,25 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir).as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("CDC upserts maintain the table incrementally with full history") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("snap_cdc").toString
+    Snapshots.commitVersion(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    val updates = Seq((2L, "B"), (3L, "c")).toDF("uid", "uv")
+    val merged = graft.ops.Cdc
+      .applyUpserts(
+        Snapshots.read(spark, dir), updates, "id", "uid",
+        Seq(("v", col("v"), col("uv"))))
+      .select(col("__key").as("id"), col("v"))
+    val v1 = Snapshots.commitVersion(spark, merged, dir)
+    assert(v1 == 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String)].collect().sorted.toSeq
+    // v0 history intact; latest is the merged state
+    assert(rows(Snapshots.readVersion(spark, dir, 0L)) == Seq(1L -> "a", 2L -> "b"))
+    assert(rows(Snapshots.read(spark, dir)) == Seq(1L -> "a", 2L -> "B", 3L -> "c"))
+  }
+
   test("optimistic concurrency: a stolen version number triggers a retry") {
     val dir = Files.createTempDirectory("snap_occ").toString
     Snapshots.commitVersion(spark, Seq(1L).toDF("x"), dir)
