@@ -530,7 +530,52 @@ object CorpusQueries {
           .cast(LongType).as("tok_test"))
   }
 
+  /** T5/UL2-style span corruption — the denoising-objective data prep
+    * that turns raw text into (input, target) pairs: fixed 3-token spans
+    * on a 20-token period (~15% corruption) with a per-doc hash-derived
+    * phase, masked spans replaced by `<extra_id_k>` sentinels in the
+    * input and emitted after their sentinels in the target. Pure
+    * projection: the whole rewrite is one transform/filter/join HOF chain
+    * over the materialized token array — no explode, no shuffle, scan
+    * speed at any corpus size — and span placement is integer-only, so
+    * both rendered strings are md5-checked cross-engine. Only FULL spans
+    * corrupt (a tail shorter than the span stays in the input), matching
+    * the real objective's behavior.
+    */
+  private val spanCorruption: Q = (s, d) =>
+    withTok(documents(s, d))
+      .withColumn("off",
+        pmod(
+          graft.ext.Dedup.portableHash64(concat(lit("span:"), col("doc_id").cast("string"))),
+          lit(20L)))
+      .withColumn("toks", split(col("t"), " "))
+      .withColumn("n_spans", expr(
+        "CASE WHEN n_tok >= off + 3 THEN (n_tok - off - 3) div 20 + 1 ELSE 0 END"))
+      .withColumn("input_txt", expr(
+        """array_join(filter(transform(sequence(0, int(n_tok) - 1), i ->
+          |  CASE WHEN i >= off AND ((i - off) % 20) < 3 AND (off + ((i - off) div 20) * 20 + 3) <= n_tok
+          |    THEN (CASE WHEN ((i - off) % 20) = 0
+          |          THEN concat('<extra_id_', cast((i - off) div 20 as string), '>')
+          |          ELSE NULL END)
+          |    ELSE toks[i] END),
+          |  x -> x IS NOT NULL), ' ')""".stripMargin))
+      .withColumn("target_txt", expr(
+        """array_join(filter(transform(sequence(0, int(n_tok) - 1), i ->
+          |  CASE WHEN i >= off AND ((i - off) % 20) < 3 AND (off + ((i - off) div 20) * 20 + 3) <= n_tok
+          |    THEN (CASE WHEN ((i - off) % 20) = 0
+          |          THEN concat('<extra_id_', cast((i - off) div 20 as string), '> ', toks[i])
+          |          ELSE toks[i] END)
+          |    ELSE NULL END),
+          |  x -> x IS NOT NULL), ' ')""".stripMargin))
+      .select(
+        col("doc_id"), col("n_tok"), col("off"),
+        col("n_spans").cast(LongType).as("n_spans"),
+        md5(col("input_txt")).as("input_md5"),
+        md5(col("target_txt")).as("target_md5"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "span_corruption" -> spanCorruption,
     "corpus_build_e2e" -> corpusBuildE2e,
     "chunk_sliding_window" -> chunkSlidingWindow,
     "decontaminate_drop" -> decontaminateDrop,
@@ -576,6 +621,33 @@ object CorpusQueries {
   private val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
 
   val oracle: Map[String, String] = Map(
+    "span_corruption" ->
+      s"""WITH base AS (SELECT doc_id, coalesce($normSql, '') AS t FROM documents),
+        |tk AS (SELECT doc_id, string_split(t, ' ') AS toks,
+        |    CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tok,
+        |    CAST('0x' || substr(md5('span:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 20 AS off
+        |  FROM base),
+        |pieces AS (SELECT doc_id, n_tok, off,
+        |    CASE WHEN n_tok >= off + 3 THEN (n_tok - off - 3) // 20 + 1 ELSE 0 END AS n_spans,
+        |    array_to_string(list_filter(list_transform(generate_series(0, CAST(n_tok AS INT) - 1), i ->
+        |      CASE WHEN i >= off AND ((i - off) % 20) < 3 AND (off + ((i - off) // 20) * 20 + 3) <= n_tok
+        |        THEN (CASE WHEN ((i - off) % 20) = 0
+        |              THEN '<extra_id_' || CAST((i - off) // 20 AS VARCHAR) || '>'
+        |              ELSE NULL END)
+        |        ELSE toks[i + 1] END),
+        |      x -> x IS NOT NULL), ' ') AS input_txt,
+        |    array_to_string(list_filter(list_transform(generate_series(0, CAST(n_tok AS INT) - 1), i ->
+        |      CASE WHEN i >= off AND ((i - off) % 20) < 3 AND (off + ((i - off) // 20) * 20 + 3) <= n_tok
+        |        THEN (CASE WHEN ((i - off) % 20) = 0
+        |              THEN '<extra_id_' || CAST((i - off) // 20 AS VARCHAR) || '> ' || toks[i + 1]
+        |              ELSE toks[i + 1] END)
+        |        ELSE NULL END),
+        |      x -> x IS NOT NULL), ' ') AS target_txt
+        |  FROM tk)
+        |SELECT doc_id, n_tok, off, CAST(n_spans AS BIGINT) AS n_spans,
+        |  md5(COALESCE(input_txt, '')) AS input_md5,
+        |  md5(COALESCE(target_txt, '')) AS target_md5
+        |FROM pieces ORDER BY doc_id""".stripMargin,
     "corpus_build_e2e" ->
       s"""WITH nn AS (SELECT doc_id, $normSql AS t FROM documents),
         |tkq AS (SELECT doc_id, string_split(t, ' ') AS toks FROM nn),
