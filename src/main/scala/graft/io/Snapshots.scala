@@ -61,6 +61,32 @@ object Snapshots {
     * is create-if-absent; the collision loser re-reads the log and
     * retries with the next number against its already-written data.
     */
+  /** One publish attempt: write the manifest CONTENT to a hidden temp
+    * file, then atomically rename it to `_manifests/v`. Rename-no-
+    * overwrite is the atomic check-and-publish (HDFS and local fs fail a
+    * rename onto an existing file); a manifest is therefore either absent
+    * or complete — never visible with partial content, even if the writer
+    * dies mid-write (the orphan is a dot-file the version listing
+    * ignores). Returns false iff another writer owns this version number.
+    * (On object stores without atomic rename — raw S3 — this layer needs
+    * the same external commit coordinator every table format needs there.)
+    */
+  private[io] def publishManifest(
+      f: org.apache.hadoop.fs.FileSystem,
+      dir: String,
+      v: Long,
+      dataName: String): Boolean = {
+    val target = new Path(manifestDir(dir), v.toString)
+    if (f.exists(target)) return false
+    val tmp = new Path(manifestDir(dir), s".tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, false)
+    try out.writeUTF(dataName)
+    finally out.close()
+    val won = f.rename(tmp, target)
+    if (!won) f.delete(tmp, false)
+    won
+  }
+
   def commitVersion(spark: SparkSession, df: DataFrame, dir: String, maxRetries: Int = 10): Long = {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
@@ -69,18 +95,10 @@ object Snapshots {
     var attempt = 0
     while (attempt < maxRetries) {
       val v = latestVersion(spark, dir).map(_ + 1).getOrElse(0L)
-      try {
-        // atomic publish: create-if-absent; FileAlreadyExistsException =
-        // another writer won this version number — retry at the next
-        val out = f.create(new Path(manifestDir(dir), v.toString), false)
-        try out.writeUTF(dataName)
-        finally out.close()
-        return v
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-            _: java.io.IOException =>
-          attempt += 1
-      }
+      // only a LOST RACE retries (publishManifest returned false after a
+      // clean temp write); real IO failures propagate with their cause
+      if (publishManifest(f, dir, v, dataName)) return v
+      attempt += 1
     }
     throw new IllegalStateException(s"could not publish a version after $maxRetries attempts")
   }

@@ -200,8 +200,11 @@ object DedupQueries {
   private val lineDedup: Q = (s, d) => {
     val corpus = documents(s, d).select(
       col("doc_id"),
+      // exactly 8 tokens = one full segment, so the header IS a hot line
+      // (df = n/5) and the rest of a planted doc stays segment-aligned
+      // with its unplanted twin segmentation
       when(col("doc_id") % 5 === 0,
-        concat(lit("copyright header all terms of use apply "), col("text")))
+        concat(lit("copyright header all terms of use apply here "), col("text")))
         .otherwise(col("text")).as("txt"))
     val segs = corpus
       .select(col("doc_id"), expr(
@@ -517,7 +520,7 @@ object DedupQueries {
     "dedup_clusters_star" -> clustersOracle,
     "dedup_lines" ->
       """WITH corpus AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 5 = 0 THEN 'copyright header all terms of use apply ' || text
+        |    CASE WHEN doc_id % 5 = 0 THEN 'copyright header all terms of use apply here ' || text
         |         ELSE text END AS txt
         |  FROM documents),
         |tk AS (SELECT doc_id, string_split(txt, ' ') AS toks FROM corpus),

@@ -772,7 +772,10 @@ object RelationalQueries {
           .otherwise(
             lit((k - 1).toDouble * graft.ext.Sketches.HashSpace) / col("tau").cast(DoubleType))
           .as("union_est"),
-        (col("in_both").cast(DoubleType) / lit(k.toDouble)).as("jaccard_est"))
+        // denominator is the MERGED sketch size: k when saturated, the
+        // exact merged-distinct count below k (where the sketch IS the
+        // set and the estimate must be exact too)
+        (col("in_both").cast(DoubleType) / col("n").cast(DoubleType)).as("jaccard_est"))
       .withColumn("inter_est", col("jaccard_est") * col("union_est"))
     val exact = sides(elems)
       .groupBy("type_a", "type_b")
@@ -1321,8 +1324,8 @@ object RelationalQueries {
         |SELECT e.type_a, e.type_b,
         |  CASE WHEN e.n < 256 THEN CAST(e.n AS DOUBLE)
         |       ELSE (255.0 * 1152921504606846976.0) / CAST(e.tau AS DOUBLE) END AS union_est,
-        |  CAST(e.in_both AS DOUBLE) / 256.0 AS jaccard_est,
-        |  (CAST(e.in_both AS DOUBLE) / 256.0) *
+        |  CAST(e.in_both AS DOUBLE) / CAST(e.n AS DOUBLE) AS jaccard_est,
+        |  (CAST(e.in_both AS DOUBLE) / CAST(e.n AS DOUBLE)) *
         |    (CASE WHEN e.n < 256 THEN CAST(e.n AS DOUBLE)
         |          ELSE (255.0 * 1152921504606846976.0) / CAST(e.tau AS DOUBLE) END) AS inter_est,
         |  x.exact_union, x.exact_inter

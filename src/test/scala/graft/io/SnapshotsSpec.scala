@@ -63,17 +63,40 @@ class SnapshotsSpec extends SparkSpec {
     assert(rows(Snapshots.read(spark, dir)) == Seq(1L -> "a", 2L -> "B", 3L -> "c"))
   }
 
-  test("optimistic concurrency: a stolen version number triggers a retry") {
+  test("optimistic concurrency: losing the publish race is detected and retried") {
     val dir = Files.createTempDirectory("snap_occ").toString
-    Snapshots.commitVersion(spark, Seq(1L).toDF("x"), dir)
-    // another writer publishes manifest 1 between our data write and
-    // publish — emulate by pre-creating the manifest file
     val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = f.create(new Path(s"$dir/_manifests/1"), false)
-    out.writeUTF("data_other")
-    out.close()
+    Snapshots.commitVersion(spark, Seq(1L).toDF("x"), dir)
+    // collision detection itself: first publish of v=1 wins, a second
+    // attempt at the SAME number (the stolen-version case, deterministic)
+    // must report a lost race, not corrupt the winner
+    assert(Snapshots.publishManifest(f, dir, 1L, "data_winner"))
+    assert(!Snapshots.publishManifest(f, dir, 1L, "data_loser"))
+    // the loop recomputes the log and lands after the stolen number
+    Seq(7L).toDF("x").write.parquet(s"$dir/data_seven")
+    assert(!Snapshots.publishManifest(f, dir, 1L, "data_seven"))
     val v = Snapshots.commitVersion(spark, Seq(7L).toDF("x"), dir)
-    assert(v == 2L, "loser must retry at the next version number")
+    assert(v == 2L, "loser must land at the next version number")
     assert(Snapshots.read(spark, dir).as[Long].collect().toSeq == Seq(7L))
+    // no temp litter left behind from the lost race
+    assert(!f.listStatus(new Path(s"$dir/_manifests"))
+      .exists(_.getPath.getName.startsWith(".tmp_")))
+  }
+
+  test("two writers committing concurrently both land, on distinct versions") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = Files.createTempDirectory("snap_race").toString
+    val vs = Await.result(
+      Future.sequence(Seq(
+        Future(Snapshots.commitVersion(spark, Seq(1L).toDF("x"), dir)),
+        Future(Snapshots.commitVersion(spark, Seq(2L).toDF("x"), dir)))),
+      2.minutes)
+    assert(vs.toSet.size == 2, s"writers must get distinct versions, got $vs")
+    // both versions resolve to their own intact data
+    val seen = vs.sorted.map(v =>
+      Snapshots.readVersion(spark, dir, v).as[Long].collect().toSeq)
+    assert(seen.flatten.toSet == Set(1L, 2L))
   }
 }
