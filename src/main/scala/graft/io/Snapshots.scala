@@ -103,6 +103,75 @@ object Snapshots {
     throw new IllegalStateException(s"could not publish a version after $maxRetries attempts")
   }
 
+  /** Transaction ids already committed to this table (the second field
+    * of each manifest, when present). What makes at-least-once streaming
+    * replays exactly-once: a replayed micro-batch's txn id is already in
+    * the log, so its commit is a no-op.
+    */
+  def committedTxns(spark: SparkSession, dir: String): Set[Long] = {
+    val f = fs(spark, dir)
+    versions(spark, dir).flatMap { v =>
+      val in = f.open(new Path(manifestDir(dir), v.toString))
+      val content =
+        try in.readUTF()
+        finally in.close()
+      content.split('|') match {
+        case Array(_, txn) => scala.util.Try(txn.toLong).toOption
+        case _ => None
+      }
+    }.toSet
+  }
+
+  /** Idempotent commit for streaming `foreachBatch`: publishes `df` as a
+    * new version carrying `txnId`, or does nothing (returns None) if a
+    * version with this txnId is already in the log — the micro-batch was
+    * already committed before a restart/replay. Spark's foreachBatch is
+    * at-least-once; this check is what upgrades the sink to
+    * exactly-once, the same move every lakehouse streaming sink makes.
+    */
+  def commitVersionIdempotent(
+      spark: SparkSession,
+      df: DataFrame,
+      dir: String,
+      txnId: Long,
+      maxRetries: Int = 10): Option[Long] = {
+    if (committedTxns(spark, dir).contains(txnId)) return None
+    val f = fs(spark, dir)
+    f.mkdirs(manifestDir(dir))
+    val dataName = s"data_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(new Path(dir, dataName).toString)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = latestVersion(spark, dir).map(_ + 1).getOrElse(0L)
+      if (publishManifest(f, dir, v, s"$dataName|$txnId")) return Some(v)
+      // lost a race: someone else published — they may have been a replay
+      // of the SAME txn (two executors of one restart); re-check
+      if (committedTxns(spark, dir).contains(txnId)) return None
+      attempt += 1
+    }
+    throw new IllegalStateException(s"could not publish txn $txnId after $maxRetries attempts")
+  }
+
+  /** Delete data directories no manifest references (crashed or
+    * race-losing writers) and return their names. Never touches a
+    * referenced version — history stays fully time-travelable. The whole
+    * operation is one listing diff against the manifest log.
+    */
+  def vacuum(spark: SparkSession, dir: String): Seq[String] = {
+    val f = fs(spark, dir)
+    val referenced = versions(spark, dir).map { v =>
+      val in = f.open(new Path(manifestDir(dir), v.toString))
+      try in.readUTF().split('|').head
+      finally in.close()
+    }.toSet
+    val orphans = f.listStatus(new Path(dir))
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("data_") && !referenced(n))
+      .toSeq
+    orphans.foreach(n => f.delete(new Path(dir, n), true))
+    orphans
+  }
+
   /** Read the latest published version (snapshot-isolated: a concurrent
     * commit cannot change the files this DataFrame reads).
     */
@@ -119,9 +188,10 @@ object Snapshots {
     val mf = new Path(manifestDir(dir), v.toString)
     require(f.exists(mf), s"version $v is not published in $dir")
     val in = f.open(mf)
-    val dataName =
+    val content =
       try in.readUTF()
       finally in.close()
-    spark.read.parquet(new Path(dir, dataName).toString)
+    // content = dataDir, optionally "|txnId" for streaming commits
+    spark.read.parquet(new Path(dir, content.split('|').head).toString)
   }
 }

@@ -1,0 +1,29 @@
+package graft.streaming
+
+import graft.io.Snapshots
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** Streaming ingest into a [[graft.io.Snapshots]] versioned table: each
+  * micro-batch commits as one new immutable version, carrying the batch
+  * id as its transaction id. foreachBatch is at-least-once (a restart
+  * replays the last uncommitted-to-the-sink batch); the idempotent
+  * commit turns that into exactly-once — a replayed batch's txn id is
+  * already in the manifest log and becomes a no-op. This is the
+  * streaming→lakehouse-table pattern: readers keep snapshot isolation
+  * and time travel over an endlessly-growing stream, and the sink never
+  * needs a distributed lock.
+  */
+object SnapshotSink {
+
+  /** Wire a streaming DataFrame to a snapshot table. Caller supplies the
+    * checkpoint + trigger via the returned writer (or use
+    * [[FileWatch.runAvailableNow]]).
+    */
+  def writer(stream: DataFrame, tableDir: String): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      Snapshots.commitVersionIdempotent(batch.sparkSession, batch, tableDir, batchId)
+      ()
+    }
+}

@@ -83,6 +83,22 @@ class SnapshotsSpec extends SparkSpec {
       .exists(_.getPath.getName.startsWith(".tmp_")))
   }
 
+  test("vacuum removes only unreferenced data dirs; history stays readable") {
+    val dir = Files.createTempDirectory("snap_vac").toString
+    Snapshots.commitVersion(spark, Seq(1L).toDF("x"), dir)
+    Snapshots.commitVersion(spark, Seq(2L).toDF("x"), dir)
+    // a crashed writer's orphaned data
+    Seq(99L).toDF("x").write.parquet(s"$dir/data_orphan1")
+    val removed = Snapshots.vacuum(spark, dir)
+    assert(removed == Seq("data_orphan1"))
+    assert(rowsOf(Snapshots.readVersion(spark, dir, 0L)) == Seq(1L))
+    assert(rowsOf(Snapshots.readVersion(spark, dir, 1L)) == Seq(2L))
+    assert(Snapshots.vacuum(spark, dir).isEmpty)
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.as[Long].collect().sorted.toSeq
+
   test("two writers committing concurrently both land, on distinct versions") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
