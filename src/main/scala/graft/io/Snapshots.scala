@@ -152,6 +152,21 @@ object Snapshots {
     throw new IllegalStateException(s"could not publish txn $txnId after $maxRetries attempts")
   }
 
+  /** Change data feed between two published versions: the multiset diff
+    * (exceptAll both ways, so duplicate-row count changes surface too),
+    * tagged `insert`/`delete` — an update is a delete+insert pair.
+    * Downstream incremental consumers (aggregate maintenance, index
+    * refresh) process versions by diff instead of re-reading the table;
+    * cost is two anti-join-shaped passes over just the two versions.
+    */
+  def changes(spark: SparkSession, dir: String, fromV: Long, toV: Long): DataFrame = {
+    val before = readVersion(spark, dir, fromV)
+    val after = readVersion(spark, dir, toV)
+    after.exceptAll(before).withColumn("_change", org.apache.spark.sql.functions.lit("insert"))
+      .unionByName(
+        before.exceptAll(after).withColumn("_change", org.apache.spark.sql.functions.lit("delete")))
+  }
+
   /** Delete data directories no manifest references (crashed or
     * race-losing writers) and return their names. Never touches a
     * referenced version — history stays fully time-travelable. The whole

@@ -33,4 +33,34 @@ object Incremental {
       .agg(
         sum("n").cast(LongType).as("n"),
         sum("total").cast(DecimalType(38, 2)).as("total"))
+
+  /** Maintain per-key totals from a change-data feed (rows tagged
+    * `_change` = insert/delete, e.g. [[graft.io.Snapshots.changes]]):
+    * inserts add, deletes subtract, keys whose count reaches zero drop
+    * out. The refresh pattern at 100 TB — the aggregate is updated by a
+    * pass over the DELTA (two versions' diff), never a rescan of the
+    * table, and because count/sum are exact-decimal monoids the result
+    * is bit-identical to a full recompute.
+    */
+  def applyDelta(
+      totals: DataFrame,
+      changes: DataFrame,
+      keys: Seq[String],
+      valueCol: String): DataFrame = {
+    val sgn = when(col("_change") === "insert", lit(1)).otherwise(lit(-1))
+    val delta = changes
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(sgn).cast(LongType).as("dn"),
+        sum(sgn * col(valueCol).cast(DecimalType(12, 2))).cast(DecimalType(38, 2)).as("dtotal"))
+    val zeroDec = lit(0).cast(DecimalType(38, 2))
+    totals
+      .join(delta, keys, "full")
+      .select(
+        keys.map(col) ++ Seq(
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).cast(LongType).as("n"),
+          (coalesce(col("total"), zeroDec) + coalesce(col("dtotal"), zeroDec))
+            .cast(DecimalType(38, 2)).as("total")): _*)
+      .filter(col("n") > 0)
+  }
 }

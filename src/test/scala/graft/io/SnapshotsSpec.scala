@@ -83,6 +83,36 @@ class SnapshotsSpec extends SparkSpec {
       .exists(_.getPath.getName.startsWith(".tmp_")))
   }
 
+  test("change data feed: version diff surfaces inserts and deletes") {
+    val dir = Files.createTempDirectory("snap_cdf").toString
+    Snapshots.commitVersion(spark, Seq(1L, 2L, 2L).toDF("x"), dir)
+    Snapshots.commitVersion(spark, Seq(2L, 3L).toDF("x"), dir)
+    val ch = Snapshots.changes(spark, dir, 0L, 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    // one of the duplicate 2s went away (multiset semantics), 1 deleted, 3 inserted
+    assert(ch == Seq(1L -> "delete", 2L -> "delete", 3L -> "insert"))
+  }
+
+  test("aggregate maintained by CDF deltas == full recompute on the new version") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("snap_ivm").toString
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "source", "n_chars")
+    Snapshots.commitVersion(spark, docs.filter(col("doc_id") % 4 =!= 0), dir)
+    Snapshots.commitVersion(spark, docs.filter(col("doc_id") % 3 =!= 0), dir)
+    def fullAgg(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Incremental.mergeStates(
+        graft.ops.Incremental.partialStates(df.withColumn("b", lit(0)), Seq("source"), "b", "n_chars"),
+        Seq("source"))
+    val maintained = graft.ops.Incremental.applyDelta(
+      fullAgg(Snapshots.readVersion(spark, dir, 0L)),
+      Snapshots.changes(spark, dir, 0L, 1L).select("source", "n_chars", "_change"),
+      Seq("source"), "n_chars")
+    val recomputed = fullAgg(Snapshots.readVersion(spark, dir, 1L))
+    val a = maintained.collect().map(_.toString).sorted.toSeq
+    val b = recomputed.collect().map(_.toString).sorted.toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("vacuum removes only unreferenced data dirs; history stays readable") {
     val dir = Files.createTempDirectory("snap_vac").toString
     Snapshots.commitVersion(spark, Seq(1L).toDF("x"), dir)
