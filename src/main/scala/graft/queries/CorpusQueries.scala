@@ -574,7 +574,33 @@ object CorpusQueries {
         md5(col("target_txt")).as("target_md5"))
       .orderBy("doc_id")
 
+  /** Preference-pair mining (reward-model data prep): score every doc on
+    * an integer quality axis (average chars-per-token in milli-units —
+    * any integer scorer slots in), rank docs within each source, and pair
+    * each doc with its quality-adjacent neighbor when the margin is
+    * large enough — (chosen, rejected) pairs with a controlled score
+    * gap, the standard way preference data is mined from scored corpora
+    * when explicit labels are scarce. One window pass per source (the
+    * pairing is a lag over the score order, not an all-pairs compare),
+    * integer-only decisions.
+    */
+  private val preferencePairs: Q = (s, d) =>
+    withTok(documents(s, d))
+      .withColumn("score", expr("n_chars * 1000 div n_tok"))
+      .withColumn("nxt_id", expr(
+        "lead(doc_id) over (partition by source order by score desc, doc_id)"))
+      .withColumn("nxt_score", expr(
+        "lead(score) over (partition by source order by score desc, doc_id)"))
+      .filter(col("nxt_id").isNotNull && (col("score") - col("nxt_score")) >= 10)
+      .select(
+        col("source"),
+        col("doc_id").as("chosen_id"),
+        col("nxt_id").as("rejected_id"),
+        (col("score") - col("nxt_score")).as("margin"))
+      .orderBy("source", "chosen_id")
+
   val queries: Map[String, Q] = Map(
+    "preference_pairs" -> preferencePairs,
     "span_corruption" -> spanCorruption,
     "corpus_build_e2e" -> corpusBuildE2e,
     "chunk_sliding_window" -> chunkSlidingWindow,
@@ -621,6 +647,20 @@ object CorpusQueries {
   private val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
 
   val oracle: Map[String, String] = Map(
+    "preference_pairs" ->
+      s"""WITH base AS (SELECT doc_id, source, n_chars,
+        |    len(string_split(coalesce($normSql, ''), ' ')) AS n_tok
+        |  FROM documents),
+        |scored AS (SELECT doc_id, source, (n_chars * 1000) // n_tok AS score FROM base),
+        |ranked AS (SELECT source, doc_id, score,
+        |    LEAD(doc_id) OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS nxt_id,
+        |    LEAD(score) OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS nxt_score
+        |  FROM scored)
+        |SELECT source, doc_id AS chosen_id, nxt_id AS rejected_id,
+        |  CAST(score - nxt_score AS BIGINT) AS margin
+        |FROM ranked
+        |WHERE nxt_id IS NOT NULL AND score - nxt_score >= 10
+        |ORDER BY source, chosen_id""".stripMargin,
     "span_corruption" ->
       s"""WITH base AS (SELECT doc_id, coalesce($normSql, '') AS t FROM documents),
         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks,
