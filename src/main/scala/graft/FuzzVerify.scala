@@ -131,6 +131,37 @@ object FuzzVerify {
        |$op SELECT o_custkey AS k FROM orders ORDER BY k""".stripMargin
   }
 
+  /** Multiset (ALL) set-op template: the replication-counter rewrite,
+    * summarized to one row so multiplicities are value-checked without an
+    * unbounded result.
+    */
+  def genSetOpAllQuery(r: Random): String = {
+    val op = pick(r, Seq("EXCEPT ALL", "INTERSECT ALL"))
+    val v = (r.nextInt(40) + 1) * 25
+    val flag = pick(r, Seq("'N'", "'R'", "'A'"))
+    s"""SELECT COUNT(*) AS n, CAST(COALESCE(SUM(k), 0) AS BIGINT) AS key_sum FROM (
+       |  SELECT l_orderkey AS k FROM lineitem WHERE l_quantity > $v
+       |  $op SELECT l_orderkey FROM lineitem WHERE l_returnflag <> $flag)""".stripMargin
+  }
+
+  /** Null-safe equality join template: planted NULL keys on both sides,
+    * IS NOT DISTINCT FROM join (NULLs match), per-key count product —
+    * bounded output, null-group multiplicity checked.
+    */
+  def genNullSafeJoinQuery(r: Random): String = {
+    val m1 = 2 + r.nextInt(12)
+    val m2 = 2 + r.nextInt(12)
+    s"""WITH ga AS (SELECT k, COUNT(*) AS n_a FROM (
+       |    SELECT CASE WHEN c_custkey % $m1 = 0 THEN NULL ELSE c_nationkey END AS k
+       |    FROM customer) GROUP BY k),
+       |gb AS (SELECT k, COUNT(*) AS n_b FROM (
+       |    SELECT CASE WHEN c_custkey % $m2 = 0 THEN NULL ELSE c_nationkey END AS k
+       |    FROM customer) GROUP BY k)
+       |SELECT CAST(COALESCE(ga.k, -1) AS BIGINT) AS k, n_a, n_b
+       |FROM ga JOIN gb ON ga.k IS NOT DISTINCT FROM gb.k
+       |ORDER BY k""".stripMargin
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
@@ -151,10 +182,12 @@ object FuzzVerify {
     new java.io.File(outDir).mkdirs()
     val r = new Random(seed)
     val sqls = (0 until n).map { i =>
-      val sql = i % 7 match {
+      val sql = i % 9 match {
         case 4 => genWindowQuery(r)
         case 5 => genRunningQuery(r)
         case 6 => genSetOpQuery(r)
+        case 7 => genSetOpAllQuery(r)
+        case 8 => genNullSafeJoinQuery(r)
         case _ => genQuery(r)
       }
       f"fuzz_$i%03d" -> sql
