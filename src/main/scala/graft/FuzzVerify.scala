@@ -137,7 +137,9 @@ object FuzzVerify {
     */
   def genSetOpAllQuery(r: Random): String = {
     val op = pick(r, Seq("EXCEPT ALL", "INTERSECT ALL"))
-    val v = (r.nextInt(40) + 1) * 25
+    // l_quantity spans 1..50 in the fixture — threshold must land inside
+    // that range or the left branch is empty and the template is vacuous
+    val v = 1 + r.nextInt(48)
     val flag = pick(r, Seq("'N'", "'R'", "'A'"))
     s"""SELECT COUNT(*) AS n, CAST(COALESCE(SUM(k), 0) AS BIGINT) AS key_sum FROM (
        |  SELECT l_orderkey AS k FROM lineitem WHERE l_quantity > $v

@@ -103,23 +103,35 @@ object Snapshots {
     throw new IllegalStateException(s"could not publish a version after $maxRetries attempts")
   }
 
-  /** Transaction ids already committed to this table (the second field
-    * of each manifest, when present). What makes at-least-once streaming
-    * replays exactly-once: a replayed micro-batch's txn id is already in
-    * the log, so its commit is a no-op.
+  /** Parse one manifest: (data directory name, optional txn id). The
+    * single reader of the wire format — committedTxns, vacuum and
+    * readVersion all go through here, so the format lives in one place.
     */
-  def committedTxns(spark: SparkSession, dir: String): Set[Long] = {
+  private def readManifest(
+      f: org.apache.hadoop.fs.FileSystem,
+      dir: String,
+      v: Long): (String, Option[String]) = {
+    val in = f.open(new Path(manifestDir(dir), v.toString))
+    val content =
+      try in.readUTF()
+      finally in.close()
+    content.split('|') match {
+      case Array(data, txn) => (data, Some(txn))
+      case _ => (content, None)
+    }
+  }
+
+  /** Transaction ids already committed to this table. What makes
+    * at-least-once streaming replays exactly-once: a replayed
+    * micro-batch's txn id is already in the log, so its commit is a
+    * no-op. Cost is one manifest read per version — O(log length); a
+    * long-lived production table bounds this the way every table format
+    * does, by periodically compacting the log into a checkpoint (the
+    * manifest log here is deliberately the minimal core).
+    */
+  def committedTxns(spark: SparkSession, dir: String): Set[String] = {
     val f = fs(spark, dir)
-    versions(spark, dir).flatMap { v =>
-      val in = f.open(new Path(manifestDir(dir), v.toString))
-      val content =
-        try in.readUTF()
-        finally in.close()
-      content.split('|') match {
-        case Array(_, txn) => scala.util.Try(txn.toLong).toOption
-        case _ => None
-      }
-    }.toSet
+    versions(spark, dir).flatMap(v => readManifest(f, dir, v)._2).toSet
   }
 
   /** Idempotent commit for streaming `foreachBatch`: publishes `df` as a
@@ -128,13 +140,17 @@ object Snapshots {
     * already committed before a restart/replay. Spark's foreachBatch is
     * at-least-once; this check is what upgrades the sink to
     * exactly-once, the same move every lakehouse streaming sink makes.
+    * `txnId` must be scoped to the writing application (e.g.
+    * "appId#batchId") — a bare batch number would collide with any other
+    * stream writing the same table.
     */
   def commitVersionIdempotent(
       spark: SparkSession,
       df: DataFrame,
       dir: String,
-      txnId: Long,
+      txnId: String,
       maxRetries: Int = 10): Option[Long] = {
+    require(!txnId.contains('|'), "txnId must not contain the manifest separator '|'")
     if (committedTxns(spark, dir).contains(txnId)) return None
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
@@ -142,11 +158,29 @@ object Snapshots {
     df.write.mode(SaveMode.ErrorIfExists).parquet(new Path(dir, dataName).toString)
     var attempt = 0
     while (attempt < maxRetries) {
-      val v = latestVersion(spark, dir).map(_ + 1).getOrElse(0L)
-      if (publishManifest(f, dir, v, s"$dataName|$txnId")) return Some(v)
-      // lost a race: someone else published — they may have been a replay
-      // of the SAME txn (two executors of one restart); re-check
+      // re-check EVERY iteration, before picking a version number: a
+      // concurrent replay of the SAME txn may have published since our
+      // last look without us ever losing a rename race (it can win a
+      // HIGHER version number than the one we are about to try) — the
+      // check and the version choice must see the same log state
       if (committedTxns(spark, dir).contains(txnId)) return None
+      val v = latestVersion(spark, dir).map(_ + 1).getOrElse(0L)
+      if (publishManifest(f, dir, v, s"$dataName|$txnId")) {
+        // post-publish duplicate sweep: a concurrent replay of this txn
+        // can land at a DIFFERENT version number without either writer
+        // losing a rename race (check→publish is not atomic over plain
+        // files). Deterministic resolution: lowest version wins; a
+        // duplicate retracts itself. The loser's data dir becomes
+        // vacuum-able debris and its brief visibility window is the
+        // price of lock-free publish on a plain filesystem.
+        val dup = versions(spark, dir)
+          .filter(w => w != v && readManifest(f, dir, w)._2.contains(txnId))
+        if (dup.exists(_ < v)) {
+          f.delete(new Path(manifestDir(dir), v.toString), false)
+          return None
+        }
+        return Some(v)
+      }
       attempt += 1
     }
     throw new IllegalStateException(s"could not publish txn $txnId after $maxRetries attempts")
@@ -162,6 +196,13 @@ object Snapshots {
   def changes(spark: SparkSession, dir: String, fromV: Long, toV: Long): DataFrame = {
     val before = readVersion(spark, dir, fromV)
     val after = readVersion(spark, dir, toV)
+    // exceptAll requires aligned schemas; diffing across a schema change
+    // is semantically ambiguous (is a widened row "changed"?), so the
+    // boundary is rejected loudly — evolve consumers read versions whole
+    require(
+      before.schema == after.schema,
+      s"change feed across a schema change (v$fromV -> v$toV) is not defined; " +
+        "read the versions whole instead")
     after.exceptAll(before).withColumn("_change", org.apache.spark.sql.functions.lit("insert"))
       .unionByName(
         before.exceptAll(after).withColumn("_change", org.apache.spark.sql.functions.lit("delete")))
@@ -169,19 +210,24 @@ object Snapshots {
 
   /** Delete data directories no manifest references (crashed or
     * race-losing writers) and return their names. Never touches a
-    * referenced version — history stays fully time-travelable. The whole
-    * operation is one listing diff against the manifest log.
+    * referenced version — history stays fully time-travelable. Only
+    * directories older than `minAgeMs` are candidates: an unreferenced
+    * dir can be an IN-FLIGHT writer that has written data but not yet
+    * published its manifest, and age is the only signal that
+    * distinguishes debris from a live commit — the same retention-window
+    * contract every table format's vacuum has. Default 24 h; tests pass
+    * 0 deliberately.
     */
-  def vacuum(spark: SparkSession, dir: String): Seq[String] = {
+  def vacuum(spark: SparkSession, dir: String, minAgeMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val f = fs(spark, dir)
-    val referenced = versions(spark, dir).map { v =>
-      val in = f.open(new Path(manifestDir(dir), v.toString))
-      try in.readUTF().split('|').head
-      finally in.close()
-    }.toSet
+    val referenced = versions(spark, dir).map(v => readManifest(f, dir, v)._1).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val orphans = f.listStatus(new Path(dir))
+      .filter(st =>
+        st.getPath.getName.startsWith("data_") &&
+          !referenced(st.getPath.getName) &&
+          st.getModificationTime <= cutoff)
       .map(_.getPath.getName)
-      .filter(n => n.startsWith("data_") && !referenced(n))
       .toSeq
     orphans.foreach(n => f.delete(new Path(dir, n), true))
     orphans
@@ -200,13 +246,7 @@ object Snapshots {
     */
   def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
     val f = fs(spark, dir)
-    val mf = new Path(manifestDir(dir), v.toString)
-    require(f.exists(mf), s"version $v is not published in $dir")
-    val in = f.open(mf)
-    val content =
-      try in.readUTF()
-      finally in.close()
-    // content = dataDir, optionally "|txnId" for streaming commits
-    spark.read.parquet(new Path(dir, content.split('|').head).toString)
+    require(f.exists(new Path(manifestDir(dir), v.toString)), s"version $v is not published in $dir")
+    spark.read.parquet(new Path(dir, readManifest(f, dir, v)._1).toString)
   }
 }

@@ -54,10 +54,15 @@ object Incremental {
         sum(sgn).cast(LongType).as("dn"),
         sum(sgn * col(valueCol).cast(DecimalType(12, 2))).cast(DecimalType(38, 2)).as("dtotal"))
     val zeroDec = lit(0).cast(DecimalType(38, 2))
+    // NULL-SAFE key equality: a NULL grouping key is one bucket (exactly
+    // as groupBy treats it) — a plain equi-join would keep the stale
+    // total and the delta as two separate rows and silently diverge from
+    // a full recompute
+    val cond = keys.map(k => totals(k) <=> delta(k)).reduce(_ && _)
     totals
-      .join(delta, keys, "full")
+      .join(delta, cond, "full")
       .select(
-        keys.map(col) ++ Seq(
+        keys.map(k => coalesce(totals(k), delta(k)).as(k)) ++ Seq(
           (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).cast(LongType).as("n"),
           (coalesce(col("total"), zeroDec) + coalesce(col("dtotal"), zeroDec))
             .cast(DecimalType(38, 2)).as("total")): _*)

@@ -19,11 +19,15 @@ object SnapshotSink {
 
   /** Wire a streaming DataFrame to a snapshot table. Caller supplies the
     * checkpoint + trigger via the returned writer (or use
-    * [[FileWatch.runAvailableNow]]).
+    * [[FileWatch.runAvailableNow]]) plus a stable `appId` naming THIS
+    * writer — the txn id is "appId#batchId", so another stream (or the
+    * same pipeline restarted with a fresh checkpoint, whose batch ids
+    * restart at 0) writing the same table can never have its batches
+    * mistaken for replays. Same contract as Delta's txnAppId.
     */
-  def writer(stream: DataFrame, tableDir: String): DataStreamWriter[Row] =
+  def writer(stream: DataFrame, tableDir: String, appId: String): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      Snapshots.commitVersionIdempotent(batch.sparkSession, batch, tableDir, batchId)
+      Snapshots.commitVersionIdempotent(batch.sparkSession, batch, tableDir, s"$appId#$batchId")
       ()
     }
 }

@@ -119,11 +119,14 @@ class SnapshotsSpec extends SparkSpec {
     Snapshots.commitVersion(spark, Seq(2L).toDF("x"), dir)
     // a crashed writer's orphaned data
     Seq(99L).toDF("x").write.parquet(s"$dir/data_orphan1")
-    val removed = Snapshots.vacuum(spark, dir)
+    // default retention window protects a possibly-in-flight writer...
+    assert(Snapshots.vacuum(spark, dir).isEmpty)
+    // ...and minAgeMs=0 reclaims it once the window is waived
+    val removed = Snapshots.vacuum(spark, dir, minAgeMs = 0L)
     assert(removed == Seq("data_orphan1"))
     assert(rowsOf(Snapshots.readVersion(spark, dir, 0L)) == Seq(1L))
     assert(rowsOf(Snapshots.readVersion(spark, dir, 1L)) == Seq(2L))
-    assert(Snapshots.vacuum(spark, dir).isEmpty)
+    assert(Snapshots.vacuum(spark, dir, minAgeMs = 0L).isEmpty)
   }
 
   private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =

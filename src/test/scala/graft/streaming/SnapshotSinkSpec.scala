@@ -26,7 +26,7 @@ class SnapshotSinkSpec extends SparkSpec {
         SnapshotSink.writer(
           spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
             .parquet(s"$in/*.parquet"),
-          table),
+          table, appId = "ssink_spec"),
         ckpt)
 
     runStream()
@@ -42,7 +42,7 @@ class SnapshotSinkSpec extends SparkSpec {
 
     // manual replay of an already-committed batch id: no new version
     val replay = Snapshots.commitVersionIdempotent(
-      spark, Snapshots.readVersion(spark, table, vs.head), table, txnId = 0L)
+      spark, Snapshots.readVersion(spark, table, vs.head), table, txnId = "ssink_spec#0")
     assert(replay.isEmpty && Snapshots.versions(spark, table).size == 2)
 
     // restart with the same checkpoint after new data arrives: exactly
@@ -55,5 +55,10 @@ class SnapshotSinkSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(last == docs.filter(col("doc_id") % 3 === 2)
       .select("doc_id").collect().map(_.getLong(0)).toSet)
+
+    // a DIFFERENT app's txn with the same batch number is NOT a replay
+    val other = Snapshots.commitVersionIdempotent(
+      spark, Snapshots.readVersion(spark, table, vs.head), table, txnId = "other_app#0")
+    assert(other.nonEmpty && Snapshots.versions(spark, table).size == 4)
   }
 }
