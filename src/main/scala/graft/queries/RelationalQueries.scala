@@ -718,6 +718,29 @@ object RelationalQueries {
       .select("o_orderpriority", "o_orderkey", "o_totalprice")
       .orderBy("o_orderpriority", "o_orderkey")
 
+  /** Distribution-position window functions — percent_rank, cume_dist
+    * and a full-partition nth_value — the one window family the set did
+    * not yet exercise (ranking, lag/lead, running/RANGE frames and
+    * session windows are covered elsewhere). The order is made TOTAL with
+    * the key tiebreak, so the rank integers agree cross-engine and the
+    * (rank-1)/(n-1) divisions are bit-identical doubles. Output sampled
+    * by key AFTER windowing (the functions need every row in scope).
+    */
+  private val windowRankStats: Q = (s, d) => {
+    val w = "partition by o_orderpriority order by o_totalprice, o_orderkey"
+    orders(s, d)
+      .withColumn("pr", expr(s"percent_rank() over ($w)"))
+      .withColumn("cd", expr(s"cume_dist() over ($w)"))
+      .withColumn("third_key", expr(
+        s"nth_value(o_orderkey, 3) over ($w rows between unbounded preceding and unbounded following)"))
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(
+        col("o_orderpriority").as("priority"),
+        col("o_orderkey").as("okey"),
+        col("pr"), col("cd"), col("third_key"))
+      .orderBy("priority", "okey")
+  }
+
   /** KMV sketch set algebra — audience overlap between segments at
     * 100 TB: each segment (event type) keeps only its k smallest element
     * hashes (user-day elements), built with the NATIVE bounded-heap
@@ -1149,6 +1172,7 @@ object RelationalQueries {
     "grouping_sets_orders" -> groupingSetsOrders,
     "sketch_heavy_hitters" -> heavyHitters,
     "sketch_overlap" -> sketchOverlap,
+    "window_rank_stats" -> windowRankStats,
     "q17_correlated_min" -> q17Correlated,
     "rolling_7d_value" -> rolling7d,
     "corr_qty_price" -> corrQtyPrice,
@@ -1267,6 +1291,15 @@ object RelationalQueries {
         |         AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |         AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
         |ORDER BY s.s_suppkey""".stripMargin,
+    "window_rank_stats" ->
+      """SELECT priority, okey, pr, cd, third_key FROM (
+        |  SELECT o_orderpriority AS priority, o_orderkey AS okey,
+        |    percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS pr,
+        |    cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS cd,
+        |    nth_value(o_orderkey, 3) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_key
+        |  FROM orders)
+        |WHERE okey % 97 = 0 ORDER BY priority, okey""".stripMargin,
     "set_ops_all" ->
       """WITH a AS (SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_quantity > 30),
         |b AS (SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_returnflag <> 'N'),
