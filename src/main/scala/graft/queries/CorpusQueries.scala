@@ -599,7 +599,28 @@ object CorpusQueries {
         (col("score") - col("nxt_score")).as("margin"))
       .orderBy("source", "chosen_id")
 
+  /** Generator null-preservation semantics (`explode_outer`): exploding a
+    * per-doc match list must KEEP docs with zero matches as a null row —
+    * the difference between "docs joined to their hits" and "hits only",
+    * and the easy silent-row-loss bug in any flatten step (a plain
+    * explode drops empty docs from downstream counts). Grouped audit
+    * keeps the output bounded; the oracle mirrors explode_outer by
+    * substituting [NULL] for empty lists before unnesting.
+    */
+  private val explodeOuterAudit: Q = (s, d) =>
+    withTok(documents(s, d))
+      .select(
+        col("source"),
+        explode_outer(expr("filter(split(t, ' '), x -> x = 'spark')")).as("hit"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("hit")).as("n_hits"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).cast(LongType).as("n_docs_without"))
+      .orderBy("source")
+
   val queries: Map[String, Q] = Map(
+    "explode_outer_audit" -> explodeOuterAudit,
     "preference_pairs" -> preferencePairs,
     "span_corruption" -> spanCorruption,
     "corpus_build_e2e" -> corpusBuildE2e,
@@ -647,6 +668,17 @@ object CorpusQueries {
   private val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
 
   val oracle: Map[String, String] = Map(
+    "explode_outer_audit" ->
+      s"""WITH base AS (SELECT source, coalesce($normSql, '') AS t FROM documents),
+        |hits AS (SELECT source,
+        |    list_filter(string_split(t, ' '), x -> x = 'spark') AS arr
+        |  FROM base),
+        |outered AS (SELECT source,
+        |    unnest(CASE WHEN len(arr) = 0 THEN [NULL] ELSE arr END) AS hit
+        |  FROM hits)
+        |SELECT source, COUNT(*) AS n_rows, COUNT(hit) AS n_hits,
+        |  CAST(SUM(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_without
+        |FROM outered GROUP BY source ORDER BY source""".stripMargin,
     "preference_pairs" ->
       s"""WITH base AS (SELECT doc_id, source, n_chars,
         |    len(string_split(coalesce($normSql, ''), ' ')) AS n_tok
