@@ -619,7 +619,44 @@ object CorpusQueries {
         sum(when(col("hit").isNull, 1L).otherwise(0L)).cast(LongType).as("n_docs_without"))
       .orderBy("source")
 
+  /** Fill-in-the-middle transform (PSM rendering): each doc's token array
+    * splits at two hash-derived points into prefix/middle/suffix and is
+    * re-rendered as `<fim_prefix> P <fim_suffix> S <fim_middle> M` — the
+    * infilling objective's data prep (span_corruption's sibling). Split
+    * points are integer-only (portable md5 hash mod n_tok+1, so every
+    * cut position including the degenerate empty pieces is reachable),
+    * docs under 10 tokens pass through untouched, and the full rendered
+    * string is md5-checked cross-engine. One projection, no shuffle —
+    * scan speed at any corpus size.
+    */
+  private val fimTransform: Q = (s, d) =>
+    withTok(documents(s, d))
+      .withColumn("toks", split(col("t"), " "))
+      .withColumn("h1", pmod(
+        graft.ext.Dedup.portableHash64(concat(lit("fimA:"), col("doc_id").cast(StringType))),
+        col("n_tok") + lit(1L)))
+      .withColumn("h2", pmod(
+        graft.ext.Dedup.portableHash64(concat(lit("fimB:"), col("doc_id").cast(StringType))),
+        col("n_tok") + lit(1L)))
+      .withColumn("p1", least(col("h1"), col("h2")))
+      .withColumn("p2", greatest(col("h1"), col("h2")))
+      .withColumn("fim_applied", (col("n_tok") >= 10).cast(LongType))
+      .withColumn("psm", when(col("fim_applied") === 1L,
+        concat(
+          lit("<fim_prefix> "),
+          expr("array_join(slice(toks, 1, int(p1)), ' ')"),
+          lit(" <fim_suffix> "),
+          expr("array_join(slice(toks, int(p2) + 1, int(n_tok - p2)), ' ')"),
+          lit(" <fim_middle> "),
+          expr("array_join(slice(toks, int(p1) + 1, int(p2 - p1)), ' ')")))
+        .otherwise(col("t")))
+      .select(
+        col("doc_id"), col("n_tok"), col("p1"), col("p2"), col("fim_applied"),
+        md5(col("psm")).as("psm_md5"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "fim_transform" -> fimTransform,
     "explode_outer_audit" -> explodeOuterAudit,
     "preference_pairs" -> preferencePairs,
     "span_corruption" -> spanCorruption,
@@ -720,6 +757,29 @@ object CorpusQueries {
         |  md5(COALESCE(input_txt, '')) AS input_md5,
         |  md5(COALESCE(target_txt, '')) AS target_md5
         |FROM pieces ORDER BY doc_id""".stripMargin,
+    "fim_transform" ->
+      s"""WITH base AS (SELECT doc_id, coalesce($normSql, '') AS t FROM documents),
+        |tk AS (SELECT doc_id, t, string_split(t, ' ') AS toks,
+        |    CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tok
+        |  FROM base),
+        |hp AS (SELECT doc_id, t, toks, n_tok,
+        |    CAST('0x' || substr(md5('fimA:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % (n_tok + 1) AS h1,
+        |    CAST('0x' || substr(md5('fimB:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % (n_tok + 1) AS h2
+        |  FROM tk),
+        |sp AS (SELECT doc_id, t, toks, n_tok,
+        |    LEAST(h1, h2) AS p1, GREATEST(h1, h2) AS p2,
+        |    CASE WHEN n_tok >= 10 THEN 1 ELSE 0 END AS applied
+        |  FROM hp)
+        |SELECT doc_id, n_tok, p1, p2, CAST(applied AS BIGINT) AS fim_applied,
+        |  md5(CASE WHEN applied = 1 THEN
+        |      '<fim_prefix> ' ||
+        |      COALESCE(array_to_string(list_slice(toks, 1, CAST(p1 AS INT)), ' '), '') ||
+        |      ' <fim_suffix> ' ||
+        |      COALESCE(array_to_string(list_slice(toks, CAST(p2 + 1 AS INT), CAST(n_tok AS INT)), ' '), '') ||
+        |      ' <fim_middle> ' ||
+        |      COALESCE(array_to_string(list_slice(toks, CAST(p1 + 1 AS INT), CAST(p2 AS INT)), ' '), '')
+        |    ELSE t END) AS psm_md5
+        |FROM sp ORDER BY doc_id""".stripMargin,
     "corpus_build_e2e" ->
       s"""WITH nn AS (SELECT doc_id, $normSql AS t FROM documents),
         |tkq AS (SELECT doc_id, string_split(t, ' ') AS toks FROM nn),

@@ -1151,7 +1151,57 @@ object RelationalQueries {
       .agg(count(lit(1)).as("custdist"))
       .orderBy(desc("custdist"), desc("c_count"))
 
+  /** `NOT IN (subquery)` under three-valued logic — Catalyst's null-aware
+    * anti-join path, and the classic silent-wrong-answer trap: one NULL in
+    * the inner set makes `x NOT IN (...)` never true, and a NULL outer key
+    * never qualifies either. Three lanes in one row: a clean inner set
+    * (a genuine anti-join count), the same set with hash-planted NULLs
+    * (collapses toward zero the moment a NULL appears), and a nullable
+    * outer key against the clean set (NULL outers drop out). Spark plans
+    * the single-column case as a broadcast null-aware anti join, not a
+    * nested loop; rewriting to a plain left-anti join would be wrong in
+    * exactly the lanes this pins.
+    */
+  private val notInNullAware: Q = (s, d) => {
+    orders(s, d).createOrReplaceTempView("__ni_orders")
+    customer(s, d).createOrReplaceTempView("__ni_customer")
+    s.sql(
+      """SELECT
+        |  (SELECT COUNT(*) FROM __ni_orders
+        |    WHERE o_custkey NOT IN
+        |      (SELECT c_custkey FROM __ni_customer WHERE c_acctbal < 0)) AS n_clean,
+        |  (SELECT COUNT(*) FROM __ni_orders
+        |    WHERE o_custkey NOT IN
+        |      (SELECT CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_custkey END
+        |         FROM __ni_customer WHERE c_acctbal < 0)) AS n_inner_null,
+        |  (SELECT COUNT(*) FROM
+        |      (SELECT CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_custkey END AS k
+        |         FROM __ni_orders)
+        |    WHERE k NOT IN
+        |      (SELECT c_custkey FROM __ni_customer WHERE c_acctbal < 0)) AS n_outer_null
+        |""".stripMargin)
+  }
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — per-group top-k
+    * expressed as "for each source, the 3 largest docs", the decorrelation
+    * family Catalyst rewrites through DomainJoin (a different plan from
+    * the window-rank formulation in `window_top_customers`, same answer
+    * shape). Tiebreak on doc_id keeps the k-th row engine-independent.
+    */
+  private val lateralTopkDocs: Q = (s, d) => {
+    graft.Tables.documents(s, d).createOrReplaceTempView("__lat_docs")
+    s.sql(
+      """SELECT s.source, t.doc_id, t.n_chars
+        |FROM (SELECT DISTINCT source FROM __lat_docs) s,
+        |LATERAL (SELECT doc_id, n_chars FROM __lat_docs d
+        |         WHERE d.source = s.source
+        |         ORDER BY n_chars DESC, doc_id LIMIT 3) t
+        |ORDER BY s.source, t.n_chars DESC, t.doc_id""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "lateral_topk_docs" -> lateralTopkDocs,
+    "not_in_null_aware" -> notInNullAware,
     "q6_forecast_revenue" -> q6,
     "q10_returned_items" -> q10,
     "q13_order_distribution" -> q13,
@@ -1316,6 +1366,27 @@ object RelationalQueries {
         |  COALESCE(key_sum_e, 0) AS key_sum_e
         |FROM i FULL JOIN e ON i.l_returnflag = e.l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "lateral_topk_docs" ->
+      """SELECT s.source, t.doc_id, t.n_chars
+        |FROM (SELECT DISTINCT source FROM documents) s,
+        |LATERAL (SELECT doc_id, n_chars FROM documents d
+        |         WHERE d.source = s.source
+        |         ORDER BY n_chars DESC, doc_id LIMIT 3) t
+        |ORDER BY s.source, t.n_chars DESC, t.doc_id""".stripMargin,
+    "not_in_null_aware" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM orders
+        |    WHERE o_custkey NOT IN
+        |      (SELECT c_custkey FROM customer WHERE c_acctbal < 0)) AS n_clean,
+        |  (SELECT COUNT(*) FROM orders
+        |    WHERE o_custkey NOT IN
+        |      (SELECT CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_custkey END
+        |         FROM customer WHERE c_acctbal < 0)) AS n_inner_null,
+        |  (SELECT COUNT(*) FROM
+        |      (SELECT CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_custkey END AS k
+        |         FROM orders)
+        |    WHERE k NOT IN
+        |      (SELECT c_custkey FROM customer WHERE c_acctbal < 0)) AS n_outer_null""".stripMargin,
     "nullsafe_join" ->
       """WITH ga AS (SELECT k, COUNT(*) AS n_a FROM (
         |    SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_nationkey END AS k
