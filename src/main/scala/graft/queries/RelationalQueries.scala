@@ -1199,7 +1199,26 @@ object RelationalQueries {
         |ORDER BY s.source, t.n_chars DESC, t.doc_id""".stripMargin)
   }
 
+  /** Rows-per-key skew audit — the diagnostic a 100 TB pipeline runs on a
+    * join key BEFORE choosing plain shuffle vs salting (`ext.Skew`) vs
+    * broadcast: the full distribution of per-key cardinalities as a
+    * compact histogram (how many keys carry how many rows each). Two
+    * keyed aggregations, the second over at most distinct-key rows; NULL
+    * keys are their own bucket (they'd all land in one reducer too).
+    */
+  private val skewProfile: Q = (s, d) =>
+    events(s, d)
+      .select(coalesce(col("user_id"), lit(-1L)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("n_keys"))
+      .select(
+        col("c").as("rows_per_key"),
+        col("n_keys"),
+        (col("c") * col("n_keys")).as("rows_sum"))
+      .orderBy("rows_per_key")
+
   val queries: Map[String, Q] = Map(
+    "skew_profile" -> skewProfile,
     "lateral_topk_docs" -> lateralTopkDocs,
     "not_in_null_aware" -> notInNullAware,
     "q6_forecast_revenue" -> q6,
@@ -1366,6 +1385,12 @@ object RelationalQueries {
         |  COALESCE(key_sum_e, 0) AS key_sum_e
         |FROM i FULL JOIN e ON i.l_returnflag = e.l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "skew_profile" ->
+      """WITH pk AS (SELECT COALESCE(user_id, -1) AS k, COUNT(*) AS c
+        |  FROM events GROUP BY 1)
+        |SELECT c AS rows_per_key, COUNT(*) AS n_keys,
+        |  CAST(c * COUNT(*) AS BIGINT) AS rows_sum
+        |FROM pk GROUP BY c ORDER BY rows_per_key""".stripMargin,
     "lateral_topk_docs" ->
       """SELECT s.source, t.doc_id, t.n_chars
         |FROM (SELECT DISTINCT source FROM documents) s,
