@@ -655,7 +655,38 @@ object CorpusQueries {
         md5(col("psm")).as("psm_md5"))
       .orderBy("doc_id")
 
+  /** Integer token-budget apportionment (largest-remainder method): turn
+    * per-source token masses into EXACT per-source quotas summing to the
+    * budget — the step that converts mix weights into the token counts a
+    * training run actually draws. base = floor(budget*tok/total); the
+    * leftover budget-sum(base) units go to the largest remainders (source
+    * tiebreak). All long-integer math; the remainder ranking runs on
+    * [[graft.ext.Prefix.globalRank]] (distributed rank, no single-reducer
+    * window) and the two global scalars ride in as broadcast 1-row frames.
+    */
+  private val tokenBudgetApportion: Q = (s, d) => {
+    val perSrc = withTok(documents(s, d))
+      .groupBy("source").agg(sum("n_tok").cast(LongType).as("tok"))
+    val tot = perSrc.agg(sum("tok").cast(LongType).as("tot"))
+    val based = perSrc.crossJoin(broadcast(tot))
+      .withColumn("base", expr("1000000 * tok div tot"))
+      .withColumn("rem", expr("(1000000 * tok) % tot"))
+      .withColumn("neg_rem", -col("rem"))
+    val baseSum = based.agg(sum("base").cast(LongType).as("base_sum"))
+    graft.ext.Prefix.globalRank(based, Seq(col("neg_rem"), col("source")), "rnk")
+      .crossJoin(broadcast(baseSum))
+      .withColumn("extra",
+        when(col("rnk") <= lit(1000000L) - col("base_sum"), 1L).otherwise(0L))
+      .select(
+        col("source"), col("tok"),
+        col("base").cast(LongType).as("base"),
+        col("extra").cast(LongType).as("extra"),
+        (col("base") + col("extra")).cast(LongType).as("quota"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "token_budget_apportion" -> tokenBudgetApportion,
     "fim_transform" -> fimTransform,
     "explode_outer_audit" -> explodeOuterAudit,
     "preference_pairs" -> preferencePairs,
@@ -757,6 +788,19 @@ object CorpusQueries {
         |  md5(COALESCE(input_txt, '')) AS input_md5,
         |  md5(COALESCE(target_txt, '')) AS target_md5
         |FROM pieces ORDER BY doc_id""".stripMargin,
+    "token_budget_apportion" ->
+      s"""WITH n AS (SELECT source,
+        |    CAST(SUM(len(string_split(coalesce($normSql, ''), ' '))) AS BIGINT) AS tok
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(tok) AS BIGINT) AS tot FROM n),
+        |b AS (SELECT source, tok, 1000000 * tok // tot AS base,
+        |    (1000000 * tok) % tot AS rem FROM n, t),
+        |s AS (SELECT CAST(SUM(base) AS BIGINT) AS base_sum FROM b),
+        |r AS (SELECT b.*, ROW_NUMBER() OVER (ORDER BY -rem, source) AS rnk FROM b)
+        |SELECT r.source, r.tok, CAST(r.base AS BIGINT) AS base,
+        |  CAST(CASE WHEN rnk <= 1000000 - base_sum THEN 1 ELSE 0 END AS BIGINT) AS extra,
+        |  CAST(r.base + CASE WHEN rnk <= 1000000 - base_sum THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM r, s ORDER BY source""".stripMargin,
     "fim_transform" ->
       s"""WITH base AS (SELECT doc_id, coalesce($normSql, '') AS t FROM documents),
         |tk AS (SELECT doc_id, t, string_split(t, ' ') AS toks,

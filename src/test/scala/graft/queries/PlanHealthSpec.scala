@@ -28,7 +28,8 @@ class PlanHealthSpec extends SparkSpec {
     "sketch_heavy_hitters",   // 1-row threshold frame crossed in
     "sketch_overlap",         // 5-row segment-type frames paired by <
     "shuffle_interleave",     // global-rank offsets over sequence groups
-    "dedup_incremental")      // three 1-row stage-summary aggregates crossed
+    "dedup_incremental",      // three 1-row stage-summary aggregates crossed
+    "token_budget_apportion") // two 1-row scalar frames (total, base_sum) crossed
 
   test("no cartesian products; NLJ only where operands are bounded") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
