@@ -235,24 +235,29 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
       canon(if (large) joined else joined.union(m.select(col("u"), col("m").as("v"))))
     }
-    // EXACT convergence: both frames are distinct canonical sets, so
-    // new == old iff |new| == |old| == |new ∪ old|. A hashed signature
-    // would risk silent early stop on a collision — unlike the sibling
-    // duplicateClusters, whose per-node labels are monotone
-    // non-increasing (sum equal there PROVES nothing changed), star
-    // rounds rewrite edges non-monotonically, so only a set check is
-    // sound.
+    // EXACT convergence in ONE driver action per round: both frames are
+    // distinct canonical sets, so tag each side +1/-1, sum per edge, and
+    // the sets are equal iff no edge sums nonzero (symmetric difference
+    // empty). `isEmpty` early-outs at the first changed edge, and the
+    // single keyed agg shuffles the same |new|+|old| rows the old
+    // count + union-distinct-count pair did — minus their two extra
+    // jobs. A hashed signature would risk silent early stop on a
+    // collision — unlike the sibling duplicateClusters, whose per-node
+    // labels are monotone non-increasing (sum equal there PROVES nothing
+    // changed), star rounds rewrite edges non-monotonically, so only a
+    // set check is sound.
     var it = 0
     var converged = false
-    var prevCount = edges.count()
     while (!converged && it < maxIter) {
       val prevEdges = edges
       edges = star(large = true).localCheckpoint(true)
       edges = star(large = false).localCheckpoint(true)
-      val n = edges.count()
-      converged = n == prevCount &&
-        edges.union(prevEdges).distinct().count() == n
-      prevCount = n
+      converged = edges.select(col("u"), col("v"), lit(1).as("__side"))
+        .union(prevEdges.select(col("u"), col("v"), lit(-1).as("__side")))
+        .groupBy("u", "v")
+        .agg(sum(col("__side")).as("__s"))
+        .filter(col("__s") =!= 0)
+        .isEmpty
       it += 1
     }
     require(converged, s"star contraction did not converge in $maxIter rounds")

@@ -14,9 +14,9 @@ import org.apache.hadoop.fs.Path
   *     two racing writers can never touch each other's files;
   *   - a version becomes visible only when its manifest file
   *     `_manifests/N` (whose CONTENT is the data-directory pointer) is
-  *     created, and creation is ATOMIC (FileSystem.create with
-  *     overwrite=false) — a crashed writer leaves invisible data files,
-  *     never a half-published table;
+  *     published, and publish is an atomic no-overwrite primitive chosen
+  *     per scheme (see [[publishManifest]]) — a crashed writer leaves
+  *     invisible data files, never a half-published table;
   *   - the current table is simply the highest manifest number, so
   *     "publish" is one file create and time travel is "follow the
   *     manifest you pick";
@@ -62,14 +62,29 @@ object Snapshots {
     * retries with the next number against its already-written data.
     */
   /** One publish attempt: write the manifest CONTENT to a hidden temp
-    * file, then atomically rename it to `_manifests/v`. Rename-no-
-    * overwrite is the atomic check-and-publish (HDFS and local fs fail a
-    * rename onto an existing file); a manifest is therefore either absent
-    * or complete — never visible with partial content, even if the writer
-    * dies mid-write (the orphan is a dot-file the version listing
-    * ignores). Returns false iff another writer owns this version number.
-    * (On object stores without atomic rename — raw S3 — this layer needs
-    * the same external commit coordinator every table format needs there.)
+    * file, then promote it to `_manifests/v` with an atomic NO-OVERWRITE
+    * primitive — a manifest is either absent or complete (never partial:
+    * the writer dies mid-write only on the dot-file the version listing
+    * ignores), and two writers racing for the same number resolve to
+    * exactly one winner. Plain `FileSystem.rename` is NOT that primitive:
+    * on the local fs it bottoms out in POSIX rename(2), which silently
+    * REPLACES an existing destination, so an exists() pre-check + rename
+    * would let two racers both "win" v and lose one commit. The primitive
+    * is picked per scheme:
+    *
+    *   - local fs: `Files.createLink` — POSIX link(2) fails atomically
+    *     with EEXIST when the target exists, the one local syscall with
+    *     true create-if-absent semantics on a complete file;
+    *   - schemes with an AbstractFileSystem binding (HDFS):
+    *     `FileContext.rename(tmp, target, Rename.NONE)` — enforced
+    *     no-overwrite, atomic server-side;
+    *   - other FileSystem-only schemes (the spec's graftstore:):
+    *     exists-check + rename, the same narrow check-then-act window
+    *     every FileSystem-API committer has on such stores. On a raw
+    *     object store without atomic rename this layer needs the external
+    *     commit coordinator every table format needs there.
+    *
+    * Returns false iff another writer owns this version number.
     */
   private[io] def publishManifest(
       f: org.apache.hadoop.fs.FileSystem,
@@ -77,14 +92,54 @@ object Snapshots {
       v: Long,
       dataName: String): Boolean = {
     val target = new Path(manifestDir(dir), v.toString)
-    if (f.exists(target)) return false
+    if (f.exists(target)) return false // cheap fast-path; atomicity rests on the promote below
     val tmp = new Path(manifestDir(dir), s".tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, false)
     try out.writeUTF(dataName)
     finally out.close()
-    val won = f.rename(tmp, target)
-    if (!won) f.delete(tmp, false)
+    val won = promoteNoOverwrite(f, tmp, target)
+    // local link leaves tmp as a second name for the inode; a lost race
+    // leaves the loser's tmp; a completed rename leaves nothing (no-op)
+    f.delete(tmp, false)
     won
+  }
+
+  /** Atomically promote `tmp` to `target`, failing (false) if `target`
+    * already exists — see [[publishManifest]] for the per-scheme choice.
+    * On the local path `tmp` is left in place for the caller to delete
+    * (link(2) creates a second name for the same inode).
+    */
+  private def promoteNoOverwrite(
+      f: org.apache.hadoop.fs.FileSystem,
+      tmp: Path,
+      target: Path): Boolean = {
+    if (scala.util.Try(f.getScheme).toOption.contains("file")) {
+      import java.nio.file.{Files, Paths, FileAlreadyExistsException}
+      try {
+        Files.createLink(Paths.get(target.toUri.getPath), Paths.get(tmp.toUri.getPath))
+        // keep checksum verification alive on a checksummed local fs: the
+        // crc sidecar is content-addressed, so linking it under the
+        // target's name is valid; best-effort (readers tolerate no-crc)
+        scala.util.Try {
+          val crcT = Paths.get(new Path(target.getParent, s".${target.getName}.crc").toUri.getPath)
+          val crcS = Paths.get(new Path(tmp.getParent, s".${tmp.getName}.crc").toUri.getPath)
+          if (Files.exists(crcS) && !Files.exists(crcT)) Files.createLink(crcT, crcS)
+        }
+        true
+      } catch { case _: FileAlreadyExistsException => false }
+    } else {
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, f.getConf)
+        try {
+          fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
+          true
+        } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          // FileSystem-only scheme: the best available is check-then-rename
+          if (f.exists(target)) false else f.rename(tmp, target)
+      }
+    }
   }
 
   def commitVersion(spark: SparkSession, df: DataFrame, dir: String, maxRetries: Int = 10): Long = {
@@ -121,6 +176,20 @@ object Snapshots {
     }
   }
 
+  /** Scan-path manifest read: a manifest listed a moment ago may legally
+    * be GONE by the time it is opened — a concurrent idempotent commit
+    * retracts its own duplicate manifest (see the dup sweep below), so a
+    * vanished file is ordinary lock-free log churn, not corruption. The
+    * sweeping/scanning paths skip it; only the targeted readVersion treats
+    * absence as an error.
+    */
+  private def readManifestOpt(
+      f: org.apache.hadoop.fs.FileSystem,
+      dir: String,
+      v: Long): Option[(String, Option[String])] =
+    try Some(readManifest(f, dir, v))
+    catch { case _: java.io.FileNotFoundException => None }
+
   /** Transaction ids already committed to this table. What makes
     * at-least-once streaming replays exactly-once: a replayed
     * micro-batch's txn id is already in the log, so its commit is a
@@ -131,7 +200,7 @@ object Snapshots {
     */
   def committedTxns(spark: SparkSession, dir: String): Set[String] = {
     val f = fs(spark, dir)
-    versions(spark, dir).flatMap(v => readManifest(f, dir, v)._2).toSet
+    versions(spark, dir).flatMap(v => readManifestOpt(f, dir, v).flatMap(_._2)).toSet
   }
 
   /** Idempotent commit for streaming `foreachBatch`: publishes `df` as a
@@ -150,6 +219,8 @@ object Snapshots {
       dir: String,
       txnId: String,
       maxRetries: Int = 10): Option[Long] = {
+    require(txnId.nonEmpty, "txnId must be non-empty (an empty id would " +
+      "serialize as a trailing field split() drops, silently disabling idempotence)")
     require(!txnId.contains('|'), "txnId must not contain the manifest separator '|'")
     if (committedTxns(spark, dir).contains(txnId)) return None
     val f = fs(spark, dir)
@@ -174,7 +245,7 @@ object Snapshots {
         // vacuum-able debris and its brief visibility window is the
         // price of lock-free publish on a plain filesystem.
         val dup = versions(spark, dir)
-          .filter(w => w != v && readManifest(f, dir, w)._2.contains(txnId))
+          .filter(w => w != v && readManifestOpt(f, dir, w).exists(_._2.contains(txnId)))
         if (dup.exists(_ < v)) {
           f.delete(new Path(manifestDir(dir), v.toString), false)
           return None
@@ -220,7 +291,9 @@ object Snapshots {
     */
   def vacuum(spark: SparkSession, dir: String, minAgeMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val f = fs(spark, dir)
-    val referenced = versions(spark, dir).map(v => readManifest(f, dir, v)._1).toSet
+    // a manifest retracted mid-scan leaves its data dir unreferenced —
+    // exactly the debris vacuum exists to collect, so skipping is correct
+    val referenced = versions(spark, dir).flatMap(v => readManifestOpt(f, dir, v).map(_._1)).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     val orphans = f.listStatus(new Path(dir))
       .filter(st =>

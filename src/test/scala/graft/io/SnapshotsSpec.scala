@@ -148,4 +148,65 @@ class SnapshotsSpec extends SparkSpec {
       Snapshots.readVersion(spark, dir, v).as[Long].collect().toSeq)
     assert(seen.flatten.toSet == Set(1L, 2L))
   }
+
+  test("publish is atomic no-overwrite on local fs: N racers, one winner, content intact") {
+    // POSIX rename(2) silently replaces its destination, so a naive
+    // exists+rename publish lets two racers both "win" and one commit is
+    // silently lost. The link(2)-based publish must admit exactly ONE
+    // winner, and the surviving manifest must be the winner's content.
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val dir = Files.createTempDirectory("snap_atomic").toString
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new Path(s"$dir/_manifests"))
+    val n = 16
+    val pool = Executors.newFixedThreadPool(n)
+    val start = new CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Boolean]()
+    (0 until n).foreach { i =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          results.put(i, Snapshots.publishManifest(f, dir, 0L, s"data_racer_$i"))
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+    import scala.jdk.CollectionConverters._
+    val winners = results.asScala.collect { case (i, true) => i }.toSeq
+    assert(winners.size == 1, s"exactly one racer must win, got winners=$winners")
+    // the published manifest carries the winner's content, not a loser's
+    val in = f.open(new Path(s"$dir/_manifests/0"))
+    val content = try in.readUTF() finally in.close()
+    assert(content == s"data_racer_${winners.head}",
+      s"manifest content '$content' must be the winner's — an overwrite lost a commit")
+    // and no tmp litter survives the stampede
+    assert(!f.listStatus(new Path(s"$dir/_manifests"))
+      .exists(_.getPath.getName.startsWith(".tmp_")))
+  }
+
+  test("scans tolerate a manifest vanishing mid-scan (legal retraction churn)") {
+    val dir = Files.createTempDirectory("snap_vanish").toString
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshots.commitVersion(spark, Seq(1L).toDF("x"), dir)
+    val v1 = Snapshots.commitVersionIdempotent(spark, Seq(2L).toDF("x"), dir, "app#1")
+    assert(v1.contains(1L))
+    // simulate the race: version 1's manifest retracts itself after the
+    // listing but before the read — here, deleted before the scan, which
+    // the scan paths must shrug off rather than throw FileNotFoundException
+    f.delete(new Path(s"$dir/_manifests/1"), false)
+    assert(Snapshots.committedTxns(spark, dir).isEmpty) // txn rode the vanished manifest
+    // vacuum: the retracted version's data dir is now legitimate debris
+    val removed = Snapshots.vacuum(spark, dir, minAgeMs = 0L)
+    assert(removed.size == 1)
+    assert(rowsOf(Snapshots.read(spark, dir)) == Seq(1L))
+  }
+
+  test("idempotent commit rejects an empty txnId (would silently disable idempotence)") {
+    val dir = Files.createTempDirectory("snap_emptytxn").toString
+    intercept[IllegalArgumentException] {
+      Snapshots.commitVersionIdempotent(spark, Seq(1L).toDF("x"), dir, "")
+    }
+  }
 }
