@@ -32,8 +32,16 @@ object Tables {
     * column is floor-converted to micros; queries must not expose
     * sub-second precision (DuckDB keeps full nanos).
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    // Driver-generated dirs carry nanos (read as LONG under the legacy
+    // flag); ScaleGen-produced dirs carry real TIMESTAMP(MICROS) — accept
+    // both so every query runs unchanged against either layout.
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
