@@ -54,6 +54,28 @@ object Tables {
   /** Exact decimal sum rendered as double — bit-identical across engines. */
   def dsum(c: Column): Column = sum(dec2(c)).cast(DoubleType)
 
+  /** Product-decimal sum (scale 4 or 6 from price × rate factors) rendered
+    * as money: round the exact sum to scale 2 BEFORE the double cast.
+    * Why: decimal→double is only bit-identical across engines while the
+    * UNSCALED value fits in 2^53 (then both engines do one exact int→double
+    * plus one correctly-rounded divide by a power of ten). A scale-6 sum
+    * crosses 2^53 around 9e9 in value — the sf1 gate caught q1's
+    * sum_charge differing in the last ulp (DuckDB double-rounds int128→
+    * double→÷1e6; Java BigDecimal.doubleValue() is correctly rounded).
+    * At scale 2 the safe range is ~9e13, far beyond any group sum whose
+    * magnitude grows with corpus size. Use for GROWING-group money sums;
+    * per-entity-bounded sums (per-order, per-customer) cannot outgrow
+    * 2^53 at native scale and may keep full precision.
+    *
+    * round(), not a DECIMAL(38,2) downcast: both engines' round() is
+    * half-away-from-zero (probed: 1.185→1.19, -1.185→-1.19, 2.675→2.68 in
+    * both), while DuckDB's decimal scale-DOWN cast truncates where
+    * Spark's rounds (3652441.1856 → .18 vs .19 — caught at sf0.01 the
+    * moment this helper first shipped as a cast).
+    */
+  def dmsum(c: Column): Column =
+    round(sum(c), 2).cast(DoubleType)
+
   /** Deterministic average: exact decimal sum / count, in double space. */
   def davg(c: Column): Column =
     sum(dec2(c)).cast(DoubleType) / count(c).cast(DoubleType)

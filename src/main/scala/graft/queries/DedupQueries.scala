@@ -37,12 +37,27 @@ object DedupQueries {
   private def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d)
       .select(col("doc_id"), TextStats.normText(col("text")).as("t"))
-    base.union(
-      base
-        .filter(col("doc_id") % 7 === 0)
-        .select(
-          (col("doc_id") + 200000).as("doc_id"),
-          expr("substring(t, instr(t, ' ') + 1)").as("t")))
+    base
+      .union(
+        base
+          .filter(col("doc_id") % 7 === 0)
+          .select(
+            (col("doc_id") + 200000).as("doc_id"),
+            expr("substring(t, instr(t, ' ') + 1)").as("t")))
+      // BORDERLINE near-dups: a 60% token prefix sits at jaccard
+      // (0.6n-4)/(n-4) against its source — inside [0.5, 0.6) for short
+      // docs, above 0.6 for long ones. The first planted family (drop one
+      // word, jaccard ~0.95) left the whole [0.5, 0.8] band empty, so a
+      // mutated jaccard threshold (0.5->0.6) and coarser LSH banding
+      // (8x2 -> 4x4) were EQUIVALENT mutants on the fixture — the round-5
+      // mutation audit caught the gap; this family makes both observable.
+      .union(
+        base
+          .filter(col("doc_id") % 11 === 3)
+          .select(
+            (col("doc_id") + 400000).as("doc_id"),
+            expr("array_join(slice(split(t, ' '), 1, " +
+              "int(greatest(size(split(t, ' ')) * 6 div 10, 10L))), ' ')").as("t")))
   }
 
   /** embeddings + identical-vector copies for every 9th vector. */
@@ -385,7 +400,11 @@ object DedupQueries {
     """base AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
       |corpus AS (SELECT doc_id, t FROM base
       |  UNION ALL
-      |  SELECT doc_id + 200000, substr(t, strpos(t, ' ') + 1) FROM base WHERE doc_id % 7 = 0),
+      |  SELECT doc_id + 200000, substr(t, strpos(t, ' ') + 1) FROM base WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 400000, array_to_string(
+      |    string_split(t, ' ')[1:greatest((len(string_split(t, ' ')) * 6) // 10, 10)], ' ')
+      |  FROM base WHERE doc_id % 11 = 3),
       |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM corpus),
       |sh AS (SELECT DISTINCT doc_id, shingle FROM (
       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
@@ -435,10 +454,11 @@ object DedupQueries {
     val bandSelects = (0 until 4)
       .map(k => s"  SELECT doc_id, simhash, $k AS band, (simhash >> ${15 * k}) & 32767 AS bh FROM sh2")
       .mkString("\n  UNION ALL\n")
-    s"""WITH base AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
-       |corpus AS (SELECT doc_id, t FROM base
-       |  UNION ALL
-       |  SELECT doc_id + 200000, substr(t, strpos(t, ' ') + 1) FROM base WHERE doc_id % 7 = 0),
+    // reuses the SHARED corpusSql fixture (tk/sh/shc ride along unreferenced
+    // and unevaluated) — an inlined copy here drifted from the shared one
+    // when the borderline family landed, and the 85-vs-83 row mismatch that
+    // followed is exactly the bug class sharing prevents
+    s"""WITH $corpusSql,
        |tok AS (SELECT doc_id, ${ph64("tok")} AS h FROM (
        |  SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM corpus)),
        |v AS (SELECT doc_id,

@@ -112,8 +112,8 @@ object ReferenceQueries {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(dec2(col("l_extendedprice")) * oneMinus).cast(DoubleType).as("sum_disc_price"),
-        sum(dec2(col("l_extendedprice")) * oneMinus * onePlus).cast(DoubleType).as("sum_charge"),
+        dmsum(dec2(col("l_extendedprice")) * oneMinus).as("sum_disc_price"),
+        dmsum(dec2(col("l_extendedprice")) * oneMinus * onePlus).as("sum_charge"),
         davg(col("l_quantity")).as("avg_qty"),
         davg(col("l_extendedprice")).as("avg_price"),
         davg(col("l_discount")).as("avg_disc"),
@@ -138,8 +138,8 @@ object ReferenceQueries {
         |SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(qty) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(price) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(price * omd) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(price * omd * opt) AS DOUBLE) AS sum_charge,
+        |  CAST(round(SUM(price * omd), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(SUM(price * omd * opt), 2) AS DOUBLE) AS sum_charge,
         |  CAST(SUM(qty) AS DOUBLE) / COUNT(qty) AS avg_qty,
         |  CAST(SUM(price) AS DOUBLE) / COUNT(price) AS avg_price,
         |  CAST(SUM(disc) AS DOUBLE) / COUNT(disc) AS avg_disc,
@@ -189,8 +189,8 @@ object ReferenceQueries {
       |SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(qty) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(price) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(price * omd) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(price * omd * opt) AS DOUBLE) AS sum_charge,
+      |  CAST(round(SUM(price * omd), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(round(SUM(price * omd * opt), 2) AS DOUBLE) AS sum_charge,
       |  CAST(SUM(qty) AS DOUBLE) / COUNT(qty) AS avg_qty,
       |  CAST(SUM(price) AS DOUBLE) / COUNT(price) AS avg_price,
       |  CAST(SUM(disc) AS DOUBLE) / COUNT(disc) AS avg_disc,

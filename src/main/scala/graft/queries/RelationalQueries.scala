@@ -53,7 +53,7 @@ object RelationalQueries {
       .join(r, n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(
-        sum(dec2(col("l_extendedprice")) * oneMinusDisc).cast(DoubleType).as("revenue"),
+        dmsum(dec2(col("l_extendedprice")) * oneMinusDisc).as("revenue"),
         countDistinct(col("l_suppkey")).as("n_supp"))
       .orderBy("n_name")
   }
@@ -286,7 +286,7 @@ object RelationalQueries {
           col("l_quantity").between(20, 30))
     j.filter(disj)
       .agg(
-        sum(dec2(col("l_extendedprice")) * oneMinusDisc).cast(DoubleType).as("revenue"),
+        dmsum(dec2(col("l_extendedprice")) * oneMinusDisc).as("revenue"),
         count(lit(1)).as("n"))
   }
 
@@ -454,7 +454,7 @@ object RelationalQueries {
       .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
       .agg(
         count(lit(1)).as("n_items"),
-        sum(dec2(col("l_extendedprice")) * oneMinusDisc).cast(DoubleType).as("revenue"))
+        dmsum(dec2(col("l_extendedprice")) * oneMinusDisc).as("revenue"))
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
@@ -483,9 +483,10 @@ object RelationalQueries {
         col("c_region") === col("r_regionkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
-        sum(when(col("supp_nation") === "NATION_9", rev)
-          .otherwise(lit(0).cast(DecimalType(17, 4)))).cast(DoubleType).as("nation_rev"),
-        sum(rev).cast(DoubleType).as("total_rev"))
+        round(sum(when(col("supp_nation") === "NATION_9", rev)
+          .otherwise(lit(0).cast(DecimalType(17, 4)))), 2)
+          .cast(DoubleType).as("nation_rev"),
+        round(sum(rev), 2).cast(DoubleType).as("total_rev"))
       .select(
         col("o_year"),
         col("nation_rev"),
@@ -510,7 +511,7 @@ object RelationalQueries {
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
-      .agg(count(lit(1)).as("n_items"), sum(profit).cast(DoubleType).as("sum_profit"))
+      .agg(count(lit(1)).as("n_items"), dmsum(profit).as("sum_profit"))
       .orderBy(asc("nation"), desc("o_year"))
   }
 
@@ -961,9 +962,10 @@ object RelationalQueries {
     l.join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
       .agg(
         (lit(100.0) *
-          sum(when(col("p_type") === "PROMO", dec2(col("l_extendedprice")) * oneMinus))
+          round(sum(when(col("p_type") === "PROMO", dec2(col("l_extendedprice")) * oneMinus)), 2)
             .cast(DoubleType) /
-          sum(dec2(col("l_extendedprice")) * oneMinus).cast(DoubleType)).as("promo_pct"),
+          round(sum(dec2(col("l_extendedprice")) * oneMinus), 2)
+            .cast(DoubleType)).as("promo_pct"),
         count(lit(1)).as("n"))
   }
 
@@ -1112,8 +1114,7 @@ object RelationalQueries {
           col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
           col("l_quantity") < 24)
       .agg(
-        sum(dec2(col("l_extendedprice")) * rate2(col("l_discount")))
-          .cast(DoubleType).as("revenue"),
+        dmsum(dec2(col("l_extendedprice")) * rate2(col("l_discount"))).as("revenue"),
         count(lit(1)).as("n"))
 
   /** TPC-H Q10-style returned-item revenue: lineitem('R') x orders(one
@@ -1217,7 +1218,20 @@ object RelationalQueries {
         (col("c") * col("n_keys")).as("rows_sum"))
       .orderBy("rows_per_key")
 
+  /** Statistics/CBO lane: the demo join runs in a CHILD session with
+    * catalog-registered, ANALYZE-d tables and cost-based join reorder on
+    * ([[graft.ops.CatalogStats]]); the oracle replays the same join over
+    * the raw tables — CBO may only change the PLAN, never the rows, and
+    * CboSpec pins that the plan actually does change.
+    */
+  private val cboJoinReorder: Q = (s, d) => {
+    val s2 = s.newSession()
+    graft.ops.CatalogStats.registerAnalyzed(s2, d)
+    graft.ops.CatalogStats.demoJoin(s2)
+  }
+
   val queries: Map[String, Q] = Map(
+    "cbo_join_reorder" -> cboJoinReorder,
     "skew_profile" -> skewProfile,
     "lateral_topk_docs" -> lateralTopkDocs,
     "not_in_null_aware" -> notInNullAware,
@@ -1275,9 +1289,20 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "cbo_join_reorder" ->
+      """SELECT n_name AS nation, COUNT(1) AS n_items,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
+        |FROM supplier
+        |JOIN lineitem ON l_suppkey = s_suppkey
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE p_size <= 5
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
     "q6_forecast_revenue" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |    CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      """SELECT CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -1482,8 +1507,8 @@ object RelationalQueries {
         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |    CAST(year(l_shipdate) AS INT) AS l_year,
         |    COUNT(1) AS n_items,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |      CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |    CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
         |  FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
@@ -1509,19 +1534,19 @@ object RelationalQueries {
         |  JOIN region ON n1.n_regionkey = r_regionkey
         |  WHERE r_name = 'ASIA'),
         |g AS (SELECT o_year,
-        |    CAST(SUM(CASE WHEN supp_nation = 'NATION_9' THEN rev
-        |      ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE) AS nation_rev,
-        |    CAST(SUM(rev) AS DOUBLE) AS total_rev
+        |    CAST(round(SUM(CASE WHEN supp_nation = 'NATION_9' THEN rev
+        |      ELSE CAST(0 AS DECIMAL(17,4)) END), 2) AS DOUBLE) AS nation_rev,
+        |    CAST(round(SUM(rev), 2) AS DOUBLE) AS total_rev
         |  FROM base GROUP BY o_year)
         |SELECT o_year, nation_rev, total_rev, nation_rev / total_rev AS mkt_share
         |FROM g ORDER BY o_year""".stripMargin,
     "q9_product_profit" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
         |  COUNT(1) AS n_items,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
         |      CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) -
         |      CAST(p_retailprice AS DECIMAL(12,2)) *
-        |      CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit
+        |      CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -1583,8 +1608,8 @@ object RelationalQueries {
         |GROUP BY cntrycode
         |ORDER BY cntrycode""".stripMargin,
     "q19_disjunctive_join" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      """SELECT CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -1717,8 +1742,8 @@ object RelationalQueries {
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00')
-        |SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev END) AS DOUBLE)
-        |    / CAST(SUM(rev) AS DOUBLE) AS promo_pct,
+        |SELECT 100.0 * CAST(round(SUM(CASE WHEN p_type = 'PROMO' THEN rev END), 2) AS DOUBLE)
+        |    / CAST(round(SUM(rev), 2) AS DOUBLE) AS promo_pct,
         |  COUNT(*) AS n
         |FROM x""".stripMargin,
     "event_features" ->
@@ -1777,7 +1802,7 @@ object RelationalQueries {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_nation_revenue" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
         |  COUNT(DISTINCT l_suppkey) AS n_supp
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
