@@ -82,7 +82,13 @@ object IvfIndex {
     var cent = vec
       .filter(col(idCol) % stride === 0)
       .select((col(idCol) / stride).cast(LongType).as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val sample = vec.filter(col(idCol) % sampleStride === 0).withColumnRenamed(idCol, "__vid")
+    // materialize the bounded (~1024-row) training sample ONCE: every
+    // Lloyd iteration joins against it, and iteration i's centroid plan
+    // nests iteration i-1's whole DAG — without truncation each pass
+    // re-reads and re-transforms the full vector scan per iteration
+    val sample = vec.filter(col(idCol) % sampleStride === 0)
+      .withColumnRenamed(idCol, "__vid")
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val assigned = ranked(sample, cent)
         .filter(col("rk_c") === 1)

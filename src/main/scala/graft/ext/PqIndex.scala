@@ -76,7 +76,13 @@ object PqIndex {
       .filter(col(idCol) % stride === 0)
       .select(col("s"), (col(idCol) / stride).cast(LongType).as("cid"), col("sv").as("cv"))
       .withColumn("cc", Vectors.dot(col("cv"), col("cv")))
-    val sample = sub.filter(col(idCol) % sampleStride === 0).withColumnRenamed(idCol, "__vid")
+    // bounded sample (~1024 ids × m subspaces), materialized once — same
+    // lineage-truncation move as IvfIndex.trainCentroidsK: the per-
+    // iteration codebook plan otherwise nests the full subvector
+    // explode-scan once per Lloyd pass
+    val sample = sub.filter(col(idCol) % sampleStride === 0)
+      .withColumnRenamed(idCol, "__vid")
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val assigned = rankedL2(sample, cb)
         .filter(col("rk_c") === 1)

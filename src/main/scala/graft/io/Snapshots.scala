@@ -147,15 +147,109 @@ object Snapshots {
     f.mkdirs(manifestDir(dir))
     val dataName = s"data_${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.mode(SaveMode.ErrorIfExists).parquet(new Path(dir, dataName).toString)
+    publishNewVersion(spark, f, dir, dataName, maxRetries)
+  }
+
+  /** OCC publish loop for an already-written data directory. Only a LOST
+    * RACE retries (publishManifest returned false after a clean temp
+    * write); real IO failures propagate with their cause.
+    */
+  private def publishNewVersion(
+      spark: SparkSession,
+      f: org.apache.hadoop.fs.FileSystem,
+      dir: String,
+      dataName: String,
+      maxRetries: Int): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
       val v = latestVersion(spark, dir).map(_ + 1).getOrElse(0L)
-      // only a LOST RACE retries (publishManifest returned false after a
-      // clean temp write); real IO failures propagate with their cause
       if (publishManifest(f, dir, v, dataName)) return v
       attempt += 1
     }
     throw new IllegalStateException(s"could not publish a version after $maxRetries attempts")
+  }
+
+  private def statsPath(dir: String, dataName: String) =
+    new Path(new Path(dir, dataName), "_stats")
+
+  /** Commit `df` as a new version carrying a per-file min/max statistics
+    * sidecar — the manifest-level data-skipping layer of every lakehouse
+    * format. Parquet row-group skipping still OPENS every file to read
+    * its footer; at 100 TB with millions of files the listing + footer
+    * round-trips dominate a selective query's cost, so the format must be
+    * able to prune the FILE LIST from bounded metadata before the scan
+    * starts. The sidecar lives at `<dataDir>/_stats` — a leading-
+    * underscore path Spark's file index ignores, so [[readVersion]] is
+    * unaffected — and is written BEFORE the manifest publish, so any
+    * published version's sidecar is complete (the same immutability
+    * argument as the data files; a crashed writer leaves only invisible
+    * debris). Stats cost one extra scan of the new files (one keyed
+    * aggregation, no shuffle wider than the file count).
+    *
+    * Cluster `df` first (e.g. `repartitionByRange` on the stats columns,
+    * as [[Compaction.writeClustered]] does) — stats on a scattered layout
+    * span the whole domain and prune nothing.
+    */
+  def commitVersionWithStats(
+      spark: SparkSession,
+      df: DataFrame,
+      dir: String,
+      statsCols: Seq[String],
+      maxRetries: Int = 10): Long = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    val f = fs(spark, dir)
+    f.mkdirs(manifestDir(dir))
+    val dataName = s"data_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(new Path(dir, dataName).toString)
+    val aggs = count(lit(1)).as("n_rows") +:
+      statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(new Path(dir, dataName).toString)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1) // one sidecar file: rows are bounded by the file count
+      .write.parquet(statsPath(dir, dataName).toString)
+    publishNewVersion(spark, f, dir, dataName, maxRetries)
+  }
+
+  /** Read version `v` touching only the files whose [min, max] stats
+    * overlap every `lo <= col <= hi` bound — file-grain data skipping
+    * from the stats sidecar. Pruning is conservative: kept files may
+    * still hold non-matching rows (the caller applies the row predicate
+    * as usual; Catalyst then pushes it into the surviving files' row
+    * groups), dropped files provably hold none. A file whose stats
+    * column is entirely NULL has NULL min/max and is dropped — range
+    * predicates never select NULL rows, so that is exact, not lossy.
+    *
+    * Versions committed without stats (or bounds on columns the sidecar
+    * does not carry) fall back to the full file list — stats are an
+    * optimization, never a correctness gate. The only driver
+    * materialization is the surviving file-name list, bounded by one
+    * version's file count — the same planning-time metadata every table
+    * format's driver holds.
+    */
+  def readVersionPruned(
+      spark: SparkSession,
+      dir: String,
+      v: Long,
+      bounds: Map[String, (Any, Any)]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val f = fs(spark, dir)
+    require(f.exists(new Path(manifestDir(dir), v.toString)), s"version $v is not published in $dir")
+    val dataName = readManifest(f, dir, v)._1
+    val sp = statsPath(dir, dataName)
+    if (!f.exists(sp)) return readVersion(spark, dir, v)
+    val stats = spark.read.parquet(sp.toString)
+    val usable = bounds.filter { case (c, _) => stats.columns.contains(s"min_$c") }
+    if (usable.isEmpty) return readVersion(spark, dir, v)
+    val keep = usable
+      .map { case (c, (lo, hi)) => col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi) }
+      .reduce(_ && _)
+    val files = stats.filter(keep).select("file").collect().map(_.getString(0)).toIndexedSeq
+    if (files.isEmpty)
+      // no file can match: empty result with the version's schema (the
+      // foldable-false filter collapses to an empty LocalRelation)
+      readVersion(spark, dir, v).where(lit(false))
+    else spark.read.parquet(files: _*)
   }
 
   /** Parse one manifest: (data directory name, optional txn id). The

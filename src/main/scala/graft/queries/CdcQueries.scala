@@ -84,10 +84,43 @@ object CdcQueries {
       .orderBy("event_type")
   }
 
+  /** Lakehouse data-skipping round-trip: commit orders as a range-
+    * clustered, stats-carrying snapshot version ([[graft.io.Snapshots
+    * .commitVersionWithStats]]), then answer a one-year revenue query
+    * through [[graft.io.Snapshots.readVersionPruned]] — the file list is
+    * pruned from the per-file min/max sidecar BEFORE the scan (manifest-
+    * level skipping; parquet row-group skipping still opens every
+    * footer). The oracle filters the raw table directly, so the hash
+    * check proves pruning loses and invents nothing; SnapshotsSpec
+    * separately proves the file list actually shrinks. Time crosses the
+    * engine boundary as epoch ms (the events-table convention).
+    */
+  private val lakehousePrunedScan: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lh").toString
+    val base = orders(s, d).select(
+      col("o_orderkey"),
+      col("o_totalprice"),
+      // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast is
+      // wall-clock-identity, matching DuckDB's naive epoch_ms
+      unix_millis(col("o_orderdate").cast("timestamp")).as("oms"))
+    val v = graft.io.Snapshots.commitVersionWithStats(
+      s, base.repartitionByRange(8, col("oms")), tmp, Seq("oms"))
+    val lo = 757382400000L // 1994-01-01T00:00:00Z
+    val hi = 788918400000L - 1 // last ms of 1994
+    graft.io.Snapshots
+      .readVersionPruned(s, tmp, v, Map("oms" -> (lo, hi)))
+      .filter(col("oms").between(lo, hi)) // row predicate on the kept files
+      .withColumn("m", month(timestamp_millis(col("oms"))))
+      .groupBy("m")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
+      .orderBy("m")
+  }
+
   val queries: Map[String, Q] = Map(
     "scd2_user_history" -> scd2UserHistory,
     "cdc_apply_upserts" -> cdcApplyUpserts,
-    "incremental_agg_merge" -> incrementalAggMerge
+    "incremental_agg_merge" -> incrementalAggMerge,
+    "lakehouse_pruned_scan" -> lakehousePrunedScan
   )
 
   val oracle: Map[String, String] = Map(
@@ -121,6 +154,12 @@ object CdcQueries {
     "incremental_agg_merge" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "lakehouse_pruned_scan" ->
+      """SELECT CAST(month(o_orderdate) AS INT) AS m, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS price_sum
+        |FROM orders
+        |WHERE epoch_ms(o_orderdate) BETWEEN 757382400000 AND 788918399999
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -672,6 +672,13 @@ object RelationalQueries {
     * the corruption). Every cell and estimate is portable-hash-derived,
     * so DuckDB reproduces the sketch — estimates AND exact counts sit
     * side by side, making the overestimate visible and checked.
+    *
+    * Production note (100 TB posture): this oracle query deliberately
+    * probes the sketch with EVERY distinct key so est-vs-exact error is
+    * itself checked; at scale you would probe a bounded candidate set
+    * instead — e.g. the union of per-partition top-k keys (mapPartitions
+    * heap, k·numPartitions candidates total), which provably contains
+    * every key above the threshold — never the full key universe.
     */
   private val heavyHitters: Q = (s, d) => {
     val W = 1024L

@@ -209,4 +209,48 @@ class SnapshotsSpec extends SparkSpec {
       Snapshots.commitVersionIdempotent(spark, Seq(1L).toDF("x"), dir, "")
     }
   }
+
+  test("stats-carrying commit prunes the file list; pruned read is exact") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("snap_stats").toString
+    val o = graft.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    // clustered layout: each of the 8 files owns a narrow price range
+    val v = Snapshots.commitVersionWithStats(
+      spark, o.repartitionByRange(8, col("o_totalprice")), dir, Seq("o_totalprice"))
+
+    // sidecar is invisible to the plain read path
+    assert(Snapshots.readVersion(spark, dir, v).count() == o.count())
+
+    val (lo, hi) = (1000.0, 5000.0)
+    val pruned = Snapshots.readVersionPruned(spark, dir, v, Map("o_totalprice" -> (lo, hi)))
+    val allFiles = Snapshots.readVersion(spark, dir, v)
+      .select(input_file_name()).distinct().count()
+    val keptFiles = pruned.select(input_file_name()).distinct().count()
+    assert(allFiles == 8, s"expected 8 clustered files, saw $allFiles")
+    assert(keptFiles <= 2, s"narrow range should keep <=2 of 8 files, kept $keptFiles")
+
+    // exactness: row predicate over the pruned scan == over the full scan
+    val full = Snapshots.readVersion(spark, dir, v)
+      .filter(col("o_totalprice").between(lo, hi))
+    val viaPruned = pruned.filter(col("o_totalprice").between(lo, hi))
+    assert(viaPruned.count() == full.count())
+    assert(viaPruned.agg(sum("o_orderkey")).head.getLong(0) ==
+      full.agg(sum("o_orderkey")).head.getLong(0))
+
+    // bounds no file can satisfy: empty result, schema intact
+    val none = Snapshots.readVersionPruned(spark, dir, v, Map("o_totalprice" -> (-2.0, -1.0)))
+    assert(none.count() == 0)
+    assert(none.schema == Snapshots.readVersion(spark, dir, v).schema)
+  }
+
+  test("pruned read of a stats-less version falls back to the full file list") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("snap_nostats").toString
+    val v = Snapshots.commitVersion(spark, Seq(1L, 2L, 3L).toDF("x"), dir)
+    val df = Snapshots.readVersionPruned(spark, dir, v, Map("x" -> (2L, 3L)))
+    // stats are an optimization, never a correctness gate: no sidecar
+    // means no pruning, all rows visible
+    assert(df.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
 }

@@ -16,32 +16,44 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
+    # Optional 3rd arg: comma-separated query-name filter (mirrors
+    # graft.Verify's filter arg) for fast single-query iteration.
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_ok = 0
     results = {}
     for name in sorted(oracle):
+        results[name] = check_one(con, oracle, outdir, name)
+        if results[name] == "OK":
+            n_ok += 1
+        # Incremental + flushed so a truncated/killed run still shows
+        # which queries failed (the summary alone names no culprits).
+        print(f"{'PASS' if results[name] == 'OK' else 'FAIL'} {name}: {results[name]}",
+              flush=True)
+    print(f"\n{n_ok}/{len(oracle)} queries match")
+    sys.exit(0 if n_ok == len(oracle) else 1)
+
+def check_one(con, oracle, outdir, name):
         files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
         if not files:
-            results[name] = "MISSING spark output"
-            continue
+            return "MISSING spark output"
         s = pd.concat([pd.read_parquet(p) for p in files], ignore_index=True)
         try:
             o = con.sql(oracle[name]).df()
         except Exception as e:
-            results[name] = f"ORACLE SQL ERROR: {e}"
-            continue
+            return f"ORACLE SQL ERROR: {e}"
         s = s[sorted(s.columns)]
         o_cols_sorted = sorted(o.columns)
         if sorted(s.columns) != o_cols_sorted:
-            results[name] = f"SCHEMA mismatch: spark={sorted(s.columns)} duck={o_cols_sorted}"
-            continue
+            return f"SCHEMA mismatch: spark={sorted(s.columns)} duck={o_cols_sorted}"
         o = o[o_cols_sorted]
         if len(s) != len(o):
-            results[name] = f"ROWS mismatch: spark={len(s)} duck={len(o)}"
-            continue
+            return f"ROWS mismatch: spark={len(s)} duck={len(o)}"
         s = s.sort_values(by=list(s.columns), ignore_index=True)
         o = o.sort_values(by=list(o.columns), ignore_index=True)
         # Driver-parity dtype KIND check: the driver hashes value
@@ -54,19 +66,13 @@ def main():
         # identically and stay allowed.
         kind_bad = [c for c in s.columns if s[c].dtype.kind != o[c].dtype.kind]
         if kind_bad:
-            results[name] = ("DTYPE-KIND mismatch (driver would hash-fail): " +
+            return ("DTYPE-KIND mismatch (driver would hash-fail): " +
                 ", ".join(f"{c}: spark={s[c].dtype} duck={o[c].dtype}" for c in kind_bad))
-            continue
         try:
             pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
-            results[name] = "OK"
-            n_ok += 1
+            return "OK"
         except AssertionError as e:
-            results[name] = "VALUE mismatch: " + str(e).replace("\n", " | ")[:400]
-    for k, v in results.items():
-        print(f"{'PASS' if v == 'OK' else 'FAIL'} {k}: {v}")
-    print(f"\n{n_ok}/{len(oracle)} queries match")
-    sys.exit(0 if n_ok == len(oracle) else 1)
+            return "VALUE mismatch: " + str(e).replace("\n", " | ")[:400]
 
 if __name__ == "__main__":
     main()
