@@ -80,22 +80,39 @@ object CorpusOps {
     df.filter(pmod(h, lit(1000000L)) < threshold)
   }
 
-  /** Benchmark-contamination audit: the fraction of each eval document's
-    * word shingles that appear anywhere in the training corpus. Candidate
-    * containment is an equi-join on the shingle key (the same scalable
-    * shape as every near-dup op — never a cross product); the train side
-    * reduces to DISTINCT shingles before joining, so join input is the
-    * vocabulary of shingles, not the corpus. Returns per-eval-doc
-    * (n_shingles, n_contaminated).
+  /** Benchmark-contamination counts: for each scored document, how many
+    * of its distinct word shingles appear in the reference shingle set.
+    * Returns per-scored-doc (idCol, n_shingles, n_contaminated).
+    *
+    * Shape: both sides are per-doc DISTINCT pair streams
+    * ([[Dedup.wordShingles]]) — when both derive from one corpus-wide
+    * shingle table, its distinct exchange is computed once and reused
+    * (tokenize runs once). Pass `broadcastRef = true` when the
+    * reference is an eval benchmark (the decontamination direction —
+    * eval sets are bounded by construction): the reference vocabulary
+    * rides as a broadcast, so the corpus side joins at the exchange
+    * read and only the narrow (id, hit) rows shuffle into the per-doc
+    * aggregation. With a corpus-sized reference (the audit direction,
+    * scoring a small eval split against the full train vocabulary),
+    * leave it false.
+    *
+    * Round 5 measured two "clever" alternatives and both lose at sf1:
+    * a one-pass raw-stream form with `count_distinct` dedup in the
+    * aggregation (Expand doubles the shuffled rows: decontaminate_drop
+    * 12 s → 21 s), and per-row array dedup (`array_distinct` is
+    * O(len²) on strings: ~80 s). The boring shape — one shared distinct
+    * exchange, one left join, one narrow count/sum aggregate — wins.
     */
   def contamination(
-      trainShingles: DataFrame,
-      evalShingles: DataFrame,
-      idCol: String): DataFrame = {
-    val trainSet = trainShingles.select("shingle").distinct()
-    val evalS = evalShingles.select(col(idCol), col("shingle"))
-    evalS
-      .join(trainSet.withColumn("__hit", lit(1L)), Seq("shingle"), "left")
+      scored: DataFrame,
+      refShingles: DataFrame,
+      idCol: String,
+      broadcastRef: Boolean): DataFrame = {
+    val refSet0 = refShingles.select("shingle").distinct()
+    val refSet = if (broadcastRef) broadcast(refSet0) else refSet0
+    scored
+      .select(col(idCol), col("shingle"))
+      .join(refSet.withColumn("__hit", lit(1L)), Seq("shingle"), "left")
       .groupBy(idCol)
       .agg(
         count(lit(1)).as("n_shingles"),

@@ -57,10 +57,21 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Distinct word n-gram shingles per document: (idCol, shingle).
-    * Docs shorter than n words produce no shingles.
+  /** RAW word n-gram shingle pairs per document: (idCol, shingle), a
+    * shingle repeated within a doc appearing once per occurrence. Docs
+    * shorter than n words are dropped. This is one tokenize pass and one
+    * explode — no dedup work of any kind — for consumers whose
+    * downstream AGGREGATION dedups anyway (`count_distinct`, a distinct
+    * exchange, a groupBy on the shingle key). Round 5 measured the
+    * per-row alternatives and both lose: `array_distinct` on string
+    * arrays degrades to O(len²) semantic-equality scans (~80 s/query at
+    * sf1 vs ~7 s), and a sort+neighbor-filter HOF chain gets its
+    * intermediate inlined by projection collapse into per-element
+    * re-evaluation (worse still). Hash aggregation dedups map-side at
+    * O(len) — the engine already has the right tool; hand it the raw
+    * stream.
     */
-  def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def wordShinglesRaw(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = split(TextStats.normText(col(textCol)), " ")
     df.select(col(idCol), toks.as("toks"))
       .filter(size(col("toks")) >= n)
@@ -70,8 +81,28 @@ object Dedup {
           transform(
             sequence(lit(1), size(col("toks")) - (n - 1)),
             i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("shingle"))
-      .distinct()
   }
+
+  /** Distinct word n-gram shingles per document: (idCol, shingle).
+    * Docs shorter than n words produce no shingles.
+    *
+    * The trailing `.distinct()` is DELIBERATE even though rows are
+    * already unique (per-doc `array_distinct` + id in the key): its
+    * exchange is the shared MATERIALIZATION point every multi-branch
+    * consumer reuses. jaccard/MinHash/LSH plans reference the shingle
+    * table 2–4 times (self-join sides, df-cap vocabulary, per-doc
+    * counts); with the exchange, the tokenize+HOF chain runs ONCE and
+    * every branch reads a ReusedExchange — without it, each branch
+    * re-tokenizes the corpus (measured: corpus_build_e2e 14 s → 88 s at
+    * sf1 when round 5 briefly dropped it). Single-pass consumers that
+    * never re-branch should use [[wordShinglesRaw]] directly and skip
+    * the exchange entirely (see `CorpusOps.contamination`). Raw
+    * (possibly repeated) shingles feed the exchange directly — the hash
+    * aggregate dedups map-side, so paying any per-row dedup first would
+    * be doing the same work twice.
+    */
+  def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    wordShinglesRaw(df, idCol, textCol, n).distinct()
 
   /** X2 — n-gram Jaccard near-dup pairs. Candidates = documents sharing at
     * least one shingle (equi-join on the shingle key, the scalable path);

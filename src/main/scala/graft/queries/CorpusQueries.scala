@@ -157,7 +157,10 @@ object CorpusQueries {
 
   /** Benchmark-contamination audit: every 97th doc plays the eval set;
     * count how many of each eval doc's 5-gram shingles exist anywhere in
-    * the train split. Join input is DISTINCT shingles, never the corpus.
+    * the train split. Both sides read the ONE reused shingle-table
+    * exchange (tokenize runs once); the train vocabulary reduces to
+    * distinct shingles before the join, so join input is the
+    * vocabulary, never the corpus.
     */
   private val contaminationAudit: Q = (s, d) => {
     val sh = graft.ext.Dedup.wordShingles(
@@ -165,9 +168,10 @@ object CorpusQueries {
       "doc_id", "t", 5)
     CorpusOps
       .contamination(
-        sh.filter(col("doc_id") % 97 =!= 0),
         sh.filter(col("doc_id") % 97 === 0),
-        "doc_id")
+        sh.filter(col("doc_id") % 97 =!= 0),
+        "doc_id",
+        broadcastRef = false)
       .orderBy("doc_id")
   }
 
@@ -224,19 +228,21 @@ object CorpusQueries {
 
   /** End-to-end DEcontamination (the drop step the audit feeds): train
     * docs sharing at least half their 5-gram shingles with the eval set
-    * are removed. Same distinct-shingle equi-join shape as the audit,
-    * roles swapped (per-TRAIN-doc hits against the eval shingle
-    * vocabulary); docs too short to shingle are kept. Integer
-    * cross-multiplied threshold — no ratio floats.
+    * are removed. Roles swapped vs the audit: the eval vocabulary is
+    * bounded, so it rides as a BROADCAST — the train corpus joins it at
+    * the shingle-exchange read, and only narrow (id, hit) rows shuffle
+    * into the per-doc aggregation. Docs too short to shingle are kept.
+    * Integer cross-multiplied threshold — no ratio floats.
     */
   private val decontaminateDrop: Q = (s, d) => {
     val sh = graft.ext.Dedup.wordShingles(
       documents(s, d).select(col("doc_id"), TextStats.normText(col("text")).as("t")),
       "doc_id", "t", 5)
     val hits = CorpusOps.contamination(
-      sh.filter(col("doc_id") % 97 === 0),
       sh.filter(col("doc_id") % 97 =!= 0),
-      "doc_id")
+      sh.filter(col("doc_id") % 97 === 0),
+      "doc_id",
+      broadcastRef = true)
     documents(s, d)
       .filter(col("doc_id") % 97 =!= 0)
       .join(hits, Seq("doc_id"), "left")
@@ -485,9 +491,10 @@ object CorpusQueries {
       documents(s, d).select(col("doc_id"), TextStats.normText(col("text")).as("t")),
       "doc_id", "t", 5)
     val hits = CorpusOps.contamination(
-      sh.filter(col("doc_id") % 97 === 0),
       sh.filter(col("doc_id") % 97 =!= 0),
-      "doc_id")
+      sh.filter(col("doc_id") % 97 === 0),
+      "doc_id",
+      broadcastRef = true)
     val raw = withTok(documents(s, d))
       .filter(col("doc_id") % 97 =!= 0)
       .withColumn("q", CorpusOps.qualityReason(col("t")) === "keep")
