@@ -25,20 +25,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects unless
-    * the session sets `spark.sql.legacy.parquet.nanosAsLong=true` (all
-    * session builders here do — Verify/Bench/tools/specs; a table loader
-    * must not mutate session config as a side effect). The nanos-as-long
-    * column is floor-converted to micros; queries must not expose
-    * sub-second precision (DuckDB keeps full nanos).
+  /** events.ts has shipped in three parquet shapes across driver rounds:
+    * TIMESTAMP(NANOS) (read as LONG under the
+    * `spark.sql.legacy.parquet.nanosAsLong=true` flag every session
+    * builder here sets — a table loader must not mutate session config as
+    * a side effect), naive TIMESTAMP(MICROS) (Spark 4's TIMESTAMP_NTZ,
+    * which `unix_millis` et al. reject), and tz-aware MICROS. Normalize
+    * all three to the instant type (TimestampType): nanos floor-convert
+    * to micros (queries must not expose sub-second precision — DuckDB
+    * keeps full nanos), and NTZ wall-clocks are interpreted as UTC — the
+    * session timezone is pinned to UTC everywhere, so the cast preserves
+    * the wall clock, exactly how DuckDB treats the naive column.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = table(s, d, "events")
-    // Driver-generated dirs carry nanos (read as LONG under the legacy
-    // flag); ScaleGen-produced dirs carry real TIMESTAMP(MICROS) — accept
-    // both so every query runs unchanged against either layout.
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }
