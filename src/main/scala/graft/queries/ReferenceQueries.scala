@@ -63,6 +63,30 @@ object ReferenceQueries {
       .orderBy(asc_nulls_first("v"))
   }
 
+  /** F1 typed-Aggregator variant — ALL target columns' modes in ONE
+    * object-hash aggregation pass with no row expansion
+    * ([[graft.ops.ModeAggregator]], SURVEY §4's declared custom-agg
+    * candidate). Two columns of different types are nulled on co-prime
+    * strides and filled together; the emitted per-group counts and the
+    * filled numeric sum pin both modes cross-engine.
+    */
+  private val modeFillTypedAgg: Q = (s, d) => {
+    val ev = events(s, d)
+      .withColumn(
+        "v",
+        when(col("event_id") % 10 === 0, lit(null).cast(StringType))
+          .otherwise(col("event_type")))
+      .withColumn(
+        "w",
+        when(col("event_id") % 7 === 0, lit(null).cast(LongType))
+          .otherwise(col("user_id") % 5))
+    graft.ops.ModeAggregator
+      .fillNullsWithMode(ev, Seq("v", "w"))
+      .groupBy("v")
+      .agg(count(lit(1)).as("n"), sum("w").cast(LongType).as("sum_w"))
+      .orderBy(asc_nulls_first("v"))
+  }
+
   /** F2/F3 — multi-format timestamp parse + date/time split
     * (pyspark_etl.py:23-33). Source strings are rendered from events.ts in
     * all three reference formats (round-robin by event_id), parsed back
@@ -172,6 +196,7 @@ object ReferenceQueries {
     "loan_by_type" -> loanByType,
     "mode_fill_value" -> modeFill,
     "mode_fill_single_pass" -> modeFillSinglePass,
+    "mode_fill_typed_agg" -> modeFillTypedAgg,
     "ts_split_daily" -> tsSplitDaily,
     "new_files_anti_join" -> newFilesQ,
     "q1_pricing_summary" -> q1Pricing
@@ -225,6 +250,20 @@ object ReferenceQueries {
         |c AS (SELECT v, COUNT(*) AS cnt FROM v GROUP BY v),
         |m AS (SELECT v FROM c ORDER BY cnt DESC, v ASC NULLS FIRST LIMIT 1)
         |SELECT COALESCE(v.v, m.v) AS v, COUNT(*) AS n FROM v CROSS JOIN m GROUP BY 1 ORDER BY v ASC NULLS FIRST""".stripMargin,
+    "mode_fill_typed_agg" ->
+      """WITH b AS (SELECT
+        |  CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_type END AS v,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id % 5 END AS w
+        |FROM events),
+        |cv AS (SELECT v, COUNT(*) AS cnt FROM b GROUP BY v),
+        |mv AS (SELECT v FROM cv ORDER BY cnt DESC, v ASC NULLS FIRST LIMIT 1),
+        |cw AS (SELECT w, COUNT(*) AS cnt FROM b GROUP BY w),
+        |mw AS (SELECT w FROM cw
+        |       ORDER BY cnt DESC, CAST(w AS VARCHAR) ASC NULLS FIRST LIMIT 1)
+        |SELECT COALESCE(b.v, mv.v) AS v, COUNT(*) AS n,
+        |  CAST(SUM(COALESCE(b.w, mw.w)) AS BIGINT) AS sum_w
+        |FROM b CROSS JOIN mv CROSS JOIN mw
+        |GROUP BY 1 ORDER BY v ASC NULLS FIRST""".stripMargin,
     "ts_split_daily" ->
       """WITH s AS (SELECT CASE
         |  WHEN event_id % 3 = 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
