@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics beyond connected components ([[Dedup]]'s CC
+  * routes): PageRank with a fixed iteration count.
+  *
+  * Arithmetic is INTEGER fixed-point (ranks scaled to `scale` = 10^12):
+  * every contribution is `rank div deg` and the damping step is
+  * `(85 · Σcontrib) div 100` — exact long math whose per-key sums are
+  * order-independent, so a re-plan / re-partition at 100× produces
+  * bit-identical ranks and DuckDB replays the whole iteration chain
+  * exactly (float PageRank sums doubles in shuffle order — unverifiable
+  * cross-engine in the last ulps). Floor losses are bounded by one unit
+  * per division and only ever LOWER mass; production would use doubles,
+  * the fixed-point grid here is ~12 significant digits.
+  *
+  * Scale shape: each iteration is one equi-join of the edge list against
+  * the current rank table plus one keyed sum — the same O(E) shuffle per
+  * round a Pregel step costs; no driver materialization (the node count
+  * rides as a broadcast 1-row frame). Fixed `iters` keeps the lineage
+  * linear; for large graphs checkpoint every few rounds as the CC routes
+  * do.
+  */
+object Graph {
+
+  /** PageRank over a DIRECTED edge list `(src, dst)` (mirror the edges
+    * for an undirected walk). Every node must appear as a src at least
+    * once (true for mirrored undirected graphs — no dangling handling).
+    * Returns `(node, rank)` with rank on the fixed-point `scale` grid.
+    */
+  def pagerankFixed(
+      edges: DataFrame,
+      iters: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val n1 = nodes.agg(count(lit(1)).as("n_nodes"))
+    var r = nodes
+      .crossJoin(broadcast(n1))
+      .select(col("node"), expr(s"$scale div n_nodes").as("rank"))
+    (1 to iters).foreach { _ =>
+      val contrib = edges
+        .join(deg, "src")
+        .join(r, col("src") === col("node"))
+        .select(col("dst").as("node"), expr("rank div deg").as("contrib"))
+      val sums = contrib.groupBy("node").agg(sum("contrib").as("csum"))
+      r = nodes
+        .crossJoin(broadcast(n1))
+        .join(sums, Seq("node"), "left")
+        .select(
+          col("node"),
+          (expr(s"(15 * ($scale div n_nodes)) div 100") +
+            expr("(85 * coalesce(csum, CAST(0 AS BIGINT))) div 100")).as("rank"))
+    }
+    r
+  }
+}

@@ -95,6 +95,91 @@ object Sketches {
       .groupBy("d", "b")
       .agg(sum("w").cast(LongType).as("c"))
 
+  /** Equi-width histogram quantile sketch: bounded-state quantile
+    * estimation in TWO scans (min/max/count, then bucket counts) — the
+    * batch shape of a streaming histogram. Spark's own KLL
+    * (`approx_percentile`) stays first choice inside a pure-Spark
+    * pipeline, but its estimates are implementation-specific; this
+    * sketch is deterministic given only (min, max, k), so DuckDB
+    * reproduces every bucket count AND every interpolated estimate
+    * bit-for-bit and the estimator itself is hash-checked.
+    *
+    * Estimate: the classic within-bucket linear interpolation
+    * `mn + (b + (q·n − cum_below)/c_b)·(mx−mn)/k` at the first bucket
+    * whose cumulative count reaches q·n. Error ≤ one bucket width by
+    * construction ((mx−mn)/k) — checked against exact percentiles in
+    * SketchSpec. All post-scan state is O(k): the cumulative table is a
+    * bounded self-join (no single-partition window), the quantile probe
+    * a bounded broadcast join.
+    */
+  def histQuantiles(df: DataFrame, v: Column, k: Int, qs: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(v.cast(DoubleType).as("x")).filter(col("x").isNotNull)
+    val stats = vals.agg(min("x").as("mn"), max("x").as("mx"), count(lit(1)).as("n"))
+    val bucketed = vals
+      .crossJoin(broadcast(stats))
+      .select(
+        when(col("mx") === col("mn"), lit(0))
+          .otherwise(least(
+            floor(((col("x") - col("mn")) * lit(k)) / (col("mx") - col("mn"))),
+            lit((k - 1).toLong)))
+          .cast(IntegerType)
+          .as("b"))
+    val hist = bucketed.groupBy("b").agg(count(lit(1)).as("c"))
+    // cumulative counts over ≤k rows: bounded self-join, not a
+    // no-partition window (which would serialize on one reducer)
+    val h2 = hist.select(col("b").as("b2"), col("c").as("c2"))
+    val cum = hist
+      .join(broadcast(h2), col("b2") <= col("b"))
+      .groupBy("b", "c")
+      .agg(sum("c2").as("cum"))
+    val qdf = qs.toDF("q")
+    val targets = qdf
+      .crossJoin(broadcast(stats))
+      .select(col("q"), (col("q") * col("n")).as("target"), col("mn"), col("mx"))
+    val hit = targets
+      .join(broadcast(cum), col("cum") >= col("target"))
+      .groupBy("q", "target", "mn", "mx")
+      .agg(min("b").as("b"))
+      .join(broadcast(cum), Seq("b"))
+    hit
+      .select(
+        col("q"),
+        (col("mn") +
+          ((col("b").cast(DoubleType) +
+            (col("target") - (col("cum") - col("c")).cast(DoubleType)) /
+              col("c").cast(DoubleType)) *
+            ((col("mx") - col("mn")) / lit(k.toDouble)))).as("est"),
+        col("b").as("bucket"),
+        col("cum").cast(LongType).as("cum"))
+      .orderBy("q")
+  }
+
+  /** DuckDB image of [[histQuantiles]] — expression-for-expression the
+    * same double math, so estimates match bit-for-bit. `expr` is the
+    * value column, `qsSql` a VALUES list like "(0.25),(0.5)".
+    */
+  def histQuantilesOracleSql(table: String, expr: String, k: Int, qsSql: String): String =
+    s"""WITH vals AS (SELECT CAST($expr AS DOUBLE) AS x FROM $table WHERE $expr IS NOT NULL),
+       |stats AS (SELECT MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS n FROM vals),
+       |bkt AS (SELECT CASE WHEN mx = mn THEN 0
+       |  ELSE CAST(LEAST(FLOOR(((x - mn) * $k) / (mx - mn)), ${k - 1}) AS INT) END AS b
+       |  FROM vals, stats),
+       |hist AS (SELECT b, COUNT(*) AS c FROM bkt GROUP BY b),
+       |cum AS (SELECT h1.b, h1.c, SUM(h2.c) AS cum FROM hist h1
+       |        JOIN hist h2 ON h2.b <= h1.b GROUP BY h1.b, h1.c),
+       |qs(q) AS (VALUES $qsSql),
+       |tgt AS (SELECT q, q * n AS target, mn, mx FROM qs, stats),
+       |hit AS (SELECT q, target, mn, mx, MIN(b) AS b FROM tgt
+       |        JOIN cum ON cum.cum >= tgt.target GROUP BY q, target, mn, mx)
+       |SELECT q,
+       |  mn + ((CAST(b AS DOUBLE) +
+       |    (target - CAST(cum - c AS DOUBLE)) / CAST(c AS DOUBLE)) *
+       |    ((mx - mn) / ${k.toDouble})) AS est,
+       |  b AS bucket, CAST(cum AS BIGINT) AS cum
+       |FROM hit JOIN cum USING (b) ORDER BY q""".stripMargin
+
   /** Point-estimate frequencies for `candidates` against a CMS cell
     * table: est(k) = min over rows of cell(d, h_d(k)) — the classic
     * Cormode–Muthukrishnan upper bound. One equi-join against the

@@ -1249,7 +1249,46 @@ object RelationalQueries {
     graft.ops.CatalogStats.demoJoin(s2)
   }
 
+  /** Bounded-state quantile estimation over l_extendedprice: the
+    * histogram sketch ([[graft.ext.Sketches.histQuantiles]]) whose
+    * bucket counts AND interpolated estimates are deterministic, so the
+    * estimator itself is hash-checked cross-engine (the same est-vs-exact
+    * posture as the CMS/KMV family; the ≤1-bucket-width error bound vs
+    * exact percentiles is pinned in SketchSpec).
+    */
+  private val sketchQuantiles: Q = (s, d) =>
+    graft.ext.Sketches.histQuantiles(
+      lineitem(s, d), col("l_extendedprice"), 64,
+      Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+
+  /** Fixed-point PageRank, 3 iterations, over the undirected bipartite
+    * supplier↔part graph (distinct lineitem pairs; node ids namespaced
+    * even/odd). Integer arithmetic end-to-end ([[graft.ext.Graph]]), so
+    * the oracle replays all three iterations bit-for-bit; top-20 with a
+    * node-id tiebreak.
+    */
+  private val pagerank3: Q = (s, d) => {
+    val e0 = lineitem(s, d)
+      .select(
+        (col("l_suppkey") * 2).as("a"),
+        (col("l_partkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = e0
+      .select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
+    graft.ext.Graph
+      .pagerankFixed(edges, iters = 3)
+      .select(
+        col("node"),
+        when(col("node") % 2 === 0, lit("supplier")).otherwise(lit("part")).as("kind"),
+        col("rank"))
+      .orderBy(desc("rank"), asc("node"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "pagerank_3iter" -> pagerank3,
+    "sketch_quantiles" -> sketchQuantiles,
     "cbo_join_reorder" -> cboJoinReorder,
     "skew_profile" -> skewProfile,
     "lateral_topk_docs" -> lateralTopkDocs,
@@ -1672,6 +1711,37 @@ object RelationalQueries {
         |  GROUP BY c_custkey)
         |SELECT c_count, COUNT(*) AS custdist
         |FROM cc GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "pagerank_3iter" ->
+      """WITH e0 AS (SELECT DISTINCT l_suppkey*2 AS a, l_partkey*2+1 AS b FROM lineitem),
+        |e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+        |r0 AS (SELECT node, 1000000000000 // n_nodes AS rank FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.dst AS node, CAST(SUM(r0.rank // deg.deg) AS BIGINT) AS csum
+        |       FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node,
+        |         (15 * (1000000000000 // n_nodes)) // 100
+        |         + (85 * COALESCE(c1.csum, CAST(0 AS BIGINT))) // 100 AS rank
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.node = nodes.node),
+        |c2 AS (SELECT e.dst AS node, CAST(SUM(r1.rank // deg.deg) AS BIGINT) AS csum
+        |       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node,
+        |         (15 * (1000000000000 // n_nodes)) // 100
+        |         + (85 * COALESCE(c2.csum, CAST(0 AS BIGINT))) // 100 AS rank
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.node = nodes.node),
+        |c3 AS (SELECT e.dst AS node, CAST(SUM(r2.rank // deg.deg) AS BIGINT) AS csum
+        |       FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src GROUP BY e.dst),
+        |r3 AS (SELECT nodes.node,
+        |         (15 * (1000000000000 // n_nodes)) // 100
+        |         + (85 * COALESCE(c3.csum, CAST(0 AS BIGINT))) // 100 AS rank
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.node = nodes.node)
+        |SELECT node, CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END AS kind, rank
+        |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+    "sketch_quantiles" ->
+      graft.ext.Sketches.histQuantilesOracleSql(
+        "lineitem", "l_extendedprice", 64,
+        "(0.25),(0.5),(0.75),(0.9),(0.99)"),
     "sketch_stats" ->
       s"""SELECT
         |  ${graft.ext.Sketches.kmvOracleSql("lineitem", "CAST(l_orderkey AS VARCHAR)", 1024)} AS orders_kmv,

@@ -20,6 +20,32 @@ class SketchSpec extends SparkSpec {
     else assert(math.abs(partsKmv - partsExact) / partsExact < tol)
   }
 
+  test("histogram quantile sketch: est within one bucket width of exact; cum sane") {
+    val li = Tables.lineitem(spark, sf)
+    val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    val est = graft.ext.Sketches
+      .histQuantiles(li, col("l_extendedprice"), 64, qs)
+      .collect()
+      .map(r => r.getAs[Double]("q") -> r.getAs[Double]("est"))
+      .toMap
+    val stats = li
+      .agg(min("l_extendedprice"), max("l_extendedprice"), count(lit(1)))
+      .first()
+    val bucketWidth = (stats.getDouble(1) - stats.getDouble(0)) / 64.0
+    val exact = li
+      .selectExpr(s"percentile(l_extendedprice, array(${qs.mkString(",")}))")
+      .first()
+      .getSeq[Double](0)
+    qs.zip(exact).foreach { case (q, ex) =>
+      assert(
+        math.abs(est(q) - ex) <= bucketWidth + 1e-9,
+        s"q=$q est=${est(q)} exact=$ex width=$bucketWidth")
+    }
+    // estimates are monotone in q
+    val ordered = qs.map(est)
+    assert(ordered == ordered.sorted)
+  }
+
   test("Spark-native sketches (HLL++, KLL percentile) land within documented error bounds") {
     val li = Tables.lineitem(spark, sf)
     val r = li
