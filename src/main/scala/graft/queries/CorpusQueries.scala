@@ -692,7 +692,44 @@ object CorpusQueries {
       .orderBy("source")
   }
 
+  /** Epoch up/down-sampling — the mixing step that materializes per-source
+    * epoch factors into physical row multiplicity (factor 1.52 ⇒ every doc
+    * once plus a hash-chosen 52% twice; factor 0.50 ⇒ a hash-chosen half
+    * once, the rest dropped). The fractional part is decided by a portable
+    * doc hash, never RNG, so the draw is reproducible and shard-stable;
+    * replication is `explode(sequence(1, copies))` — scan-speed row
+    * generation, no join, no shuffle before the audit aggregate. Factors
+    * derive from the source index (CASE-free integer math) and cover both
+    * directions; the per-source audit pins exact multiplicity cross-engine
+    * via a doc_id×copy checksum.
+    */
+  private val mixEpochUpsample: Q = (s, d) => {
+    val docs = documents(s, d).select(
+      col("doc_id"),
+      col("source"),
+      (lit(50) + (substring(col("source"), 4, 10).cast(IntegerType) % 7) * 17)
+        .as("fx100"))
+    docs
+      .withColumn(
+        "copies",
+        (expr("fx100 div 100") +
+          when(
+            graft.ext.Dedup.portableHash64(col("doc_id").cast(StringType)) % 100
+              < col("fx100") % 100,
+            1).otherwise(0)).cast(IntegerType))
+      .filter(col("copies") > 0)
+      .withColumn("copy", explode(sequence(lit(1), col("copies"))))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("rows_out"),
+        countDistinct(col("doc_id")).as("docs_out"),
+        sum(col("doc_id") * col("copy")).cast(LongType).as("checksum"),
+        max("fx100").as("fx100"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "mix_epoch_upsample" -> mixEpochUpsample,
     "token_budget_apportion" -> tokenBudgetApportion,
     "fim_transform" -> fimTransform,
     "explode_outer_audit" -> explodeOuterAudit,
@@ -743,6 +780,19 @@ object CorpusQueries {
   private val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
 
   val oracle: Map[String, String] = Map(
+    "mix_epoch_upsample" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    50 + (CAST(substr(source, 4) AS INT) % 7) * 17 AS fx100
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, fx100,
+        |    fx100 // 100 + CASE
+        |      WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < fx100 % 100
+        |      THEN 1 ELSE 0 END AS copies
+        |  FROM d),
+        |x AS (SELECT doc_id, source, fx100, unnest(range(1, copies + 1)) AS copy FROM c)
+        |SELECT source, COUNT(*) AS rows_out, COUNT(DISTINCT doc_id) AS docs_out,
+        |  CAST(SUM(doc_id * copy) AS BIGINT) AS checksum, MAX(fx100) AS fx100
+        |FROM x GROUP BY source ORDER BY source""".stripMargin,
     "explode_outer_audit" ->
       s"""WITH base AS (SELECT source, coalesce($normSql, '') AS t FROM documents),
         |hits AS (SELECT source,

@@ -1286,7 +1286,32 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** Per-user daily series repair ([[graft.ext.TimeSeries]]): present
+    * (user, day) count cells are masked on a portable-hash stride (a
+    * simulated outage whose gap RATE is scale-invariant — a plain id
+    * stride would densify as SF grows and make the query vacuous), then
+    * every interior gap is linearly interpolated from nearest present
+    * neighbors. Integer numerators over one double division keep the
+    * interpolated values bit-identical cross-engine.
+    */
+  private val tsGapfillInterp: Q = (s, d) => {
+    val cells = events(s, d)
+      .select(
+        col("user_id"),
+        (unix_millis(col("ts")) / lit(86400000L)).cast(LongType).as("day"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("c"))
+      .filter(
+        graft.ext.Dedup.portableHash64(
+          concat(col("user_id").cast(StringType), lit(":"), col("day").cast(StringType))
+        ) % 3 =!= 0)
+    graft.ext.TimeSeries
+      .gapFillInterpolate(cells, "user_id")
+      .orderBy("user_id", "day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ts_gapfill_interp" -> tsGapfillInterp,
     "pagerank_3iter" -> pagerank3,
     "sketch_quantiles" -> sketchQuantiles,
     "cbo_join_reorder" -> cboJoinReorder,
@@ -1711,6 +1736,27 @@ object RelationalQueries {
         |  GROUP BY c_custkey)
         |SELECT c_count, COUNT(*) AS custdist
         |FROM cc GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "ts_gapfill_interp" ->
+      """WITH cells0 AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cells AS (SELECT * FROM cells0
+        |  WHERE CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' || CAST(day AS VARCHAR)), 1, 15) AS BIGINT) % 3 <> 0),
+        |span AS (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM cells GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(range(mn, mx + 1)) AS day FROM span),
+        |j AS (SELECT g.user_id, g.day, c.c FROM grid g LEFT JOIN cells c USING (user_id, day)),
+        |w AS (SELECT user_id, day, c,
+        |  last_value(c IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+        |  last_value(CASE WHEN c IS NOT NULL THEN day END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |  first_value(c IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+        |  first_value(CASE WHEN c IS NOT NULL THEN day END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM j)
+        |SELECT user_id, day,
+        |  CAST(pc*(nd-day) + nc*(day-pd) AS DOUBLE) / CAST(nd-pd AS DOUBLE) AS interp
+        |FROM w WHERE c IS NULL ORDER BY user_id, day""".stripMargin,
     "pagerank_3iter" ->
       """WITH e0 AS (SELECT DISTINCT l_suppkey*2 AS a, l_partkey*2+1 AS b FROM lineitem),
         |e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),

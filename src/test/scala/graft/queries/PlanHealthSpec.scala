@@ -29,7 +29,9 @@ class PlanHealthSpec extends SparkSpec {
     "sketch_overlap",         // 5-row segment-type frames paired by <
     "shuffle_interleave",     // global-rank offsets over sequence groups
     "dedup_incremental",      // three 1-row stage-summary aggregates crossed
-    "token_budget_apportion") // two 1-row scalar frames (total, base_sum) crossed
+    "token_budget_apportion", // two 1-row scalar frames (total, base_sum) crossed
+    "pagerank_3iter",   // 1-row node-count frame crossed per iteration
+    "sketch_quantiles") // 1-row stats frame + <=k-row hist/quantile probes
 
   test("no cartesian products; NLJ only where operands are bounded") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
