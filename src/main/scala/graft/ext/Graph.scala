@@ -34,15 +34,22 @@ object Graph {
       edges: DataFrame,
       iters: Int,
       scale: Long = 1000000000000L): DataFrame = {
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = edges.select(col("src").as("node")).distinct()
+    // The edge+degree table is iteration-INVARIANT: materialize it once
+    // (localCheckpoint truncates lineage) so iteration i joins the stored
+    // O(E) table instead of nesting i re-scans of the source — the same
+    // pass-count posture as the IVF/PQ training sample. On a real cluster
+    // a reliable checkpoint dir hardens this against executor loss.
+    val ed = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .localCheckpoint()
+    val nodes = ed.select(col("src").as("node")).distinct()
     val n1 = nodes.agg(count(lit(1)).as("n_nodes"))
     var r = nodes
       .crossJoin(broadcast(n1))
       .select(col("node"), expr(s"$scale div n_nodes").as("rank"))
     (1 to iters).foreach { _ =>
-      val contrib = edges
-        .join(deg, "src")
+      val contrib = ed
         .join(r, col("src") === col("node"))
         .select(col("dst").as("node"), expr("rank div deg").as("contrib"))
       val sums = contrib.groupBy("node").agg(sum("contrib").as("csum"))

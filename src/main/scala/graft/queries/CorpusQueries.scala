@@ -728,7 +728,40 @@ object CorpusQueries {
       .orderBy("source")
   }
 
+  /** Balanced shard assignment (snake draft): docs ranked by token count
+    * descending (doc_id tiebreak) take shard = serpentine(rank−1, N) —
+    * the zero-coordination greedy that keeps per-shard token mass within
+    * one max-document of even. The rank is [[graft.ext.Prefix.globalRank]]
+    * (distributed two-phase prefix rank — no single-reducer window), the
+    * assignment pure integer math, so the whole layout is deterministic
+    * under any partitioning; this is the writer-side step that makes N
+    * output shards finish together instead of one straggling on the fat
+    * docs. Audit: per-shard doc/token tallies plus the first (heaviest)
+    * rank landing in each shard.
+    */
+  private val shardBalanced: Q = (s, d) => {
+    val n = 8
+    val docs = withTok(documents(s, d))
+      .select(col("doc_id"), col("n_tok"))
+      .withColumn("neg_tok", -col("n_tok"))
+    graft.ext.Prefix
+      .globalRank(docs, Seq(col("neg_tok"), col("doc_id")), "rnk")
+      .withColumn("r0", col("rnk") - 1)
+      .withColumn("pos", expr(s"r0 % $n"))
+      .withColumn(
+        "shard",
+        when(expr(s"(r0 div $n) % 2") === 0, col("pos"))
+          .otherwise(lit(n - 1) - col("pos")))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").cast(LongType).as("tok_sum"),
+        min("rnk").cast(LongType).as("first_rank"))
+      .orderBy("shard")
+  }
+
   val queries: Map[String, Q] = Map(
+    "shard_balanced" -> shardBalanced,
     "mix_epoch_upsample" -> mixEpochUpsample,
     "token_budget_apportion" -> tokenBudgetApportion,
     "fim_transform" -> fimTransform,
@@ -780,6 +813,18 @@ object CorpusQueries {
   private val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
 
   val oracle: Map[String, String] = Map(
+    "shard_balanced" ->
+      s"""WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(coalesce($normSql, ''), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tok,
+        |    ROW_NUMBER() OVER (ORDER BY -n_tok, doc_id) - 1 AS r0 FROM d),
+        |a AS (SELECT doc_id, n_tok, r0,
+        |    CASE WHEN (r0 // 8) % 2 = 0 THEN r0 % 8 ELSE 7 - (r0 % 8) END AS shard
+        |  FROM r)
+        |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
+        |  CAST(MIN(r0 + 1) AS BIGINT) AS first_rank
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
     "mix_epoch_upsample" ->
       """WITH d AS (SELECT doc_id, source,
         |    50 + (CAST(substr(source, 4) AS INT) % 7) * 17 AS fx100
