@@ -164,6 +164,25 @@ object FuzzVerify {
        |ORDER BY k""".stripMargin
   }
 
+  /** ROLLUP template: hierarchical super-aggregate rows (Catalyst's
+    * Expand rewrite) with GROUPING() disambiguation and decimal-exact
+    * sums — the grouping-analytics family the fuzzer never covered.
+    * (A planned IGNORE-NULLS window template was dropped: Spark parses
+    * `last_value(x) IGNORE NULLS`, DuckDB only `last_value(x IGNORE
+    * NULLS)` — no shared spelling exists in the common dialect.)
+    */
+  def genRollupQuery(r: Random): String = {
+    val t = pick(r, tables.filter(_.cols.count(_.kind == "cat") >= 2))
+    val cats = r.shuffle(t.cols.filter(_.kind == "cat")).take(2).map(_.name)
+    val num = pick(r, t.cols.filter(_.kind == "num")).name
+    val op = pick(r, Seq("ROLLUP", "CUBE"))
+    s"""SELECT COALESCE(${cats(0)}, '@all') AS g1, COALESCE(${cats(1)}, '@all') AS g2,
+       |  GROUPING(${cats(0)}) AS ga, GROUPING(${cats(1)}) AS gb,
+       |  COUNT(*) AS n, CAST(SUM(CAST($num AS DECIMAL(12,2))) AS DOUBLE) AS s
+       |FROM ${t.name} GROUP BY $op(${cats(0)}, ${cats(1)})
+       |ORDER BY ga, gb, g1, g2""".stripMargin
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
@@ -184,12 +203,13 @@ object FuzzVerify {
     new java.io.File(outDir).mkdirs()
     val r = new Random(seed)
     val sqls = (0 until n).map { i =>
-      val sql = i % 9 match {
+      val sql = i % 10 match {
         case 4 => genWindowQuery(r)
         case 5 => genRunningQuery(r)
         case 6 => genSetOpQuery(r)
         case 7 => genSetOpAllQuery(r)
         case 8 => genNullSafeJoinQuery(r)
+        case 9 => genRollupQuery(r)
         case _ => genQuery(r)
       }
       f"fuzz_$i%03d" -> sql
