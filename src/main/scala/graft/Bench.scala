@@ -1,5 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+/** Accumulates shuffle write bytes across stages; reset per query so the
+  * bench can report the scale-relevant metric (shuffle VOLUME, the thing
+  * that actually grows with data size) next to wall time.
+  */
+private final class ShuffleTally extends SparkListener {
+  val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+  override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+    bytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -30,20 +42,34 @@ object Bench {
       // a crashed query reports -1, never a plausible-looking time
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    def drain(): Unit =
+      org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)
     // min of N reps per query: single-sample times at this scale carry
     // ±40% machine noise (BENCH_r02's 12s vs 4s dedup_pipeline_e2e);
-    // the min is the stable "cost of the plan" signal.
+    // the min is the stable "cost of the plan" signal. Shuffle bytes are
+    // plan-deterministic, so the LAST rep's tally (listener bus drained
+    // on both window edges) is THE per-query shuffle volume.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map(_ => runOnce(name, fn))
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      val times = (1 to reps).map { i =>
+        if (i == reps) { drain(); tally.bytes.set(0L) }
+        runOnce(name, fn)
+      }
+      drain()
+      val shuffleMb = tally.bytes.get / 1048576.0
+      val t = if (times.contains(-1.0)) -1.0 else times.min
+      (name, t, if (t < 0) -1.0 else shuffleMb)
     }
     def f(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
+    val sh = results.map { case (k, _, s) => s"\"" + k + "\":" + f(s) }
       .mkString("{", ",", "}")
     // total covers SUCCESSFUL queries only — summing the -1 sentinels
     // would make a broken run read FASTER than a healthy one; failures
     // are listed explicitly so a non-empty list is impossible to misread
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
     // ONE compact line (ms precision keeps it short enough that a log
     // tail capture cannot truncate the total), also persisted to a file
@@ -54,7 +80,7 @@ object Bench {
     val tail =
       s""""sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"action":"noop_write",""" +
         s""""reps":$reps,"agg":"min","failed":${failed.mkString("[", ",", "]")}}"""
-    val line = s"""$head,"queries":$qs,$tail"""
+    val line = s"""$head,"queries":$qs,"shuffle_mb":$sh,$tail"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last_run.json"), line)
     println(line)
     // The driver captures only the LAST ~2000 chars of stdout; the full

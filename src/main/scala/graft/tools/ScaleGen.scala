@@ -31,10 +31,11 @@ import org.apache.spark.sql.functions._
   *     cross-replica cosine structure is scrambled);
   *   - `documents.n_chars` is recomputed from the rewritten text, keeping
   *     the generator invariant n_chars == length(text);
-  *   - `events.ts` is written as real TIMESTAMP(MICROS) — the same values
-  *     the nanos-as-long read path floor-converts to, so queries see
-  *     identical instants on either layout ([[graft.Tables.events]]
-  *     accepts both).
+  *   - `events.ts` is read via [[graft.Tables.events]] (which normalizes
+  *     every parquet shape the driver has shipped — nanos-as-long, NTZ
+  *     micros, tz-aware micros — to the instant type) and written as real
+  *     TIMESTAMP(MICROS), so queries see identical instants on either
+  *     layout.
   *
   * Everything is a pure column transform over an `explode(sequence)` — one
   * distributed pass per table, no driver-side loops, no randomness (the
@@ -136,12 +137,14 @@ object ScaleGen {
         col("l_shipdate"), col("__r")),
       "lineitem")
 
-    // ts arrives as nanos-long (legacy flag), leaves as TIMESTAMP(MICROS)
-    // holding the identical floor-converted instant
+    // ts arrives in whatever shape the source dir carries (nanos-long,
+    // NTZ micros, tz-aware micros — graft.Tables.events normalizes all
+    // three to the instant type) and leaves as TIMESTAMP(MICROS) holding
+    // the identical instant
     write(
-      replicate(in("events")).select(
+      replicate(graft.Tables.events(spark, inDir)).select(
         shift("event_id"),
-        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("ts"),
         shift("user_id"), col("event_type"), col("value"), col("props"), col("__r")),
       "events")
 
