@@ -305,6 +305,16 @@ object Dedup {
     * together with the shingle — no wrapping long arithmetic, so it is
     * safe under ANSI mode (Spark 4's default) where `h * a + b` would
     * throw ARITHMETIC_OVERFLOW.
+    *
+    * SURVEY §4 named a typed `Aggregator[h, Array[Long], Array[Long]]`
+    * as the other custom-agg candidate (b). REJECTED after its sibling
+    * (a) shipped ([[graft.ops.ModeAggregator]]): this shape is already
+    * ONE codegen'd hash-aggregate whose numHashes `min` columns partial-
+    * aggregate map-side — the shuffle carries per-(partition, doc)
+    * signatures either way, so an object-hash Aggregator would save no
+    * bytes while evicting the whole pipeline from whole-stage codegen
+    * (kryo buffer, per-row virtual calls). Mode was different: there the
+    * Aggregator DELETES an Expand of ncols×rows. No Expand exists here.
     */
   def minhashSignature(
       shingles: DataFrame,

@@ -1310,7 +1310,34 @@ object RelationalQueries {
       .orderBy("user_id", "day")
   }
 
+  /** Cohort retention matrix — users grouped by first-activity day, then
+    * distinct-active counts per week offset (the product-analytics
+    * staple): two keyed aggregations plus one equi-join back for the
+    * cohort size; all integer day/week math (`div 7` on nonnegative
+    * offsets), so every cell is hash-checked cross-engine. At 100 TB the
+    * per-user first-day table is the only stateful side and it is
+    * user-bounded, not event-bounded.
+    */
+  private val cohortRetention: Q = (s, d) => {
+    val act = events(s, d)
+      .select(
+        col("user_id"),
+        (unix_millis(col("ts")) / lit(86400000L)).cast(LongType).as("day"))
+      .distinct()
+    val cohort = act.groupBy("user_id").agg(min("day").as("c0"))
+    val sizes = cohort.groupBy("c0").agg(count(lit(1)).as("cohort_n"))
+    act
+      .join(cohort, "user_id")
+      .select(col("c0"), expr("(day - c0) div 7").as("wk"), col("user_id"))
+      .distinct()
+      .groupBy("c0", "wk")
+      .agg(countDistinct("user_id").as("active"))
+      .join(sizes, "c0")
+      .orderBy("c0", "wk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "cohort_retention" -> cohortRetention,
     "ts_gapfill_interp" -> tsGapfillInterp,
     "pagerank_3iter" -> pagerank3,
     "sketch_quantiles" -> sketchQuantiles,
@@ -1736,6 +1763,15 @@ object RelationalQueries {
         |  GROUP BY c_custkey)
         |SELECT c_count, COUNT(*) AS custdist
         |FROM cc GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "cohort_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |c AS (SELECT user_id, MIN(day) AS c0 FROM act GROUP BY user_id),
+        |sz AS (SELECT c0, COUNT(*) AS cohort_n FROM c GROUP BY c0),
+        |a AS (SELECT DISTINCT c.c0, (act.day - c.c0) // 7 AS wk, act.user_id
+        |      FROM act JOIN c USING (user_id))
+        |SELECT a.c0, a.wk, COUNT(DISTINCT a.user_id) AS active, sz.cohort_n
+        |FROM a JOIN sz USING (c0)
+        |GROUP BY a.c0, a.wk, sz.cohort_n ORDER BY c0, wk""".stripMargin,
     "ts_gapfill_interp" ->
       """WITH cells0 AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day, COUNT(*) AS c
         |  FROM events GROUP BY 1, 2),

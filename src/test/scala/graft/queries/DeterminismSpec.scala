@@ -35,7 +35,12 @@ class DeterminismSpec extends SparkSpec {
     "text_lm_score",         // checkpointed bigram relation feeding two branches
     "q21_waiting_suppliers", // EXISTS + NOT EXISTS same-table anti/semi pair
     "q8_market_share",       // conditional decimal share + final IEEE division
-    "events_session_window") // native session merge in the aggregation operator
+    "events_session_window", // native session merge in the aggregation operator
+    "pagerank_3iter",        // integer fixed-point iteration (order-free sums)
+    "shard_balanced",        // global prefix rank -> serpentine assignment
+    "ts_gapfill_interp",     // ignoreNulls neighbor windows + one division
+    "sketch_quantiles",      // bucket counts + interpolation doubles
+    "mode_fill_typed_agg")   // object-hash Aggregator map merges (commutative)
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf
