@@ -1336,7 +1336,61 @@ object RelationalQueries {
       .orderBy("c0", "wk")
   }
 
+  /** Robust per-group outlier census: median / MAD (median absolute
+    * deviation) instead of mean / stddev — the fence a data-quality pass
+    * wants when the contamination it hunts would poison the moments it
+    * fences with. Medians are RANK-PICKED elements (row_number over a
+    * per-group total order with unique tiebreak), never averaged, so both
+    * engines select the identical double; |x−med| and the 4.4478·MAD
+    * fence (3σ under normality) are single IEEE ops, bit-identical.
+    * Windows are partitioned by the group key; group count bounds
+    * parallelism here (3 flags) — an ungrouped global variant would use
+    * `Prefix.globalRank` like the percentile queries.
+    */
+  private val outlierMad: Q = (s, d) => {
+    val li = lineitem(s, d).select(
+      col("l_returnflag").as("g"),
+      col("l_extendedprice").as("x"),
+      col("l_orderkey").as("k1"),
+      col("l_linenumber").as("k2"))
+    val sz = li.groupBy("g").agg(count(lit(1)).as("n"))
+    val w1 = Window.partitionBy("g").orderBy("x", "k1", "k2")
+    val med = li
+      .withColumn("rn", row_number().over(w1))
+      .join(sz, "g")
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("g"), col("x").as("med"))
+    val dev = li
+      .join(med, "g")
+      .withColumn("ad", abs(col("x") - col("med")))
+    val w2 = Window.partitionBy("g").orderBy("ad", "k1", "k2")
+    val mad = dev
+      .withColumn("rn", row_number().over(w2))
+      .join(sz, "g")
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("g"), col("ad").as("mad"))
+    // two fences: the classic 3σ-under-normality (4.4478·MAD — correctly
+    // ZERO on this near-uniform price column, itself a distributional
+    // fact) and a 1.8·MAD tail census that stays non-vacuous at every SF
+    // so the comparison logic is pinned, not just the zero
+    dev
+      .join(mad, "g")
+      .groupBy("g")
+      .agg(
+        max("med").as("med"),
+        max("mad").as("mad"),
+        sum(when(col("ad") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
+          .cast(LongType)
+          .as("n_out3sig"),
+        sum(when(col("ad") > lit(1.8) * col("mad"), 1L).otherwise(0L))
+          .cast(LongType)
+          .as("n_out_tail"),
+        count(lit(1)).as("n"))
+      .orderBy("g")
+  }
+
   val queries: Map[String, Q] = Map(
+    "outlier_mad" -> outlierMad,
     "cohort_retention" -> cohortRetention,
     "ts_gapfill_interp" -> tsGapfillInterp,
     "pagerank_3iter" -> pagerank3,
@@ -1763,6 +1817,26 @@ object RelationalQueries {
         |  GROUP BY c_custkey)
         |SELECT c_count, COUNT(*) AS custdist
         |FROM cc GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "outlier_mad" ->
+      """WITH li AS (SELECT l_returnflag AS g, l_extendedprice AS x,
+        |    l_orderkey AS k1, l_linenumber AS k2 FROM lineitem),
+        |sz AS (SELECT g, COUNT(*) AS n FROM li GROUP BY g),
+        |r1 AS (SELECT g, x, k1, k2,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY x, k1, k2) AS rn FROM li),
+        |med AS (SELECT r1.g, r1.x AS med FROM r1 JOIN sz USING (g)
+        |        WHERE rn = (n + 1) // 2),
+        |dev AS (SELECT li.g, li.x, li.k1, li.k2, med.med,
+        |    ABS(li.x - med.med) AS ad FROM li JOIN med ON li.g = med.g),
+        |r2 AS (SELECT g, ad, k1, k2,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY ad, k1, k2) AS rn FROM dev),
+        |mad AS (SELECT r2.g, r2.ad AS mad FROM r2 JOIN sz USING (g)
+        |        WHERE rn = (n + 1) // 2)
+        |SELECT dev.g, MAX(dev.med) AS med, MAX(mad.mad) AS mad,
+        |  CAST(SUM(CASE WHEN dev.ad > 4.4478 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_out3sig,
+        |  CAST(SUM(CASE WHEN dev.ad > 1.8 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_out_tail,
+        |  COUNT(*) AS n
+        |FROM dev JOIN mad ON dev.g = mad.g
+        |GROUP BY dev.g ORDER BY dev.g""".stripMargin,
     "cohort_retention" ->
       """WITH act AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
         |c AS (SELECT user_id, MIN(day) AS c0 FROM act GROUP BY user_id),
