@@ -156,6 +156,31 @@ object Sketches {
       .orderBy("q")
   }
 
+  /** Streaming-compatible histogram cells: bucket counts against FIXED
+    * bounds (the production streaming choice — bounds come from a
+    * calibration pass or domain knowledge, because a one-pass stream
+    * cannot see its own min/max before bucketing). The cell table is a
+    * plain `groupBy(b).count()`, so under Structured Streaming the state
+    * store holds AT MOST k+2 counters forever — same merge property that
+    * makes the CMS streamable; out-of-range values clamp into the edge
+    * buckets. [[histQuantiles]] stays the batch shape with data-driven
+    * bounds; interpolation over these cells works identically once the
+    * bounds are known.
+    */
+  def histCellsFixed(df: DataFrame, v: Column, k: Int, mn: Double, mx: Double): DataFrame =
+    df.select(v.cast(DoubleType).as("x"))
+      .filter(col("x").isNotNull)
+      .select(
+        greatest(
+          least(
+            floor(((col("x") - lit(mn)) * lit(k)) / lit(mx - mn)),
+            lit((k - 1).toLong)),
+          lit(0L))
+          .cast(IntegerType)
+          .as("b"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("c"))
+
   /** DuckDB image of [[histQuantiles]] — expression-for-expression the
     * same double math, so estimates match bit-for-bit. `expr` is the
     * value column, `qsSql` a VALUES list like "(0.25),(0.5)".

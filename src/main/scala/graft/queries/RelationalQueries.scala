@@ -1389,7 +1389,25 @@ object RelationalQueries {
       .orderBy("g")
   }
 
+  /** Event transition matrix — per-user next-event bigrams (lag over the
+    * per-user total order, event_id tiebreak) counted globally with
+    * per-pair reach: the Markov-chain census behind funnel and
+    * next-action models. One window partitioned by user + one keyed
+    * aggregation over at most |types|² pairs; all integers.
+    */
+  private val eventTransitions: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+      .orderBy("prev", "next")
+  }
+
   val queries: Map[String, Q] = Map(
+    "event_transitions" -> eventTransitions,
     "outlier_mad" -> outlierMad,
     "cohort_retention" -> cohortRetention,
     "ts_gapfill_interp" -> tsGapfillInterp,
@@ -1817,6 +1835,14 @@ object RelationalQueries {
         |  GROUP BY c_custkey)
         |SELECT c_count, COUNT(*) AS custdist
         |FROM cc GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "event_transitions" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT prev, event_type AS next, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM t WHERE prev IS NOT NULL
+        |GROUP BY prev, next ORDER BY prev, next""".stripMargin,
     "outlier_mad" ->
       """WITH li AS (SELECT l_returnflag AS g, l_extendedprice AS x,
         |    l_orderkey AS k1, l_linenumber AS k2 FROM lineitem),
