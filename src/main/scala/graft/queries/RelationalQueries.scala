@@ -1406,7 +1406,69 @@ object RelationalQueries {
       .orderBy("prev", "next")
   }
 
+  /** One-pass all-columns profiler — the data-quality census every
+    * ingest runs (per column: rows, nulls, distinct, lexical min/max),
+    * computed for ALL columns in ONE aggregation via the same unpivot
+    * shape as `ModeFill.modesSinglePass` (no per-column job storm; at
+    * 100 TB this is one scan, one Expand, one shuffle of partial
+    * per-column states). Values profile in string space — CAST AS
+    * STRING renders identically cross-engine for the types here, which
+    * the hash check itself then proves.
+    */
+  private val profileAllColumns: Q = (s, d) => {
+    val cols = Seq(
+      "o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority", "o_totalprice", "o_orderdate")
+    val stackArgs = cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
+    orders(s, d)
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_name, v)")
+      .groupBy("col_name")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).cast(LongType).as("nulls"),
+        countDistinct(col("v")).as("n_distinct"),
+        min("v").as("min_v"),
+        max("v").as("max_v"))
+      .orderBy("col_name")
+  }
+
+  /** Per-group z-score standardization — the feature-scaling staple:
+    * group mean/std assembled in double from EXACT decimal sums (the
+    * corr_qty_price bridge — each cast one deterministic rounding, the
+    * expression tree mirrored op-for-op; sqrt is IEEE-correctly-rounded
+    * in both engines, so std and every z are bit-identical), broadcast
+    * back onto a hash-sampled row subset. The stats side is
+    * 3-numbers-per-group state at any scale; the sample keeps output
+    * bounded while pinning the standardization arithmetic itself.
+    */
+  private val zscoreStandardize: Q = (s, d) => {
+    val nD = col("n").cast(DoubleType)
+    val dx = col("sx").cast(DoubleType)
+    val dxx = col("sxx").cast(DoubleType)
+    val stats = lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec2(col("l_extendedprice"))).as("sx"),
+        sum(dec2(col("l_extendedprice")) * dec2(col("l_extendedprice"))).as("sxx"))
+      .select(
+        col("l_returnflag"),
+        (dx / nD).as("mean"),
+        sqrt((dxx - dx * dx / nD) / nD).as("std"))
+    lineitem(s, d)
+      .filter(col("l_orderkey") % 997 === 0 && col("l_linenumber") === 1)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+      .join(broadcast(stats), "l_returnflag")
+      .select(
+        col("l_orderkey"),
+        col("l_returnflag"),
+        ((col("l_extendedprice") - col("mean")) / col("std")).as("z"))
+      .orderBy("l_orderkey", "l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "zscore_standardize" -> zscoreStandardize,
+    "profile_all_columns" -> profileAllColumns,
     "event_transitions" -> eventTransitions,
     "outlier_mad" -> outlierMad,
     "cohort_retention" -> cohortRetention,
@@ -1835,6 +1897,34 @@ object RelationalQueries {
         |  GROUP BY c_custkey)
         |SELECT c_count, COUNT(*) AS custdist
         |FROM cc GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "zscore_standardize" ->
+      """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag),
+        |st AS (SELECT l_returnflag,
+        |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    sqrt((CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+        |      - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / CAST(n AS DOUBLE)) AS std
+        |  FROM m)
+        |SELECT l.l_orderkey, l.l_returnflag, (l.l_extendedprice - st.mean) / st.std AS z
+        |FROM lineitem l JOIN st USING (l_returnflag)
+        |WHERE l.l_orderkey % 997 = 0 AND l.l_linenumber = 1
+        |ORDER BY l.l_orderkey, l.l_returnflag""".stripMargin,
+    "profile_all_columns" ->
+      """WITH p AS (
+        |  SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS v FROM orders
+        |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+        |  UNION ALL SELECT 'o_totalprice', CAST(o_totalprice AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_orderdate', CAST(o_orderdate AS VARCHAR) FROM orders)
+        |SELECT col_name, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+        |  COUNT(DISTINCT v) AS n_distinct,
+        |  MIN(v) AS min_v, MAX(v) AS max_v
+        |FROM p GROUP BY col_name ORDER BY col_name""".stripMargin,
     "event_transitions" ->
       """WITH t AS (SELECT user_id, event_type,
         |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
