@@ -167,7 +167,8 @@ object Sketches {
     * bounds; interpolation over these cells works identically once the
     * bounds are known.
     */
-  def histCellsFixed(df: DataFrame, v: Column, k: Int, mn: Double, mx: Double): DataFrame =
+  def histCellsFixed(df: DataFrame, v: Column, k: Int, mn: Double, mx: Double): DataFrame = {
+    require(mx > mn, s"histCellsFixed needs a non-degenerate range, got [$mn, $mx]")
     df.select(v.cast(DoubleType).as("x"))
       .filter(col("x").isNotNull)
       .select(
@@ -180,6 +181,7 @@ object Sketches {
           .as("b"))
       .groupBy("b")
       .agg(count(lit(1)).as("c"))
+  }
 
   /** DuckDB image of [[histQuantiles]] — expression-for-expression the
     * same double math, so estimates match bit-for-bit. `expr` is the
