@@ -30,6 +30,47 @@ object Graph {
     * once (true for mirrored undirected graphs — no dangling handling).
     * Returns `(node, rank)` with rank on the fixed-point `scale` grid.
     */
+  /** HITS hubs/authorities on a directed bipartite edge list `(src,
+    * dst)`, fixed iteration count, integer fixed-point like
+    * [[pagerankFixed]]: each half-step is one edge-join + one keyed sum,
+    * then a scaled renormalization `score div (Σ div scale)` — plain
+    * integer division against a broadcast 1-row total, chosen over the
+    * textbook `(score·scale) div Σ` because the latter overflows a long
+    * at ~10^14·10^12; the divisor form never multiplies. Deterministic,
+    * order-independent, oracle-replayable. Hub mass starts uniform at
+    * `scale` per source node.
+    */
+  def hitsFixed(
+      edges: DataFrame,
+      iters: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    val ed = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    var hub = ed.select(col("src").as("s")).distinct().withColumn("hub", lit(scale))
+    var auth = ed.select(col("dst").as("p")).distinct().withColumn("auth", lit(0L))
+    def renorm(df: DataFrame, c: String): DataFrame = {
+      val tot = df.agg(sum(c).cast("long").as("tot"))
+      df.crossJoin(broadcast(tot))
+        .select(
+          df.columns.filter(_ != c).map(col) :+
+            expr(s"$c div greatest(tot div $scale, CAST(1 AS BIGINT))").as(c): _*)
+    }
+    (1 to iters).foreach { _ =>
+      val authRaw = ed
+        .join(hub, col("src") === col("s"))
+        .groupBy(col("dst").as("p"))
+        .agg(sum("hub").cast("long").as("auth"))
+      auth = renorm(authRaw, "auth")
+      val hubRaw = ed
+        .join(auth, col("dst") === col("p"))
+        .groupBy(col("src").as("s"))
+        .agg(sum("auth").cast("long").as("hub"))
+      hub = renorm(hubRaw, "hub")
+    }
+    hub
+      .select(col("s").as("node"), lit("hub").as("kind"), col("hub").as("score"))
+      .union(auth.select(col("p").as("node"), lit("authority").as("kind"), col("auth").as("score")))
+  }
+
   def pagerankFixed(
       edges: DataFrame,
       iters: Int,

@@ -1466,7 +1466,29 @@ object RelationalQueries {
       .orderBy("l_orderkey", "l_returnflag")
   }
 
+  /** HITS hubs/authorities (2 iterations) over the directed
+    * supplier→part graph — PageRank's mutually-recursive sibling
+    * ([[graft.ext.Graph.hitsFixed]]): broad-catalog suppliers surface as
+    * hubs, widely-sourced parts as authorities. Integer fixed-point with
+    * divisor-form renormalization (no overflow-prone scale multiply), so
+    * the oracle replays both iterations exactly; per-kind top-10 with a
+    * node tiebreak.
+    */
+  private val hits2: Q = (s, d) => {
+    val e0 = lineitem(s, d).select(
+      (col("l_suppkey") * 2).as("src"),
+      (col("l_partkey") * 2 + 1).as("dst"))
+    val w = Window.partitionBy("kind").orderBy(desc("score"), asc("node"))
+    graft.ext.Graph
+      .hitsFixed(e0, iters = 2)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select("node", "kind", "score")
+      .orderBy(asc("kind"), desc("score"), asc("node"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "hits_2iter" -> hits2,
     "zscore_standardize" -> zscoreStandardize,
     "profile_all_columns" -> profileAllColumns,
     "event_transitions" -> eventTransitions,
@@ -1897,6 +1919,31 @@ object RelationalQueries {
         |  GROUP BY c_custkey)
         |SELECT c_count, COUNT(*) AS custdist
         |FROM cc GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "hits_2iter" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey*2 AS src, l_partkey*2+1 AS dst FROM lineitem),
+        |h0 AS (SELECT DISTINCT src AS s, 1000000000000 AS hub FROM e),
+        |a1r AS (SELECT dst AS p, CAST(SUM(hub) AS BIGINT) AS auth
+        |        FROM e JOIN h0 ON e.src = h0.s GROUP BY dst),
+        |a1t AS (SELECT CAST(SUM(auth) AS BIGINT) AS tot FROM a1r),
+        |a1 AS (SELECT p, auth // GREATEST(tot // 1000000000000, 1) AS auth FROM a1r, a1t),
+        |h1r AS (SELECT src AS s, CAST(SUM(auth) AS BIGINT) AS hub
+        |        FROM e JOIN a1 ON e.dst = a1.p GROUP BY src),
+        |h1t AS (SELECT CAST(SUM(hub) AS BIGINT) AS tot FROM h1r),
+        |h1 AS (SELECT s, hub // GREATEST(tot // 1000000000000, 1) AS hub FROM h1r, h1t),
+        |a2r AS (SELECT dst AS p, CAST(SUM(hub) AS BIGINT) AS auth
+        |        FROM e JOIN h1 ON e.src = h1.s GROUP BY dst),
+        |a2t AS (SELECT CAST(SUM(auth) AS BIGINT) AS tot FROM a2r),
+        |a2 AS (SELECT p, auth // GREATEST(tot // 1000000000000, 1) AS auth FROM a2r, a2t),
+        |h2r AS (SELECT src AS s, CAST(SUM(auth) AS BIGINT) AS hub
+        |        FROM e JOIN a2 ON e.dst = a2.p GROUP BY src),
+        |h2t AS (SELECT CAST(SUM(hub) AS BIGINT) AS tot FROM h2r),
+        |h2 AS (SELECT s, hub // GREATEST(tot // 1000000000000, 1) AS hub FROM h2r, h2t),
+        |u AS (SELECT s AS node, 'hub' AS kind, hub AS score FROM h2
+        |      UNION ALL SELECT p, 'authority', auth FROM a2),
+        |r AS (SELECT node, kind, score,
+        |      ROW_NUMBER() OVER (PARTITION BY kind ORDER BY score DESC, node) AS rk FROM u)
+        |SELECT node, kind, score FROM r WHERE rk <= 10
+        |ORDER BY kind ASC, score DESC, node ASC""".stripMargin,
     "zscore_standardize" ->
       """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
         |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sx,

@@ -36,6 +36,26 @@ class GraphSpec extends SparkSpec {
     assert(total > scale - 1000L * ranks.length)
   }
 
+  test("HITS: broad-catalog source is the top hub, widely-sourced target the top authority") {
+    // s=0 links 3 parts, s=2 links 1; p=1 has 2 suppliers, p=3/p=5 have 1
+    val edges = Seq((0L, 1L), (0L, 3L), (0L, 5L), (2L, 1L)).toDF("src", "dst")
+    val r = Graph
+      .hitsFixed(edges, 2)
+      .collect()
+      .map(x => (x.getLong(0), x.getString(1)) -> x.getLong(2))
+      .toMap
+    assert(r((0L, "hub")) > r((2L, "hub")))
+    assert(r((1L, "authority")) > r((3L, "authority")))
+    assert(r((3L, "authority")) == r((5L, "authority"))) // symmetric parts tie
+  }
+
+  test("HITS deterministic across shuffle-partition counts") {
+    val edges = Seq((0L, 1L), (0L, 3L), (2L, 1L), (4L, 3L), (4L, 5L)).toDF("src", "dst")
+    val a = Graph.hitsFixed(edges.repartition(1), 2).orderBy("kind", "node").collect().toSeq
+    val b = Graph.hitsFixed(edges.repartition(7), 2).orderBy("kind", "node").collect().toSeq
+    assert(a == b)
+  }
+
   test("deterministic across shuffle-partition counts") {
     val edges = undirected((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (2L, 5L))
     val a = Graph.pagerankFixed(edges.repartition(1), 3).orderBy("node").collect().toSeq

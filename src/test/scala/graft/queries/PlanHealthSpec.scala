@@ -31,7 +31,8 @@ class PlanHealthSpec extends SparkSpec {
     "dedup_incremental",      // three 1-row stage-summary aggregates crossed
     "token_budget_apportion", // two 1-row scalar frames (total, base_sum) crossed
     "pagerank_3iter",   // 1-row node-count frame crossed per iteration
-    "sketch_quantiles") // 1-row stats frame + <=k-row hist/quantile probes
+    "sketch_quantiles", // 1-row stats frame + <=k-row hist/quantile probes
+    "hits_2iter")       // 1-row renormalization total crossed per half-step
 
   test("no cartesian products; NLJ only where operands are bounded") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
