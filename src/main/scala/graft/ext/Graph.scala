@@ -25,11 +25,13 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** PageRank over a DIRECTED edge list `(src, dst)` (mirror the edges
-    * for an undirected walk). Every node must appear as a src at least
-    * once (true for mirrored undirected graphs — no dangling handling).
-    * Returns `(node, rank)` with rank on the fixed-point `scale` grid.
+  /** Lineage-truncation cadence for the iterative routines: without it
+    * the HITS plan quadruples per half-step (each renorm reads its input
+    * twice). Two rounds of growth between checkpoints keeps analysis
+    * bounded while amortizing the materialization cost.
     */
+  val TruncateEvery = 2
+
   /** HITS hubs/authorities on a directed bipartite edge list `(src,
     * dst)`, fixed iteration count, integer fixed-point like
     * [[pagerankFixed]]: each half-step is one edge-join + one keyed sum,
@@ -39,6 +41,13 @@ object Graph {
     * at ~10^14·10^12; the divisor form never multiplies. Deterministic,
     * order-independent, oracle-replayable. Hub mass starts uniform at
     * `scale` per source node.
+    *
+    * Each renorm references its input twice (once for the broadcast
+    * total, once for the join), so the un-truncated plan grows ~4× per
+    * half-step; both score frames are localCheckpointed every
+    * [[Graph.TruncateEvery]] iterations to keep analysis/execution cost
+    * linear in `iters` (the same lineage posture as the CC routes and
+    * [[pagerankFixed]]'s edge table).
     */
   def hitsFixed(
       edges: DataFrame,
@@ -54,7 +63,7 @@ object Graph {
           df.columns.filter(_ != c).map(col) :+
             expr(s"$c div greatest(tot div $scale, CAST(1 AS BIGINT))").as(c): _*)
     }
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val authRaw = ed
         .join(hub, col("src") === col("s"))
         .groupBy(col("dst").as("p"))
@@ -65,12 +74,21 @@ object Graph {
         .groupBy(col("src").as("s"))
         .agg(sum("auth").cast("long").as("hub"))
       hub = renorm(hubRaw, "hub")
+      if (i % TruncateEvery == 0 && i < iters) {
+        hub = hub.localCheckpoint()
+        auth = auth.localCheckpoint()
+      }
     }
     hub
       .select(col("s").as("node"), lit("hub").as("kind"), col("hub").as("score"))
       .union(auth.select(col("p").as("node"), lit("authority").as("kind"), col("auth").as("score")))
   }
 
+  /** PageRank over a DIRECTED edge list `(src, dst)` (mirror the edges
+    * for an undirected walk). Every node must appear as a src at least
+    * once (true for mirrored undirected graphs — no dangling handling).
+    * Returns `(node, rank)` with rank on the fixed-point `scale` grid.
+    */
   def pagerankFixed(
       edges: DataFrame,
       iters: Int,

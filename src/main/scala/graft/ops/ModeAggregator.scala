@@ -36,6 +36,24 @@ object ModeAggregator {
 
   final case class Buf(maps: Array[mutable.HashMap[String, Long]], nulls: Array[Long])
 
+  /** `a < b` in unsigned UTF-8 byte order — Spark's UTF8String binary
+    * comparison, which orders by code POINT (Java String's `<` orders by
+    * UTF-16 code UNIT and disagrees beyond the BMP).
+    */
+  private[ops] def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val xa = x(i) & 0xff
+      val yb = y(i) & 0xff
+      if (xa != yb) return xa < yb
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** Counts `n` string columns' value frequencies in one pass.
     * Output: per column, `Some(mode)` or `None` when the null group wins.
     */
@@ -69,10 +87,16 @@ object ModeAggregator {
     }
 
     def finish(b: Buf): Seq[Option[String]] = (0 until n).map { i =>
-      // max count, smallest value on ties — matches ORDER BY cnt DESC, v ASC
+      // max count, smallest value on ties — matches ORDER BY cnt DESC, v ASC.
+      // The tie-break compares UTF-8 BYTES, not Java String UTF-16 code
+      // units: Spark's asc_nulls_first on strings is UTF8String binary
+      // (code-point) order, and the two diverge for supplementary-plane
+      // characters (surrogates sort above U+E000..U+FFFF in UTF-16 but
+      // below them in UTF-8). Byte order keeps this path bit-identical to
+      // ModeFill.modesSinglePass under any value universe.
       val best = b.maps(i).foldLeft(Option.empty[(String, Long)]) {
         case (acc @ Some((bv, bc)), (v, c)) =>
-          if (c > bc || (c == bc && v < bv)) Some((v, c)) else acc
+          if (c > bc || (c == bc && utf8Lt(v, bv))) Some((v, c)) else acc
         case (None, (v, c)) => Some((v, c))
       }
       best match {

@@ -827,7 +827,7 @@ object CorpusQueries {
         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
     "mix_epoch_upsample" ->
       """WITH d AS (SELECT doc_id, source,
-        |    50 + (CAST(substr(source, 4) AS INT) % 7) * 17 AS fx100
+        |    50 + (TRY_CAST(substr(source, 4, 10) AS INT) % 7) * 17 AS fx100
         |  FROM documents),
         |c AS (SELECT doc_id, source, fx100,
         |    fx100 // 100 + CASE

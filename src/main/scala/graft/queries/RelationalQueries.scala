@@ -1298,7 +1298,10 @@ object RelationalQueries {
     val cells = events(s, d)
       .select(
         col("user_id"),
-        (unix_millis(col("ts")) / lit(86400000L)).cast(LongType).as("day"))
+        // `div` on longs is floor-free truncation; the oracle's `//` is
+        // FLOOR division. floor(double)/cast keeps both engines on floor
+        // semantics even for pre-1970 timestamps (negative millis).
+        floor(unix_millis(col("ts")) / lit(86400000.0)).cast(LongType).as("day"))
       .groupBy("user_id", "day")
       .agg(count(lit(1)).as("c"))
       .filter(
@@ -1322,7 +1325,10 @@ object RelationalQueries {
     val act = events(s, d)
       .select(
         col("user_id"),
-        (unix_millis(col("ts")) / lit(86400000L)).cast(LongType).as("day"))
+        // `div` on longs is floor-free truncation; the oracle's `//` is
+        // FLOOR division. floor(double)/cast keeps both engines on floor
+        // semantics even for pre-1970 timestamps (negative millis).
+        floor(unix_millis(col("ts")) / lit(86400000.0)).cast(LongType).as("day"))
       .distinct()
     val cohort = act.groupBy("user_id").agg(min("day").as("c0"))
     val sizes = cohort.groupBy("c0").agg(count(lit(1)).as("cohort_n"))

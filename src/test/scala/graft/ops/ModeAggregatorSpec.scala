@@ -29,6 +29,16 @@ class ModeAggregatorSpec extends SparkSpec {
     assert(ModeAggregator.modes(df)("c") == Some("a"))
   }
 
+  test("supplementary-plane tie breaks in UTF-8 byte order, matching Spark") {
+    // U+FF21 FULLWIDTH A sorts BELOW U+1F600 emoji in code-point/UTF-8
+    // order, but ABOVE it in UTF-16 code-unit order (the emoji's lead
+    // surrogate is 0xD83D < 0xFF21). The Aggregator must agree with
+    // Spark's UTF8String order, i.e. pick the fullwidth letter.
+    val df = Seq(Some("Ａ"), Some("Ａ"), Some("😀"), Some("😀")).toDF("c")
+    assert(ModeAggregator.modes(df)("c") == Some("Ａ"))
+    assert(ModeAggregator.modes(df) == ModeFill.modesSinglePass(df))
+  }
+
   test("null-vs-value count tie: null wins (nulls-first), fill is a no-op") {
     val df = Seq(Some("a"), Some("a"), Some("b"), None, None).toDF("c")
     assert(ModeAggregator.modes(df)("c") == None)
