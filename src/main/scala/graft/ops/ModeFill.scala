@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Null-imputation by per-column mode.
@@ -39,10 +38,15 @@ object ModeFill {
     * groupBy + driver collect per column (the reference's per-column shape
     * is its scalability cliff — SURVEY.md §6). Columns are unpivoted to
     * (col_name, value_as_string) pairs, counted in a single shuffle, and
-    * the per-column top-1 is taken with a window. Values round-trip through
+    * the per-column top-1 is taken with the native bounded-heap TopK (a
+    * `row_number` window partitioned by col_name would be ncols sort
+    * tasks over the whole distinct-value frame — unbounded for near-
+    * unique columns — at any cluster size). Values round-trip through
     * string space (exact for the long/double/string/timestamp types
-    * exercised); ties break on (count desc, value-string asc, nulls first),
-    * which can differ from typed ordering only on exact count ties.
+    * exercised); ties break on (count desc, value-string asc, nulls first)
+    * — SortOrder's Ascending default IS NullsFirst, so the heap ordering
+    * matches asc_nulls_first — which can differ from typed ordering only
+    * on exact count ties.
     */
   def modesSinglePass(df: DataFrame, cols: Seq[String] = Nil): Map[String, Option[String]] = {
     val target = if (cols.isEmpty) df.columns.toSeq else cols
@@ -51,12 +55,11 @@ object ModeFill {
     def ref(c: String) = "`" + c.replace("`", "``") + "`"
     val stackArgs = target.map(c => s"${lit_(c)}, CAST(${ref(c)} AS STRING)").mkString(", ")
     val pairs = df.selectExpr(s"stack(${target.size}, $stackArgs) AS (col_name, value)")
-    val w = Window.partitionBy("col_name").orderBy(desc("cnt"), asc_nulls_first("value"))
-    pairs
+    val counted = pairs
       .groupBy("col_name", "value")
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    org.apache.spark.sql.graftnative.TopK
+      .perKey(counted, Seq("col_name"), Seq(("cnt", true), ("value", false)), 1)
       .select("col_name", "value")
       .collect()
       .map(r => r.getString(0) -> Option(r.getString(1)))

@@ -104,7 +104,12 @@ object CorpusQueries {
     * stats — the end-to-end "raw corpus in, training sequences out"
     * composition every piece above feeds. One aggregation over a linear
     * pipeline of narrow ops + two keyed shuffles (dedup window, pack
-    * window).
+    * rank). The pack running sum is [[graft.ext.Prefix.runningSum]]
+    * sharded by source, NOT a `PARTITION BY source` window: source has
+    * single-digit cardinality, so the window form sorts the whole corpus
+    * on |sources| tasks at any cluster size (the class PlanHealthSpec
+    * bans); the range-partitioned prefix keys on (source, doc_id) and
+    * scales with the partition count.
     */
   private val curationFunnel: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
@@ -133,12 +138,13 @@ object CorpusQueries {
       .withColumn("keep_d",
         col("q") && sum(when(col("q"), 1L).otherwise(0L)).over(wDedup) === 1L)
       .withColumn("sampled", col("keep_d") && h < thr)
-    val wPack = Window
-      .partitionBy("source")
-      .orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val packed = flagged
-      .withColumn("cum", sum(when(col("sampled"), col("n_tok")).otherwise(0L)).over(wPack))
+    val packed = graft.ext.Prefix
+      .runningSum(
+        flagged,
+        col("source"),
+        Seq(col("doc_id")),
+        when(col("sampled"), col("n_tok")).otherwise(0L),
+        "cum")
       .withColumn("seq_id", floor((col("cum") - col("n_tok")) / 2048L))
       .withColumn(
         "straddle",
@@ -587,24 +593,43 @@ object CorpusQueries {
     * each doc with its quality-adjacent neighbor when the margin is
     * large enough — (chosen, rejected) pairs with a controlled score
     * gap, the standard way preference data is mined from scored corpora
-    * when explicit labels are scarce. One window pass per source (the
-    * pairing is a lag over the score order, not an all-pairs compare),
-    * integer-only decisions.
+    * when explicit labels are scarce. The adjacency is NOT a
+    * `LEAD() OVER (PARTITION BY source)` window — source has single-digit
+    * cardinality, so that window sorts the whole corpus on |sources|
+    * tasks at any cluster size (the class PlanHealthSpec bans). Instead:
+    * a per-source rank from [[graft.ext.Prefix.runningSum]] (range-
+    * partitioned, parallelism = partition count) and a self-equi-join on
+    * (source, rank+1) — "next row in order" as a keyed hash join, the
+    * same shape a sort-merge adjacency takes at 100 TB. Integer-only
+    * decisions.
     */
-  private val preferencePairs: Q = (s, d) =>
-    withTok(documents(s, d))
+  private val preferencePairs: Q = (s, d) => {
+    val scored = withTok(documents(s, d))
       .withColumn("score", expr("n_chars * 1000 div n_tok"))
-      .withColumn("nxt_id", expr(
-        "lead(doc_id) over (partition by source order by score desc, doc_id)"))
-      .withColumn("nxt_score", expr(
-        "lead(score) over (partition by source order by score desc, doc_id)"))
-      .filter(col("nxt_id").isNotNull && (col("score") - col("nxt_score")) >= 10)
+    // desc score with doc_id tiebreak expressed as ascending sort exprs
+    val ranked = graft.ext.Prefix.runningSum(
+      scored,
+      col("source"),
+      Seq(col("score").desc, col("doc_id").asc),
+      lit(1L),
+      "rn")
+    val nxt = ranked.select(
+      col("source").as("n_source"),
+      (col("rn") - 1).as("n_rn"),
+      col("doc_id").as("nxt_id"),
+      col("score").as("nxt_score"))
+    ranked
+      .join(
+        nxt,
+        col("source") === col("n_source") && col("rn") === col("n_rn"))
+      .filter((col("score") - col("nxt_score")) >= 10)
       .select(
         col("source"),
         col("doc_id").as("chosen_id"),
         col("nxt_id").as("rejected_id"),
         (col("score") - col("nxt_score")).as("margin"))
       .orderBy("source", "chosen_id")
+  }
 
   /** Generator null-preservation semantics (`explode_outer`): exploding a
     * per-doc match list must KEEP docs with zero matches as a null row —

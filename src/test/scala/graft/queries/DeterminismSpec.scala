@@ -40,7 +40,10 @@ class DeterminismSpec extends SparkSpec {
     "shard_balanced",        // global prefix rank -> serpentine assignment
     "ts_gapfill_interp",     // ignoreNulls neighbor windows + one division
     "sketch_quantiles",      // bucket counts + interpolation doubles
-    "mode_fill_typed_agg")   // object-hash Aggregator map merges (commutative)
+    "mode_fill_typed_agg",   // object-hash Aggregator map merges (commutative)
+    "outlier_mad",           // sharded Prefix rank median picks (r6 rewrite)
+    "window_rank_stats",     // rank-arithmetic percent_rank/cume_dist (r6 rewrite)
+    "hits_2iter")            // fixed-point HITS + native TopK per kind
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf

@@ -34,6 +34,47 @@ class PlanHealthSpec extends SparkSpec {
     "sketch_quantiles", // 1-row stats frame + <=k-row hist/quantile probes
     "hits_2iter")       // 1-row renormalization total crossed per half-step
 
+  /** Data-model columns with single-digit cardinality. A window
+    * PARTITION BY drawn ONLY from these caps sort parallelism at the
+    * group count no matter how many executors exist — the scale-killer
+    * class the round-5 verdict flagged in outlier_mad/window_rank_stats.
+    * Those now use the range-partitioned Prefix rank / bounded-heap
+    * TopK; this guard keeps the class from coming back.
+    */
+  private val lowCardCols = Set(
+    "l_returnflag", "l_linestatus", "o_orderpriority", "o_orderstatus",
+    "event_type", "kind", "g", "type_a", "type_b", "lang", "source")
+
+  /** Windows partitioned by low-card keys over frames BOUNDED BY
+    * CONSTRUCTION (not by the fact table), where the per-group sort is
+    * over at most a few thousand rows at any corpus size.
+    */
+  private val boundedLowCardWindow = Set(
+    "sketch_overlap",    // merged k-min sketches: pairs x 2k rows, k=256
+    "lateral_topk_docs") // pins Catalyst's LATERAL decorrelation, whose
+                         // OWN rewrite is the window rank — the query
+                         // exists to exercise that SQL surface; the
+                         // scale-path twin is topk_native's bounded heap
+
+  test("no window partitioned solely by single-digit-cardinality keys") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!boundedLowCardWindow(name)) {
+        val windows = fn(spark, sf).queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        }
+        windows.foreach { w =>
+          val partRefs = w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).toSet
+          assert(
+            partRefs.isEmpty || !partRefs.subsetOf(lowCardCols),
+            s"$name plans a window partitioned only by low-cardinality " +
+              s"keys $partRefs — its sort runs as |groups| tasks at any " +
+              "cluster size; use ext.Prefix ranks or graftnative.TopK " +
+              "(or add to boundedLowCardWindow with a justification)")
+        }
+      }
+    }
+  }
+
   test("no cartesian products; NLJ only where operands are bounded") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
