@@ -48,18 +48,32 @@ object Bench {
       org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)
     // min of N reps per query: single-sample times at this scale carry
     // ±40% machine noise (BENCH_r02's 12s vs 4s dedup_pipeline_e2e);
-    // the min is the stable "cost of the plan" signal. Shuffle bytes are
-    // plan-deterministic, so the LAST rep's tally (listener bus drained
-    // on both window edges) is THE per-query shuffle volume.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { i =>
-        if (i == reps) { drain(); tally.bytes.set(0L) }
-        runOnce(name, fn)
+    // the min is the stable "cost of the plan" signal. Reps are
+    // interleaved ROUND-ROBIN across the whole query list (rep 1 of
+    // every query, then rep 2, ...), not run consecutively per query: a
+    // transient box stall then inflates ONE sample of many queries —
+    // which the per-query min discards — instead of all samples of a
+    // few adjacent queries, which faked a regression window in
+    // BENCH_r05 (pivot_orders..q10, ~50 s phantom refuted by judge
+    // re-timing). Every rep is persisted in bench_last_run.json so a
+    // stall is visible as an outlier sample rather than a lost cause.
+    // Shuffle bytes are plan-deterministic, so the FINAL round's tally
+    // (listener bus drained on both window edges) is THE per-query
+    // shuffle volume.
+    val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
+    val repTimes = Array.fill(qlist.size)(new Array[Double](reps))
+    val shuffleMb = new Array[Double](qlist.size)
+    for (r <- 0 until reps) {
+      qlist.zipWithIndex.foreach { case ((name, fn), qi) =>
+        if (r == reps - 1) { drain(); tally.bytes.set(0L) }
+        repTimes(qi)(r) = runOnce(name, fn)
+        if (r == reps - 1) { drain(); shuffleMb(qi) = tally.bytes.get / 1048576.0 }
       }
-      drain()
-      val shuffleMb = tally.bytes.get / 1048576.0
+    }
+    val results = qlist.zipWithIndex.map { case ((name, _), qi) =>
+      val times = repTimes(qi).toSeq
       val t = if (times.contains(-1.0)) -1.0 else times.min
-      (name, t, if (t < 0) -1.0 else shuffleMb)
+      (name, t, if (t < 0) -1.0 else shuffleMb(qi))
     }
     def f(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f(v) }
@@ -80,8 +94,18 @@ object Bench {
     val tail =
       s""""sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"action":"noop_write",""" +
         s""""reps":$reps,"agg":"min","failed":${failed.mkString("[", ",", "]")}}"""
+    // every individual sample goes to the FILE artifact only (stdout
+    // stays one compact driver-parsable line): with round-robin reps an
+    // outlier sample pinpoints WHEN a box stall happened
+    val allReps = qlist.zipWithIndex
+      .map { case ((k, _), qi) =>
+        s"\"" + k + "\":" + repTimes(qi).map(f).mkString("[", ",", "]")
+      }
+      .mkString("{", ",", "}")
     val line = s"""$head,"queries":$qs,"shuffle_mb":$sh,$tail"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last_run.json"), line)
+    val fileLine =
+      line.dropRight(1) + s""","rep_order":"round_robin","reps_sec":$allReps}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last_run.json"), fileLine)
     println(line)
     // The driver captures only the LAST ~2000 chars of stdout; the full
     // line above overflowed that window in round 3 and truncated the
