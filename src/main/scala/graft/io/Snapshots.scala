@@ -37,9 +37,13 @@ object Snapshots {
 
   private def manifestDir(dir: String) = new Path(dir, "_manifests")
 
-  /** All published versions, ascending (empty for a fresh table). */
-  def versions(spark: SparkSession, dir: String): Seq[Long] = {
-    val f = fs(spark, dir)
+  private val CheckpointPrefix = "checkpoint_"
+
+  /** Versions present as individual manifest FILES (the live log tail —
+    * after [[checkpointLog]] drops compacted manifests this is bounded
+    * by the checkpoint interval, not the table's age).
+    */
+  private def listedVersions(f: org.apache.hadoop.fs.FileSystem, dir: String): Seq[Long] = {
     val md = manifestDir(dir)
     if (!f.exists(md)) Seq.empty
     else
@@ -48,6 +52,58 @@ object Snapshots {
         .flatMap(n => scala.util.Try(n.toLong).toOption)
         .sorted
         .toSeq
+  }
+
+  /** The newest checkpoint, if any: (covered-up-to version, full state
+    * `v -> (dataName, txnOpt)` for every version it covers). One listing
+    * + one file read — the bounded entry point every reader starts from.
+    * A checkpoint listed a moment ago may have been superseded-and-
+    * deleted by a racing [[checkpointLog]]; retry on the fresh listing.
+    */
+  private def latestCheckpoint(
+      f: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[(Long, Map[Long, (String, Option[String])])] = {
+    val md = manifestDir(dir)
+    if (!f.exists(md)) return None
+    val cks = f.listStatus(md)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(CheckpointPrefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(CheckpointPrefix).toLong).toOption)
+      .sorted
+    cks.reverseIterator
+      .map { up =>
+        try {
+          val in = f.open(new Path(md, CheckpointPrefix + up))
+          val bytes =
+            try {
+              val bos = new java.io.ByteArrayOutputStream()
+              org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+              bos.toByteArray
+            } finally in.close()
+          val entries = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+            .split('\n')
+            .filter(_.nonEmpty)
+            .map { line =>
+              line.split('|') match {
+                case Array(v, data) => v.toLong -> (data, Option.empty[String])
+                case Array(v, data, txn) => v.toLong -> (data, Some(txn))
+                case _ => throw new IllegalStateException(s"bad checkpoint line: $line")
+              }
+            }
+            .toMap
+          Some((up, entries))
+        } catch { case _: java.io.FileNotFoundException => None }
+      }
+      .collectFirst { case Some(ck) => ck }
+  }
+
+  /** All published versions, ascending (empty for a fresh table): the
+    * latest checkpoint's coverage plus the live manifest tail.
+    */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val f = fs(spark, dir)
+    val ck = latestCheckpoint(f, dir).map(_._2.keySet).getOrElse(Set.empty[Long])
+    (ck ++ listedVersions(f, dir)).toSeq.sorted
   }
 
   /** Latest published version, if any. */
@@ -234,8 +290,9 @@ object Snapshots {
       bounds: Map[String, (Any, Any)]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val f = fs(spark, dir)
-    require(f.exists(new Path(manifestDir(dir), v.toString)), s"version $v is not published in $dir")
-    val dataName = readManifest(f, dir, v)._1
+    val entry = manifestEntry(f, dir, v)
+    require(entry.isDefined, s"version $v is not published in $dir")
+    val dataName = entry.get._1
     val sp = statsPath(dir, dataName)
     if (!f.exists(sp)) return readVersion(spark, dir, v)
     val stats = spark.read.parquet(sp.toString)
@@ -284,17 +341,87 @@ object Snapshots {
     try Some(readManifest(f, dir, v))
     catch { case _: java.io.FileNotFoundException => None }
 
+  /** Resolve a version to its (data dir, txn): the live manifest file if
+    * present, else the latest checkpoint's entry — the lookup every
+    * reader uses once [[checkpointLog]] has dropped compacted manifests.
+    */
+  private def manifestEntry(
+      f: org.apache.hadoop.fs.FileSystem,
+      dir: String,
+      v: Long): Option[(String, Option[String])] =
+    readManifestOpt(f, dir, v)
+      .orElse(latestCheckpoint(f, dir).flatMap(_._2.get(v)))
+
   /** Transaction ids already committed to this table. What makes
     * at-least-once streaming replays exactly-once: a replayed
     * micro-batch's txn id is already in the log, so its commit is a
-    * no-op. Cost is one manifest read per version — O(log length); a
-    * long-lived production table bounds this the way every table format
-    * does, by periodically compacting the log into a checkpoint (the
-    * manifest log here is deliberately the minimal core).
+    * no-op. Cost: one checkpoint read + one manifest read per
+    * POST-checkpoint version — bounded by the [[checkpointLog]] cadence,
+    * not the table's age (a continuously-ingesting table's log would
+    * otherwise grow one file per micro-batch forever).
     */
   def committedTxns(spark: SparkSession, dir: String): Set[String] = {
     val f = fs(spark, dir)
-    versions(spark, dir).flatMap(v => readManifestOpt(f, dir, v).flatMap(_._2)).toSet
+    val ck = latestCheckpoint(f, dir)
+    val base = ck.map(_._2.values.flatMap(_._2).toSet).getOrElse(Set.empty[String])
+    val covered = ck.map(_._1).getOrElse(-1L)
+    base ++ listedVersions(f, dir)
+      .filter(_ > covered)
+      .flatMap(v => readManifestOpt(f, dir, v).flatMap(_._2))
+  }
+
+  /** Compact the manifest log: write `_manifests/checkpoint_V` (V = the
+    * current latest version) carrying the FULL table state — every
+    * version's data-directory pointer and txn id, folded from the
+    * previous checkpoint plus the live tail — then drop the now-redundant
+    * individual manifests `<= V` and any superseded older checkpoint.
+    * After compaction every reader path (versions, committedTxns,
+    * readVersion time travel, vacuum's referenced set) starts from the
+    * checkpoint and touches only the post-checkpoint tail, so log cost is
+    * bounded by the compaction cadence. This is the move every real table
+    * format makes (Delta's _last_checkpoint, Iceberg's snapshot
+    * metadata); the wire format here is the minimal line-per-version one.
+    *
+    * Write is the same no-overwrite publish primitive as a manifest: a
+    * checkpoint is either absent or complete. Two racers checkpointing at
+    * the same V produce byte-identical content, so the loser's EEXIST is
+    * success; racers at different V both land and the newest wins the
+    * next listing. Returns the covered-up-to version, or None on an empty
+    * table.
+    */
+  def checkpointLog(spark: SparkSession, dir: String): Option[Long] = {
+    val f = fs(spark, dir)
+    val vs = versions(spark, dir)
+    if (vs.isEmpty) return None
+    val upTo = vs.max
+    val prev = latestCheckpoint(f, dir).map(_._2).getOrElse(Map.empty[Long, (String, Option[String])])
+    val entries = vs.flatMap(v => readManifestOpt(f, dir, v).orElse(prev.get(v)).map(v -> _))
+    val content = entries
+      .map { case (v, (data, txn)) => txn.fold(s"$v|$data")(t => s"$v|$data|$t") }
+      .mkString("", "\n", "\n")
+    val md = manifestDir(dir)
+    val target = new Path(md, CheckpointPrefix + upTo)
+    if (!f.exists(target)) {
+      val tmp = new Path(md, s".tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = f.create(tmp, false)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      promoteNoOverwrite(f, tmp, target) // loser = identical content already there
+      f.delete(tmp, false)
+    }
+    // drop compacted manifests and superseded checkpoints: in-flight
+    // scans tolerate vanished files (readManifestOpt) and targeted reads
+    // fall back to the checkpoint (manifestEntry), so deletion is safe
+    listedVersions(f, dir)
+      .filter(_ <= upTo)
+      .foreach(v => f.delete(new Path(md, v.toString), false))
+    f.listStatus(md)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(CheckpointPrefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(CheckpointPrefix).toLong).toOption)
+      .filter(_ < upTo)
+      .foreach(v => f.delete(new Path(md, CheckpointPrefix + v), false))
+    Some(upTo)
   }
 
   /** Idempotent commit for streaming `foreachBatch`: publishes `df` as a
@@ -386,8 +513,14 @@ object Snapshots {
   def vacuum(spark: SparkSession, dir: String, minAgeMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val f = fs(spark, dir)
     // a manifest retracted mid-scan leaves its data dir unreferenced —
-    // exactly the debris vacuum exists to collect, so skipping is correct
-    val referenced = versions(spark, dir).flatMap(v => readManifestOpt(f, dir, v).map(_._1)).toSet
+    // exactly the debris vacuum exists to collect, so skipping is correct.
+    // Checkpoint entries count as references too: after checkpointLog the
+    // individual manifests are gone but their versions stay readable.
+    val ckRefs = latestCheckpoint(f, dir)
+      .map(_._2.values.map(_._1).toSet)
+      .getOrElse(Set.empty[String])
+    val referenced = ckRefs ++
+      listedVersions(f, dir).flatMap(v => readManifestOpt(f, dir, v).map(_._1))
     val cutoff = System.currentTimeMillis() - minAgeMs
     val orphans = f.listStatus(new Path(dir))
       .filter(st =>
@@ -409,11 +542,13 @@ object Snapshots {
         throw new IllegalArgumentException(s"no published versions in $dir")))
 
   /** Time travel: read an explicit published version by following its
-    * manifest's data-directory pointer.
+    * manifest's data-directory pointer — from the live manifest file or,
+    * after log compaction, from the checkpoint's entry.
     */
   def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
     val f = fs(spark, dir)
-    require(f.exists(new Path(manifestDir(dir), v.toString)), s"version $v is not published in $dir")
-    spark.read.parquet(new Path(dir, readManifest(f, dir, v)._1).toString)
+    val entry = manifestEntry(f, dir, v)
+    require(entry.isDefined, s"version $v is not published in $dir")
+    spark.read.parquet(new Path(dir, entry.get._1).toString)
   }
 }

@@ -253,4 +253,74 @@ class SnapshotsSpec extends SparkSpec {
     // means no pruning, all rows visible
     assert(df.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
+
+  private def manifestFiles(dir: String): Seq[String] = {
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.listStatus(new Path(dir, "_manifests")).map(_.getPath.getName).toSeq.sorted
+  }
+
+  test("log compaction: checkpoint folds the log, drops manifests, keeps every read path") {
+    val dir = Files.createTempDirectory("snap_ckpt").toString
+    val vs = (0 until 5).map(i => Snapshots.commitVersion(spark, Seq(i.toLong).toDF("x"), dir))
+    assert(vs == Seq(0L, 1L, 2L, 3L, 4L))
+
+    assert(Snapshots.checkpointLog(spark, dir) == Some(4L))
+    // the individual manifests 0..4 are gone; only checkpoint_4 remains
+    assert(manifestFiles(dir) == Seq("checkpoint_4"))
+
+    // every read path still works from the checkpoint alone
+    assert(Snapshots.versions(spark, dir) == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(Snapshots.read(spark, dir).as[Long].collect().toSeq == Seq(4L))
+    (0 until 5).foreach { i =>
+      assert(Snapshots.readVersion(spark, dir, i.toLong).as[Long].collect().toSeq == Seq(i.toLong))
+    }
+
+    // post-checkpoint commits continue the version sequence
+    val v5 = Snapshots.commitVersion(spark, Seq(50L).toDF("x"), dir)
+    assert(v5 == 5L)
+    assert(Snapshots.versions(spark, dir) == (0L to 5L))
+    // time travel ACROSS the boundary: pre- and post-checkpoint versions
+    assert(Snapshots.readVersion(spark, dir, 2L).as[Long].collect().toSeq == Seq(2L))
+    assert(Snapshots.readVersion(spark, dir, 5L).as[Long].collect().toSeq == Seq(50L))
+
+    // a second compaction folds checkpoint + tail and supersedes the old one
+    assert(Snapshots.checkpointLog(spark, dir) == Some(5L))
+    assert(manifestFiles(dir) == Seq("checkpoint_5"))
+    assert(Snapshots.readVersion(spark, dir, 0L).as[Long].collect().toSeq == Seq(0L))
+  }
+
+  test("log compaction: committedTxns reads checkpoint + tail only; idempotence survives") {
+    val dir = Files.createTempDirectory("snap_ckpt_txn").toString
+    assert(Snapshots.commitVersionIdempotent(spark, Seq(1L).toDF("x"), dir, "app#b0").isDefined)
+    assert(Snapshots.commitVersionIdempotent(spark, Seq(2L).toDF("x"), dir, "app#b1").isDefined)
+    Snapshots.checkpointLog(spark, dir)
+    assert(manifestFiles(dir) == Seq("checkpoint_1"))
+
+    // replay of a PRE-checkpoint batch is still a no-op (txn set folded in)
+    assert(Snapshots.committedTxns(spark, dir) == Set("app#b0", "app#b1"))
+    assert(Snapshots.commitVersionIdempotent(spark, Seq(1L).toDF("x"), dir, "app#b0").isEmpty)
+
+    // post-checkpoint txns accumulate on top of the checkpointed base
+    assert(Snapshots.commitVersionIdempotent(spark, Seq(3L).toDF("x"), dir, "app#b2").isDefined)
+    assert(Snapshots.committedTxns(spark, dir) == Set("app#b0", "app#b1", "app#b2"))
+    // cost contract: exactly one live manifest after the checkpoint
+    assert(manifestFiles(dir).count(n => !n.startsWith("checkpoint_")) == 1)
+  }
+
+  test("log compaction: vacuum never collects checkpoint-referenced data dirs") {
+    val dir = Files.createTempDirectory("snap_ckpt_vac").toString
+    (0 until 3).foreach(i => Snapshots.commitVersion(spark, Seq(i.toLong).toDF("x"), dir))
+    Snapshots.checkpointLog(spark, dir)
+    // all manifests are compacted away; the data dirs are referenced only
+    // via the checkpoint — vacuum(0) must keep every one of them
+    assert(Snapshots.vacuum(spark, dir, minAgeMs = 0L).isEmpty)
+    (0 until 3).foreach { i =>
+      assert(Snapshots.readVersion(spark, dir, i.toLong).as[Long].collect().toSeq == Seq(i.toLong))
+    }
+  }
+
+  test("log compaction on an empty table is a no-op") {
+    val dir = Files.createTempDirectory("snap_ckpt_empty").toString
+    assert(Snapshots.checkpointLog(spark, dir).isEmpty)
+  }
 }
