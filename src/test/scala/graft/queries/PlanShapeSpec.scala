@@ -59,6 +59,46 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("JSON/variant lanes: single pruned scan, hash-agg, codegen'd parse") {
+    // AQE off for the assertion only: executedPlan then shows the
+    // WholeStageCodegen membership (`*(n)` prefixes) directly instead of
+    // hiding it behind an unfinalized AdaptiveSparkPlan wrapper. Codegen
+    // membership itself does not depend on AQE.
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq("props_variant", "props_typed_map", "props_extract").foreach { name =>
+        val p = planOf(name)
+        val lines = p.linesIterator.toSeq
+        // one scan, pruned to exactly the two referenced columns
+        assert(lines.count(_.contains("FileScan")) == 1, s"$name re-scans:\n$p")
+        assert(
+          p.contains("ReadSchema: struct<value:double,props:string>"),
+          s"$name reads more than (value, props):\n$p")
+        // hash aggregation, never a sort-based or object-hash fallback
+        assert(p.contains("HashAggregate"), s"$name lost its hash agg:\n$p")
+        assert(
+          !p.contains("SortAggregate") && !p.contains("ObjectHashAggregate"),
+          s"$name degraded to a non-hash aggregate:\n$p")
+        // every aggregate runs inside whole-stage codegen
+        lines.filter(_.contains("HashAggregate")).foreach(l =>
+          assert(l.contains("*("), s"$name has an interpreted aggregate: $l"))
+      }
+      // the parse expressions themselves: variant_get/parse_json and
+      // regexp_extract are codegen'd end-to-end. from_json (typed_map)
+      // is Spark's own CodegenFallback — that lane exists to pin the
+      // TYPED MapType surface; the codegen-hot path for semi-structured
+      // work is the variant lane, and this assertion keeps it that way.
+      Seq("props_variant" -> "variant_get", "props_extract" -> "regexp_extract")
+        .foreach { case (name, expr) =>
+          val p = planOf(name)
+          p.linesIterator.filter(_.contains(expr)).foreach(l =>
+            assert(l.contains("*("), s"$name's $expr fell out of codegen: $l"))
+        }
+    } finally conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
   test("q6 pushes every predicate into the parquet scan") {
     val df = SparkEntry.queries("q6_forecast_revenue")(spark, sf)
     val scan = df.queryExecution.executedPlan.toString
