@@ -183,6 +183,35 @@ object FuzzVerify {
        |ORDER BY ga, gb, g1, g2""".stripMargin
   }
 
+  /** Outer-join template (the one relational family the fuzzer never
+    * generated): LEFT/RIGHT/FULL over a real FK pair, with the
+    * null-PRODUCING side(s) thinned by a key-modulus predicate so misses
+    * are guaranteed regardless of value distributions (a value threshold
+    * could be vacuously selective and never produce a null row). The
+    * result groups on COALESCE'd categories from both sides and counts
+    * matched keys per side, so null-extension multiplicity is
+    * value-checked with bounded output.
+    */
+  def genOuterJoinQuery(r: Random): String = {
+    val (lt, rt, lk, rk) = pick(r, joins)
+    val ltab = tables.find(_.name == lt).get
+    val rtab = tables.find(_.name == rt).get
+    val jt = pick(r, Seq("LEFT", "RIGHT", "FULL"))
+    val lcat = pick(r, ltab.cols.filter(_.kind == "cat")).name
+    val rcat = pick(r, rtab.cols.filter(_.kind == "cat")).name
+    val lnum = pick(r, ltab.cols.filter(_.kind == "num")).name
+    def thin(key: String): String = s" WHERE $key % ${2 + r.nextInt(6)} <> 0"
+    val lfilt = if (jt == "RIGHT" || jt == "FULL") thin(lk) else ""
+    val rfilt = if (jt == "LEFT" || jt == "FULL") thin(rk) else ""
+    s"""SELECT COALESCE($lcat, '@l') AS g1, COALESCE($rcat, '@r') AS g2,
+       |  COUNT(*) AS n, COUNT($lk) AS n_l, COUNT($rk) AS n_r,
+       |  CAST(SUM(CAST(COALESCE($lnum, 0) AS DECIMAL(14,2))) AS DOUBLE) AS s
+       |FROM (SELECT * FROM $lt$lfilt) a $jt JOIN (SELECT * FROM $rt$rfilt) b
+       |  ON $lk = $rk
+       |GROUP BY COALESCE($lcat, '@l'), COALESCE($rcat, '@r')
+       |ORDER BY g1, g2""".stripMargin
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
@@ -204,6 +233,7 @@ object FuzzVerify {
     val r = new Random(seed)
     val sqls = (0 until n).map { i =>
       val sql = i % 10 match {
+        case 3 => genOuterJoinQuery(r)
         case 4 => genWindowQuery(r)
         case 5 => genRunningQuery(r)
         case 6 => genSetOpQuery(r)
