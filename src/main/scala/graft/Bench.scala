@@ -60,7 +60,13 @@ object Bench {
     // Shuffle bytes are plan-deterministic, so the FINAL round's tally
     // (listener bus drained on both window edges) is THE per-query
     // shuffle volume.
+    // optional comma-separated name filter (local scale-gating only — the
+    // driver never sets it, so the per-round artifact always covers the
+    // full set)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     val repTimes = Array.fill(qlist.size)(new Array[Double](reps))
     val shuffleMb = new Array[Double](qlist.size)
     for (r <- 0 until reps) {

@@ -162,12 +162,26 @@ object ScaleGen {
           length(col("text")).cast("long").as("n_chars"), col("__r")),
       "documents")
 
-    // cyclic dimension rotation: preserves norms and all within-replica
-    // pairwise distances, scrambles cross-replica cosine structure
+    // cyclic dimension rotation composed with a per-replica sign mask:
+    // both are orthogonal transforms (a permutation matrix and a diagonal
+    // ±1 matrix), so norms and all WITHIN-replica pairwise distances are
+    // preserved exactly while cross-replica cosine structure is scrambled.
+    // The rotation alone repeats every `dim` replicas (dim=64 in the
+    // driver testdata), so a copies>dim run (sf10 = 100 copies) would
+    // make replicas r and r+dim carry IDENTICAL vectors — a duplicate-
+    // mass explosion for the similarity family, not a scale-up. The sign
+    // mask keys on q = r div dim (flip dimension j iff bit (j mod 31) of
+    // q*2654435761 is set — any fixed ±1 diagonal per q works); q=0 means
+    // no flips, so copies<=dim output (the sf1 gate) is bit-identical to
+    // what previous rounds published.
     write(
       replicate(in("embeddings")).select(
         shift("vec_id"),
-        expr("transform(embedding, (x, j) -> embedding[int((j + __r) % size(embedding))])")
+        expr(
+          """transform(embedding, (x, j) ->
+             embedding[int((j + __r) % size(embedding))] *
+             (1 - 2 * int(((bigint(__r) div size(embedding)) * 2654435761 div
+                           shiftleft(1L, int(j % 31))) % 2)))""")
           .as("embedding"),
         col("label"), col("__r")),
       "embeddings")
