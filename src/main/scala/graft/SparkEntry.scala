@@ -17,7 +17,7 @@ object SparkEntry {
     ReferenceQueries.queries ++ RelationalQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
-      CorpusQueries.queries ++ CdcQueries.queries
+      CorpusQueries.queries ++ CdcQueries.queries ++ AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +25,5 @@ object SparkEntry {
     ReferenceQueries.oracle ++ RelationalQueries.oracle ++
       TextQueries.oracle ++ DedupQueries.oracle ++
       SimilarityQueries.oracle ++ MultimodalQueries.oracle ++
-      CorpusQueries.oracle ++ CdcQueries.oracle
+      CorpusQueries.oracle ++ CdcQueries.oracle ++ AnalyticsQueries.oracle
 }

@@ -1,0 +1,440 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+import graft.ext.{Prefix, TextStats}
+
+/** Round-6 analytics additions: triangle counting and market-basket pairs
+  * over the co-purchase graph, integer-exact BM25 retrieval scoring,
+  * probability-proportional-to-size corpus sampling, and per-source
+  * distribution-drift (total-variation) measurement.
+  *
+  * House rules as everywhere in this repo: every emitted number is either
+  * an integer or produced by correctly-rounded IEEE ops (+,-,*,/,sqrt), so
+  * DuckDB replays each query bit-exactly; no transcendental (log/pow)
+  * reaches an output or an ordering; no window runs without a partition
+  * key (global order statistics ride on [[graft.ext.Prefix]]).
+  */
+object AnalyticsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Co-purchase edge list: distinct unordered part pairs appearing in the
+    * same order, from orders selected by `l_orderkey % modulo == 0`
+    * (modulo=1 keeps everything). Pair generation is the standard
+    * per-basket self-join on the order key: cost is Σ basket² — TPC-H-like
+    * baskets are constant-size (~4 items), so edges grow LINEARLY with
+    * data; a pathological mega-basket would need a basket-size cap first
+    * (the same guard every market-basket system ships).
+    */
+  private def copurchaseEdges(s: SparkSession, d: String, modulo: Int): DataFrame = {
+    val items = lineitem(s, d)
+      .filter(col("l_orderkey") % modulo === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val b = items.select(col("ok"), col("pk").as("pk2"))
+    items
+      .join(b, Seq("ok"))
+      .filter(col("pk") < col("pk2"))
+      .select(col("pk").as("a"), col("pk2").as("b"))
+  }
+
+  /** Market-basket pair counts: top-20 co-purchased part pairs. One
+    * self-join on the order key (baskets are bounded), one hash
+    * aggregation, TakeOrderedAndProject — no global sort.
+    */
+  private val basketPairs: Q = (s, d) =>
+    copurchaseEdges(s, d, 1)
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("a"), asc("b"))
+      .limit(20)
+
+  /** Triangle census of the co-purchase graph (orders sampled 1-in-5 to
+    * keep the wedge count linear in SF — each ScaleGen replica is
+    * self-contained, so sampling by order key preserves structure).
+    *
+    * The classic scalable shape (Suri & Vassilvitskii's MapReduce
+    * node-iterator): orient every edge from the (degree, node)-smaller to
+    * the (degree, node)-larger endpoint — a total order, so each triangle
+    * is counted exactly once as x→y, y→z, x→z — then one self-join builds
+    * wedges from a common apex and one more join closes them. Degree
+    * orientation bounds every out-neighborhood by O(√E), so wedge volume
+    * is O(E^1.5) worst-case instead of Σ deg² (hub-quadratic); both joins
+    * are plain equi-joins (shuffle or broadcast, AQE's choice).
+    */
+  private val graphTriangles: Q = (s, d) => {
+    val und = copurchaseEdges(s, d, 5).distinct()
+    // undirected degree: each endpoint sees the edge once
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val da = deg.select(col("v").as("a"), col("deg").as("dega"))
+    val db = deg.select(col("v").as("b"), col("deg").as("degb"))
+    // orient by (deg, node) ascending
+    val oriented = und.join(da, Seq("a")).join(db, Seq("b"))
+      .select(
+        when(col("dega") < col("degb") ||
+          (col("dega") === col("degb") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("x"),
+        when(col("dega") < col("degb") ||
+          (col("dega") === col("degb") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("y"))
+    val e2 = oriented.select(col("x").as("y"), col("y").as("z"))
+    val wedges = oriented.join(e2, Seq("y")).select(col("x"), col("y"), col("z"))
+    val closed = wedges
+      .join(oriented.select(col("x"), col("y").as("z"), lit(1L).as("__hit")), Seq("x", "z"))
+    und.agg(count(lit(1)).cast(LongType).as("n_edges"))
+      .crossJoin(broadcast(closed.agg(count(lit(1)).cast(LongType).as("n_triangles"))))
+  }
+
+  /** BM25 top-20 documents for the query {dup, vector, merge} — the
+    * retrieval-scoring pass a data-selection pipeline runs against a
+    * target corpus description.
+    *
+    * Scoring is the BM25 shape (k1=1.2, b=0.75) with the RATIONAL idf
+    * (N-df+0.5)/(df+0.5) instead of its log: per (doc, term),
+    *
+    *   sat_micros = (22·tf·T · 1e6)  div (10·tf·T + 3·T + 9·dl·N)
+    *   score      = Σ_terms (sat_micros · (2N−2df+1)) div (2df+1)
+    *
+    * which is the textbook saturation term ×10T/10T and the ×2/×2-scaled
+    * rational idf — pure int64 arithmetic (exact, order-independent,
+    * DuckDB-identical), whereas a float log idf would hash-differ in the
+    * last ulps. Monotone per-term in tf and 1/df like the log form; the
+    * ranking is a documented variant, not textbook-equal. int64 headroom:
+    * 22·tf·T·1e6 needs tf·T < 4e11 — at sf10 (T≈1.5e8, tf≤~200) ~3e10,
+    * an sf1000 corpus would move the 1e6 scale inside the division.
+    *
+    * Plan: tf/df from [[TextStats.tfDf]] (two hash aggs), stats ride as a
+    * broadcast 1-row frame, score is a projection + one hash agg over docs
+    * containing a query term, TakeOrderedAndProject for the top-k.
+    */
+  private val bm25TopK: Q = (s, d) => {
+    val docs = documents(s, d)
+    val tok = docs.select(
+      col("doc_id"),
+      size(split(coalesce(TextStats.normText(col("text")), lit("")), " ")).cast(LongType).as("dl"))
+    val stats = tok.agg(
+      count(lit(1)).cast(LongType).as("n_docs"),
+      sum(col("dl")).cast(LongType).as("t_tok"))
+    val tfdf = TextStats.tfDf(docs, "doc_id", "text")
+      .filter(col("term").isin("dup", "vector", "merge"))
+    tfdf
+      .join(tok, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn(
+        "sat",
+        expr("(22 * tf * t_tok * 1000000) div (10 * tf * t_tok + 3 * t_tok + 9 * dl * n_docs)"))
+      .withColumn(
+        "contrib",
+        expr("(sat * (2 * n_docs - 2 * df + 1)) div (2 * df + 1)"))
+      .groupBy("doc_id")
+      .agg(sum(col("contrib")).cast(LongType).as("score_micros"),
+        count(lit(1)).cast(LongType).as("n_terms_hit"))
+      .orderBy(desc("score_micros"), asc("doc_id"))
+      .limit(20)
+  }
+
+  /** Probability-proportional-to-size systematic sampling (the survey-
+    * sampling classic): draw k=100 of the corpus with inclusion
+    * probability ∝ token count — the "sample big documents more" pass a
+    * token-budgeted corpus selection makes. Documents are laid on a line
+    * in portable-hash order (deterministic shuffle), each owning a
+    * cumulative-weight interval; a document is picked once per multiple
+    * of W/k inside its interval: picks = (cum·k) div W − ((cum−w)·k) div W
+    * — pure integer math, so selection AND multiplicity are bit-exact
+    * cross-engine (u^(1/w) reservoir keys would hinge on pow ulps).
+    *
+    * The running weight sum is [[Prefix.runningSum]] (range-partitioned
+    * two-phase scan), NOT a no-partition window — the same machinery as
+    * order_deciles, so the only global stage is the #partitions-row offset
+    * fold. Output: every picked doc with its weight and multiplicity.
+    */
+  private val sampleWeightedPps: Q = (s, d) => {
+    val k = 100L
+    val weighted = documents(s, d)
+      .select(
+        col("doc_id"),
+        size(split(coalesce(TextStats.normText(col("text")), lit("")), " ")).cast(LongType).as("w"))
+      .withColumn(
+        "h",
+        graft.ext.Dedup.portableHash64(
+          concat(lit("pps:"), col("doc_id").cast(StringType))))
+    val tot = weighted.agg(sum("w").cast(LongType).as("big_w"))
+    Prefix
+      .runningSum(weighted, lit(0L), Seq(col("h"), col("doc_id")), col("w"), "cum")
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "picks",
+        expr(s"(cum * $k) div big_w - ((cum - w) * $k) div big_w"))
+      .filter(col("picks") > 0)
+      .select(col("doc_id"), col("w"), col("picks"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source token-distribution drift vs the whole corpus, as
+    * total-variation distance in integer micros — the monitoring pass
+    * that catches one source's content shifting under the mix.
+    *
+    * TV(p,q) = ½ Σ_terms |p(t) − q(t)| with p = per-source, q = corpus.
+    * Per PRESENT term the |·| numerator is |c·T − C·t_s| over t_s·T;
+    * terms ABSENT from the source contribute C/T each, which telescopes
+    * to (T − ΣpresentC)/T — so no source×vocab densification is needed
+    * (the absent mass folds into one per-source correction, keeping the
+    * plan two hash aggs + one broadcast join at ANY vocabulary size).
+    * Integer rendering: micros = (|c·T − C·t_s| div t_s)·500000 div T,
+    * floor-per-term (identical both engines; headroom c·T < 9e18 holds
+    * through ~sf100).
+    */
+  private val sourceTvDivergence: Q = (s, d) => {
+    val terms = TextStats.terms(
+      documents(s, d).select(col("source").as("sid"), col("text")), "sid", "text")
+    val bySrc = terms.groupBy("sid", "term").agg(count(lit(1)).as("c"))
+    val srcTot = bySrc.groupBy("sid").agg(sum("c").cast(LongType).as("t_s"))
+    val corpus = bySrc.groupBy("term").agg(sum("c").cast(LongType).as("big_c"))
+    val tot = corpus.agg(sum("big_c").cast(LongType).as("big_t"))
+    bySrc
+      .join(broadcast(corpus), Seq("term"))
+      .join(broadcast(srcTot), Seq("sid"))
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "contrib",
+        expr("(abs(c * big_t - big_c * t_s) div t_s) * 500000 div big_t"))
+      .groupBy(col("sid"), col("t_s"), col("big_t"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_terms"),
+        sum("contrib").cast(LongType).as("present_micros"),
+        sum("big_c").cast(LongType).as("present_c"))
+      .withColumn(
+        "tv_micros",
+        expr("present_micros + ((big_t - present_c) * 500000) div big_t"))
+      .select(col("sid").as("source"), col("n_terms"), col("tv_micros"))
+      .orderBy("source")
+  }
+
+  /** Reciprocal-rank fusion of two retrieval lanes (the hybrid-search
+    * combiner): lane A = the BM25 integer scoring above, lane B = a
+    * length/quality prior (token count). Each lane contributes
+    * `1e6 div (60 + rank)` for its top-100; a document missing from a
+    * lane contributes 0 (the standard RRF contract). Ranks are GLOBAL
+    * order statistics, so they ride on [[Prefix.globalRank]]
+    * (range-partitioned two-phase scan) rather than a no-partition
+    * window; fusion is one full-outer join of two ≤100-row frames.
+    * All integer math — bit-exact cross-engine.
+    */
+  private val rrfFusion: Q = (s, d) => {
+    val docs = documents(s, d)
+    val tok = docs.select(
+      col("doc_id"),
+      size(split(coalesce(TextStats.normText(col("text")), lit("")), " ")).cast(LongType).as("dl"))
+    val stats = tok.agg(
+      count(lit(1)).cast(LongType).as("n_docs"),
+      sum(col("dl")).cast(LongType).as("t_tok"))
+    val laneA = TextStats.tfDf(docs, "doc_id", "text")
+      .filter(col("term").isin("dup", "vector", "merge"))
+      .join(tok, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn(
+        "sat",
+        expr("(22 * tf * t_tok * 1000000) div (10 * tf * t_tok + 3 * t_tok + 9 * dl * n_docs)"))
+      .withColumn(
+        "contrib",
+        expr("(sat * (2 * n_docs - 2 * df + 1)) div (2 * df + 1)"))
+      .groupBy("doc_id")
+      .agg(sum(col("contrib")).cast(LongType).as("sa"))
+    val rankA = Prefix
+      .globalRank(laneA, Seq(desc("sa"), asc("doc_id")), "ra")
+      .filter(col("ra") <= 100)
+      .select(col("doc_id"), col("ra"))
+    val rankB = Prefix
+      .globalRank(tok, Seq(desc("dl"), asc("doc_id")), "rb")
+      .filter(col("rb") <= 100)
+      .select(col("doc_id"), col("rb"))
+    rankA
+      .join(rankB, Seq("doc_id"), "full_outer")
+      .withColumn(
+        "rrf_micros",
+        expr("coalesce(1000000 div (60 + ra), 0L) + coalesce(1000000 div (60 + rb), 0L)"))
+      .select(col("doc_id"), col("rrf_micros"))
+      .orderBy(desc("rrf_micros"), asc("doc_id"))
+      .limit(20)
+  }
+
+  /** Per-source nucleus (top-p) selection, p = 0.8: order each source's
+    * docs by token count descending, keep until 80% of the source's token
+    * mass is covered — the crossing document is kept (the standard top-p
+    * contract). The decision `(cum − w) · 10 < 8 · W_s` is pure integer
+    * math; the per-source running sum is [[Prefix.runningSum]] sharded by
+    * source, so a million-source corpus still has no single-reducer
+    * stage. Output: per-source census of the kept set.
+    */
+  private val nucleusSelect: Q = (s, d) => {
+    val weighted = documents(s, d)
+      .select(
+        col("source"),
+        col("doc_id"),
+        size(split(coalesce(TextStats.normText(col("text")), lit("")), " ")).cast(LongType).as("w"))
+    val srcTot = weighted.groupBy("source").agg(sum("w").cast(LongType).as("ws"))
+    Prefix
+      .runningSum(weighted, col("source"), Seq(desc("w"), asc("doc_id")), col("w"), "cum")
+      .join(broadcast(srcTot), Seq("source"))
+      .filter(expr("(cum - w) * 10 < 8 * ws"))
+      .groupBy(col("source"), col("ws"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_kept"),
+        sum("w").cast(LongType).as("tok_kept"),
+        min("w").cast(LongType).as("min_w_kept"))
+      .select(col("source"), col("ws"), col("n_kept"), col("tok_kept"), col("min_w_kept"))
+      .orderBy("source")
+  }
+
+  /** Per-user exponentially-weighted moving value (α = ½) over the event
+    * stream, folded in (ts, event_id) order on INTEGER CENTS:
+    * s ← (v + s) div 2 — exact, so the entire recursion hash-checks
+    * cross-engine (a float EWMA never would). The per-user sequence is
+    * materialized with sort_array(collect_list(...)) + the aggregate()
+    * HOF: per-task state is ONE user's event list (same bounded-entity
+    * contract as sessionization; a power-user cap belongs upstream).
+    * DuckDB replays the fold with list_reduce over the same order.
+    */
+  private val ewmaUser: Q = (s, d) =>
+    events(s, d)
+      .filter(col("user_id") % 10 === 0)
+      .select(
+        col("user_id"),
+        struct(
+          col("ts"), col("event_id"),
+          (dec2(col("value")) * 100).cast(LongType).as("cents")).as("ev"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("ev"))).as("evs"))
+      .select(
+        col("user_id"),
+        size(col("evs")).cast(LongType).as("n_events"),
+        expr("aggregate(evs, 0L, (s, x) -> (x.cents + s) div 2)").as("ewma_cents"))
+      .orderBy("user_id")
+
+  def queries: Map[String, Q] = Map(
+    "rrf_fusion" -> rrfFusion,
+    "nucleus_select" -> nucleusSelect,
+    "ewma_user" -> ewmaUser,
+    "basket_pairs" -> basketPairs,
+    "graph_triangles" -> graphTriangles,
+    "bm25_topk" -> bm25TopK,
+    "sample_weighted_pps" -> sampleWeightedPps,
+    "source_tv_divergence" -> sourceTvDivergence)
+
+  private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+
+  def oracle: Map[String, String] = Map(
+    "rrf_fusion" ->
+      s"""WITH n AS (SELECT doc_id, coalesce($normSql, '') AS t FROM documents),
+        |tokd AS (SELECT doc_id, CAST(len(string_split(t, ' ')) AS BIGINT) AS dl FROM n),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS t_tok FROM tokd),
+        |tk AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM n),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tk
+        |       WHERE length(term) > 0 GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |la AS (SELECT tf.doc_id, CAST(SUM(
+        |          ((22 * tf * t_tok * 1000000) // (10 * tf * t_tok + 3 * t_tok + 9 * dl * n_docs))
+        |            * (2 * n_docs - 2 * df + 1) // (2 * df + 1)) AS BIGINT) AS sa
+        |       FROM tf JOIN dfq USING (term) JOIN tokd USING (doc_id) CROSS JOIN st
+        |       WHERE tf.term IN ('dup', 'vector', 'merge') GROUP BY tf.doc_id),
+        |ra AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sa DESC, doc_id) AS ra FROM la),
+        |rb AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY dl DESC, doc_id) AS rb FROM tokd),
+        |f AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |        COALESCE(1000000 // (60 + a.ra), 0) + COALESCE(1000000 // (60 + b.rb), 0) AS rrf_micros
+        |      FROM (SELECT * FROM ra WHERE ra <= 100) a
+        |      FULL OUTER JOIN (SELECT * FROM rb WHERE rb <= 100) b USING (doc_id))
+        |SELECT doc_id, CAST(rrf_micros AS BIGINT) AS rrf_micros FROM f
+        |ORDER BY rrf_micros DESC, doc_id LIMIT 20""".stripMargin,
+    "nucleus_select" ->
+      s"""WITH w0 AS (SELECT source, doc_id,
+        |    CAST(len(string_split(coalesce($normSql, ''), ' ')) AS BIGINT) AS w
+        |  FROM documents),
+        |tot AS (SELECT source, CAST(SUM(w) AS BIGINT) AS ws FROM w0 GROUP BY source),
+        |c AS (SELECT source, doc_id, w,
+        |    CAST(SUM(w) OVER (PARTITION BY source ORDER BY w DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM w0)
+        |SELECT c.source, ws, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(w) AS BIGINT) AS tok_kept, CAST(MIN(w) AS BIGINT) AS min_w_kept
+        |FROM c JOIN tot ON c.source = tot.source
+        |WHERE (cum - w) * 10 < 8 * ws
+        |GROUP BY c.source, ws ORDER BY c.source""".stripMargin,
+    "ewma_user" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents, ts, event_id
+        |  FROM events WHERE user_id % 10 = 0),
+        |l AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    list(cents ORDER BY ts, event_id) AS evs
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), evs),
+        |    (x, y) -> (y + x) // 2) AS BIGINT) AS ewma_cents
+        |FROM l ORDER BY user_id""".stripMargin,
+    "basket_pairs" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT a.pk AS a, b.pk AS b FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk)
+        |SELECT a, b, COUNT(*) AS n FROM e GROUP BY a, b
+        |ORDER BY n DESC, a, b LIMIT 20""".stripMargin,
+    "graph_triangles" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |            WHERE l_orderkey % 5 = 0),
+        |und AS (SELECT DISTINCT a.pk AS a, b.pk AS b FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT v, COUNT(*) AS deg FROM
+        |          (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+        |o AS (SELECT CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.a ELSE u.b END AS x,
+        |             CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.b ELSE u.a END AS y
+        |      FROM und u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b),
+        |w AS (SELECT e1.x, e1.y, e2.y AS z FROM o e1 JOIN o e2 ON e1.y = e2.x),
+        |t AS (SELECT COUNT(*) AS n_triangles FROM w JOIN o ON o.x = w.x AND o.y = w.z)
+        |SELECT (SELECT COUNT(*) FROM und) AS n_edges, n_triangles FROM t""".stripMargin,
+    "bm25_topk" ->
+      s"""WITH n AS (SELECT doc_id, coalesce($normSql, '') AS t FROM documents),
+        |tokd AS (SELECT doc_id, CAST(len(string_split(t, ' ')) AS BIGINT) AS dl FROM n),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS t_tok FROM tokd),
+        |tk AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM n),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tk
+        |       WHERE length(term) > 0 GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |q AS (SELECT tf.doc_id, tf.tf, dfq.df, tokd.dl, st.n_docs, st.t_tok
+        |      FROM tf JOIN dfq USING (term) JOIN tokd USING (doc_id) CROSS JOIN st
+        |      WHERE tf.term IN ('dup', 'vector', 'merge')),
+        |c AS (SELECT doc_id,
+        |        ((22 * tf * t_tok * 1000000) // (10 * tf * t_tok + 3 * t_tok + 9 * dl * n_docs))
+        |          * (2 * n_docs - 2 * df + 1) // (2 * df + 1) AS contrib
+        |      FROM q)
+        |SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micros,
+        |       CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        |FROM c GROUP BY doc_id ORDER BY score_micros DESC, doc_id LIMIT 20""".stripMargin,
+    "sample_weighted_pps" ->
+      s"""WITH w0 AS (SELECT doc_id,
+        |    CAST(len(string_split(coalesce($normSql, ''), ' ')) AS BIGINT) AS w,
+        |    CAST('0x' || substr(md5('pps:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM documents),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS big_w FROM w0),
+        |c AS (SELECT doc_id, w,
+        |    CAST(SUM(w) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM w0)
+        |SELECT doc_id, w, (cum * 100) // big_w - ((cum - w) * 100) // big_w AS picks
+        |FROM c CROSS JOIN t
+        |WHERE (cum * 100) // big_w - ((cum - w) * 100) // big_w > 0
+        |ORDER BY doc_id""".stripMargin,
+    "source_tv_divergence" ->
+      s"""WITH n AS (SELECT source AS sid, coalesce($normSql, '') AS t FROM documents),
+        |tk AS (SELECT sid, unnest(string_split(t, ' ')) AS term FROM n),
+        |bs AS (SELECT sid, term, CAST(COUNT(*) AS BIGINT) AS c FROM tk
+        |       WHERE length(term) > 0 GROUP BY 1, 2),
+        |stot AS (SELECT sid, CAST(SUM(c) AS BIGINT) AS t_s FROM bs GROUP BY sid),
+        |corp AS (SELECT term, CAST(SUM(c) AS BIGINT) AS big_c FROM bs GROUP BY term),
+        |tot AS (SELECT CAST(SUM(big_c) AS BIGINT) AS big_t FROM corp),
+        |p AS (SELECT bs.sid, stot.t_s, tot.big_t,
+        |        (abs(bs.c * tot.big_t - corp.big_c * stot.t_s) // stot.t_s) * 500000 // tot.big_t AS contrib,
+        |        corp.big_c
+        |      FROM bs JOIN corp USING (term) JOIN stot USING (sid) CROSS JOIN tot)
+        |SELECT sid AS source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  CAST(SUM(contrib) + ((ANY_VALUE(big_t) - SUM(big_c)) * 500000) // ANY_VALUE(big_t) AS BIGINT) AS tv_micros
+        |FROM p GROUP BY sid ORDER BY source""".stripMargin)
+}

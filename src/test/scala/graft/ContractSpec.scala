@@ -26,7 +26,8 @@ class ContractSpec extends AnyFunSuite {
       graft.queries.SimilarityQueries.queries,
       graft.queries.MultimodalQueries.queries,
       graft.queries.CorpusQueries.queries,
-      graft.queries.CdcQueries.queries)
+      graft.queries.CdcQueries.queries,
+      graft.queries.AnalyticsQueries.queries)
     val all = maps.flatMap(_.keys)
     val dups = all.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
     assert(dups.isEmpty, s"duplicate query names across modules: $dups")

@@ -43,7 +43,14 @@ class DeterminismSpec extends SparkSpec {
     "mode_fill_typed_agg",   // object-hash Aggregator map merges (commutative)
     "outlier_mad",           // sharded Prefix rank median picks (r6 rewrite)
     "window_rank_stats",     // rank-arithmetic percent_rank/cume_dist (r6 rewrite)
-    "hits_2iter")            // fixed-point HITS + native TopK per kind
+    "hits_2iter",            // fixed-point HITS + native TopK per kind
+    "graph_triangles",       // degree-oriented wedge closure (count is order-free)
+    "bm25_topk",             // integer-micros rational-idf scoring
+    "sample_weighted_pps",   // Prefix running weight sum -> integer pick multiplicity
+    "source_tv_divergence",  // integer-micros TV distance per source
+    "rrf_fusion",            // two Prefix global ranks fused by integer RRF
+    "nucleus_select",        // source-sharded running sum -> integer top-p cut
+    "ewma_user")             // sorted-list fold on integer cents
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf

@@ -32,7 +32,12 @@ class PlanHealthSpec extends SparkSpec {
     "token_budget_apportion", // two 1-row scalar frames (total, base_sum) crossed
     "pagerank_3iter",   // 1-row node-count frame crossed per iteration
     "sketch_quantiles", // 1-row stats frame + <=k-row hist/quantile probes
-    "hits_2iter")       // 1-row renormalization total crossed per half-step
+    "hits_2iter",       // 1-row renormalization total crossed per half-step
+    "graph_triangles",      // two 1-row census aggregates crossed
+    "bm25_topk",            // 1-row corpus-stats frame (N, total tokens)
+    "rrf_fusion",           // 1-row stats frame + global-rank offset frames
+    "sample_weighted_pps",  // 1-row total-weight frame
+    "source_tv_divergence") // 1-row corpus-token-total frame
 
   /** Data-model columns with single-digit cardinality. A window
     * PARTITION BY drawn ONLY from these caps sort parallelism at the
