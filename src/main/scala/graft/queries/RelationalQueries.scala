@@ -220,23 +220,31 @@ object RelationalQueries {
     * targets are pure integer math: ceil(n*p) = (n*num + den-1) div den.
     */
   private val percentilesExactRank: Q = (s, d) => {
-    val ranked = graft.ext.Prefix.globalRank(
-      lineitem(s, d).select(col("l_quantity"), col("l_orderkey"), col("l_linenumber")),
-      Seq(col("l_quantity"), col("l_orderkey"), col("l_linenumber")),
-      "rnk")
+    // Exact nearest-rank percentiles via ext.Quantile.rankPicks: ONE
+    // histogram pass corners all three target ranks, and only the ≤3
+    // candidate buckets (~n/k rows) get a real rank — versus the
+    // previous Prefix.globalRank of the whole table (full checkpoint +
+    // ~112 MB shuffle at sf1). Same nearest-rank elements, oracle
+    // unchanged; order_deciles keeps the full global rank because it
+    // OUTPUTS a rank per row — the refinement is for picks.
+    def target(num: Int, den: Int): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      n => ((n * num + (den - 1)) / den).cast(LongType)
+    val picks = graft.ext.Quantile
+      .rankPicks(
+        lineitem(s, d).select(col("l_quantity"), col("l_orderkey"), col("l_linenumber")),
+        lit(0L),
+        col("l_quantity"),
+        Seq(col("l_orderkey"), col("l_linenumber")),
+        Seq("p50" -> target(1, 2), "p90" -> target(9, 10), "p99" -> target(99, 100)),
+        "g0",
+        "v")
     val tot = lineitem(s, d).agg(count(lit(1)).as("n"))
-    def target(num: Int, den: Int) =
-      ((col("n") * num + (den - 1)) / den).cast(LongType)
-    ranked
+    picks
       .crossJoin(broadcast(tot))
-      .filter(
-        col("rnk") === target(1, 2) ||
-          col("rnk") === target(9, 10) ||
-          col("rnk") === target(99, 100))
       .agg(
-        max(when(col("rnk") === target(1, 2), col("l_quantity"))).as("p50"),
-        max(when(col("rnk") === target(9, 10), col("l_quantity"))).as("p90"),
-        max(when(col("rnk") === target(99, 100), col("l_quantity"))).as("p99"),
+        max(when(col("label") === "p50", col("v"))).as("p50"),
+        max(when(col("label") === "p90", col("v"))).as("p90"),
+        max(when(col("label") === "p99", col("v"))).as("p99"),
         max("n").cast(LongType).as("n"))
   }
 
@@ -1382,20 +1390,19 @@ object RelationalQueries {
       col("l_extendedprice").as("x"),
       col("l_orderkey").as("k1"),
       col("l_linenumber").as("k2"))
-    val sz = li.groupBy("g").agg(count(lit(1)).as("n"))
-    val med = graft.ext.Prefix
-      .runningSum(li, col("g"), Seq(col("x"), col("k1"), col("k2")), lit(1L), "rn")
-      .join(sz, "g")
-      .filter(col("rn") === expr("(n + 1) div 2"))
-      .select(col("g"), col("x").as("med"))
+    // Exact lower medians by histogram refinement (ext.Quantile): the
+    // rank-r pick is cornered with two counting scans and only the ~n/k
+    // candidate bucket gets a real rank — versus ranking the whole table
+    // twice (two eager Prefix checkpoints + ~0.5 GB shuffle at sf1; the
+    // refinement shuffles k cells per group). Same row as the full
+    // row_number pick, so the DuckDB oracle is unchanged.
+    val med = graft.ext.Quantile
+      .medianPick(li, col("g"), col("x"), Seq(col("k1"), col("k2")), "g", "med")
     val dev = li
-      .join(med, "g")
+      .join(broadcast(med), "g")
       .withColumn("ad", abs(col("x") - col("med")))
-    val mad = graft.ext.Prefix
-      .runningSum(dev, col("g"), Seq(col("ad"), col("k1"), col("k2")), lit(1L), "rn")
-      .join(sz, "g")
-      .filter(col("rn") === expr("(n + 1) div 2"))
-      .select(col("g"), col("ad").as("mad"))
+    val mad = graft.ext.Quantile
+      .medianPick(dev, col("g"), col("ad"), Seq(col("k1"), col("k2")), "g", "mad")
     // two fences: the classic 3σ-under-normality (4.4478·MAD — correctly
     // ZERO on this near-uniform price column, itself a distributional
     // fact) and a 1.8·MAD tail census that stays non-vacuous at every SF

@@ -139,6 +139,30 @@ object OperatorProps extends Properties("graft.operators") {
       .map(_.filter { case (a, b) => a != b })
       .suchThat(_.nonEmpty)
 
+  private val qrowGen: Gen[List[(String, Double)]] = Gen.nonEmptyListOf(for {
+    g <- Gen.oneOf("a", "b")
+    x <- Gen.frequency(
+      1 -> Gen.choose(0, 4).map(_.toDouble), // duplicate mass
+      1 -> Gen.choose(-100000, 100000).map(_ / 100.0))
+  } yield (g, x))
+
+  property("Quantile.medianPick equals the row_number median at any bucket count") =
+    forAll(qrowGen, Gen.oneOf(2, 7, 64)) { (base, k) =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val rows = base.zipWithIndex.map { case ((g, x), i) => (g, x, i.toLong) }
+      val df = rows.toDF("g", "x", "tk")
+      val w = Window.partitionBy("g").orderBy("x", "tk")
+      val direct = df.withColumn("rn", row_number().over(w))
+        .join(df.groupBy("g").agg(count(lit(1)).as("n")), "g")
+        .filter(col("rn") === shiftright(col("n") + 1, 1))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val ref = graft.ext.Quantile
+        .medianPick(df, col("g"), col("x"), Seq(col("tk")), "g", "med", k)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      ref == direct
+    }
+
   property("star-contraction CC equals min-label propagation on random graphs") =
     forAll(edgeGen) { es =>
       import spark.implicits._
