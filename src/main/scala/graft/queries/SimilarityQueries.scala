@@ -24,11 +24,22 @@ object SimilarityQueries {
     val q = base.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
       .filter(col("query_id") < 10)
     val c = base.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
-    q.join(c, col("neighbor_id") =!= col("query_id"))
+    // top-5 per query via the native bounded-heap TopKPerKey: the scoring
+    // is deliberately exhaustive (this is the exact baseline), but the
+    // SELECTION must not be a row_number window partitioned by 10 query
+    // ids — that sorts the whole scored corpus on 10 tasks at any scale
+    // (the low-cardinality-window class the sf10 gate caught in
+    // sim_topk_pq). Heap state: 5 rows × 10 queries per task.
+    val scored = q
+      .join(c, col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .select("query_id", "neighbor_id", "cos")
+    val top = org.apache.spark.sql.graftnative.TopK
+      .perKey(scored, Seq("query_id"), Seq(("cos", true), ("neighbor_id", false)), 5)
+    // rank numbers re-derived over the BOUNDED 5-row-per-query result
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    top
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
       .select("query_id", "rk", "neighbor_id", "cos")
       .orderBy("query_id", "rk")
   }
@@ -157,10 +168,14 @@ object SimilarityQueries {
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
       .agg(sum(col("d")).as("adc"))
-    val ws = Window.partitionBy("query_id").orderBy(desc("adc"), asc("vec_id"))
-    val short = adc
-      .withColumn("rs", row_number().over(ws))
-      .filter(col("rs") <= 32)
+    // ADC scores EVERY vector for every query (that is the PQ deal: cheap
+    // integer scoring of the whole corpus), so the 32-candidate shortlist
+    // must come from the native bounded-heap TopKPerKey — a row_number
+    // window partitioned by the 10 query ids sorts the entire scored
+    // corpus on 10 tasks at any cluster size. The sf10 gate measured that
+    // window at 33× for 10× data (174 s); the heap path restores ~linear.
+    val short = org.apache.spark.sql.graftnative.TopK
+      .perKey(adc, Seq("query_id"), Seq(("adc", true), ("vec_id", false)), 32)
       .withColumnRenamed("vec_id", "neighbor_id")
     val qv = vec.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
