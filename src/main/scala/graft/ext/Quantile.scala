@@ -55,6 +55,9 @@ object Quantile {
     val base = df.select(
       groupCol.as("__g") +: x.cast("double").as("__x") +:
         tiebreaks.zipWithIndex.map { case (c, i) => c.as(s"__t$i") }: _*)
+    // |groups|-row frame consumed by the bucket join AND the target
+    // lookup: an eager localCheckpoint runs its scan ONCE instead of per
+    // consumer (tiny-model materialization, like the IVF centroids)
     val stats = base
       .groupBy("__g")
       .agg(
@@ -62,6 +65,7 @@ object Quantile {
         max("__x").as("__hi"),
         count(lit(1)).as("__n"))
       .withColumn("__r", rankOf(col("__n")))
+      .localCheckpoint(true)
     val bucketed = base
       .join(broadcast(stats), Seq("__g"))
       .withColumn(
@@ -82,9 +86,17 @@ object Quantile {
       .join(stats.select(col("__g"), col("__r")), Seq("__g"))
       .filter(col("__cum") >= col("__r") && col("__cum") - col("__c") < col("__r"))
       .select(col("__g"), col("__idx"), (col("__cum") - col("__c")).as("__before"), col("__r"))
+      // |groups| rows whose lineage is the cell-census scan: checkpointed
+      // so the candidate job below re-reads 3 rows, not the census
+      .localCheckpoint(true)
+    // materialize the slice once: Prefix.runningSum executes its input
+    // lineage twice (range-boundary sampling + eager checkpoint), and
+    // that lineage is a full scan — checkpointed, both passes touch only
+    // the ~n/k candidate rows
     val cand = bucketed
       .drop("__r")
       .join(broadcast(target), Seq("__g", "__idx"))
+      .localCheckpoint(true)
     val tiebreakCols = tiebreaks.indices.map(i => col(s"__t$i"))
     Prefix
       .runningSum(cand, col("__g"), col("__x") +: tiebreakCols, lit(1L), "__rn")
@@ -112,12 +124,15 @@ object Quantile {
     val base = df.select(
       groupCol.as("__g") +: x.cast("double").as("__x") +:
         tiebreaks.zipWithIndex.map { case (c, i) => c.as(s"__t$i") }: _*)
+    // |groups|-row frame referenced once PER LABEL in `targets` plus the
+    // bucket join — checkpoint eagerly so its scan runs once, not 1+|labels|×
     val stats = base
       .groupBy("__g")
       .agg(
         min("__x").as("__lo"),
         max("__x").as("__hi"),
         count(lit(1)).as("__n"))
+      .localCheckpoint(true)
     // one row per (group, label): the target global rank
     val targets = ranksOf
       .map { case (label, rof) =>
@@ -143,10 +158,15 @@ object Quantile {
       .filter(col("__cum") >= col("__r") && col("__cum") - col("__c") < col("__r"))
       .select(col("__g"), col("__idx"), col("__lbl"),
         (col("__r") - (col("__cum") - col("__c"))).as("__local_r"))
+      // ≤ |groups|·|labels| rows feeding TWO consumers (bucket slice +
+      // final rank match) — checkpoint so the cell census runs once
+      .localCheckpoint(true)
     // candidate slice: union of target buckets (distinct — two labels can
     // land in one bucket)
     val candBuckets = hit.select("__g", "__idx").distinct()
+    // materialized once for the same two-pass reason as in rankPick
     val cand = bucketed.join(broadcast(candBuckets), Seq("__g", "__idx"))
+      .localCheckpoint(true)
     // local rank within (group, bucket): shard key is the bucket
     val ranked = Prefix.runningSum(
       cand,

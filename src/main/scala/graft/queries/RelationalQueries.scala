@@ -1396,13 +1396,24 @@ object RelationalQueries {
     // twice (two eager Prefix checkpoints + ~0.5 GB shuffle at sf1; the
     // refinement shuffles k cells per group). Same row as the full
     // row_number pick, so the DuckDB oracle is unchanged.
+    // med/mad are 3-row frames whose DAGs each scan the fact table ~3×;
+    // they feed broadcasts referenced from several branches, so an eager
+    // localCheckpoint pins each to its 3 rows instead of re-running the
+    // whole pick per consumer (the same tiny-model materialization move
+    // as the IVF/PQ centroids)
     val med = graft.ext.Quantile
       .medianPick(li, col("g"), col("x"), Seq(col("k1"), col("k2")), "g", "med")
+      .localCheckpoint(true)
+    // dev is recomputed by the MAD pick's jobs and the census; that is
+    // the cheaper side of the trade — a 6M-row checkpoint write costs
+    // more than the ~1.4 s scan+broadcast-join it would save per reuse
+    // (measured both ways at sf1: 12.5 s recompute vs 14.9 s checkpoint)
     val dev = li
       .join(broadcast(med), "g")
       .withColumn("ad", abs(col("x") - col("med")))
     val mad = graft.ext.Quantile
       .medianPick(dev, col("g"), col("ad"), Seq(col("k1"), col("k2")), "g", "mad")
+      .localCheckpoint(true)
     // two fences: the classic 3σ-under-normality (4.4478·MAD — correctly
     // ZERO on this near-uniform price column, itself a distributional
     // fact) and a 1.8·MAD tail census that stays non-vacuous at every SF
