@@ -101,12 +101,76 @@ object PqIndex {
   }
 
   /** Quantize every vector: (idCol, s, code) — the 8-byte-per-vector
-    * representation. One broadcast join + one window per (s, vector).
+    * representation.
+    *
+    * NOT the [[rankedL2]] join-then-rank shape: that materializes
+    * |subvectors|·k rows through a row_number window (256M rows at sf10 —
+    * measured 180 s, the whole query's superlinearity). Instead the
+    * codebook collapses to ONE row per subspace carrying all k candidates
+    * as an array, and the nearest cell is `array_min` over a
+    * transform-scored struct array — struct ordering is (dist2, cid), so
+    * the pick is EXACTLY the window's (dist2 asc, cid asc) rank-1 row,
+    * with identical double arithmetic (same left-fold dot). One broadcast
+    * join at |subvectors| rows, zero exchanges, whole-stage codegen
+    * end-to-end.
     */
-  def encode(sub: DataFrame, idCol: String, cb: DataFrame): DataFrame =
-    rankedL2(sub.withColumnRenamed(idCol, "__vid"), cb)
-      .filter(col("rk_c") === 1)
-      .select(col("__vid").as(idCol), col("s"), col("cid").as("code"))
+  def encode(sub: DataFrame, idCol: String, cb: DataFrame): DataFrame = {
+    val cbArr = cb
+      .groupBy("s")
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv"), col("cc")))).as("cands"))
+    sub
+      .join(broadcast(cbArr), Seq("s"))
+      .withColumn(
+        "code",
+        array_min(transform(col("cands"), c =>
+          struct(
+            (col("xx") - lit(2.0) * Vectors.dot(col("sv"), c.getField("cv")) + c.getField("cc"))
+              .as("dist2"),
+            c.getField("cid").as("cid")))).getField("cid"))
+      .select(col(idCol), col("s"), col("code"))
+  }
+
+  /** Quantize every vector in ONE projection row per vector: (idCol,
+    * codes) with `codes[s]` = nearest cell of subspace s. The whole
+    * codebook (m·k rows) collapses to a single broadcast row; each
+    * subspace's pick is the same `array_min` struct-ordering argmin as
+    * [[encode]] over the same dist2 doubles — no subvector explode at
+    * all, so the scoring input for ADC stays |vectors| rows.
+    */
+  def encodeWide(vec: DataFrame, idCol: String, vCol: String, m: Int, subDim: Int, cb: DataFrame): DataFrame = {
+    // one broadcast row: cands[s] = that subspace's candidate array,
+    // assembled on the 1-row side so the per-data-row work is lookups only
+    val all = cb
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("s"), col("cid"), col("cv"), col("cc")))).as("__allc"))
+      .select(transform(
+        sequence(lit(0), lit(m - 1)),
+        s => filter(col("__allc"), c => c.getField("s") === s)).as("__cands"))
+    // Every value the candidate lambda touches is a LAMBDA VARIABLE
+    // (bound once per element), never a re-evaluated subexpression:
+    // slices bind through the outer transform (one slice + one self-dot
+    // per subspace), candidates through zip_with. A column-reference
+    // formulation measured 2.3× slower at sf1 — Catalyst inlines
+    // projected columns into HOF lambdas, re-slicing per candidate.
+    val svs = transform(
+      array((0 until m).map(s => slice(col(vCol), s * subDim + 1, subDim)): _*),
+      p => struct(p.as("sv"), Vectors.dot(p, p).as("xx")))
+    vec
+      .crossJoin(broadcast(all))
+      .select(
+        col(idCol),
+        zip_with(
+          svs,
+          col("__cands"),
+          (pv, cands) =>
+            array_min(transform(
+              cands,
+              c =>
+                struct(
+                  (pv.getField("xx") - lit(2.0) * Vectors.dot(pv.getField("sv"), c.getField("cv")) +
+                    c.getField("cc")).as("dist2"),
+                  c.getField("cid").as("cid")))).getField("cid")).as("codes"))
+  }
 
   /** DuckDB image of subspace-split + train + encode. `m` must be a CTE
     * named `m(vec_id, v, nrm)`; emits clauses ending with

@@ -150,12 +150,26 @@ object SimilarityQueries {
     * oracle-checked, not just the final ranking.
     */
   private val pqTopK: Q = (s, d) => {
-    val vec = normed(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    // The wide pipeline below is shuffle-free projections end-to-end —
+    // which means its parallelism is the SCAN's split count, and a
+    // single ~50 MB parquet file arrives as ONE split (measured: the
+    // whole 2M-vector encode+ADC chain on one task at sf10). One cheap
+    // round-robin repartition of the narrow vector table buys the
+    // compute chain full-cluster parallelism; on a many-file production
+    // table this is a no-op cost.
+    val vec = normed(s, d)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
     val n = vec.count()
     val sub = graft.ext.PqIndex.subVectors(vec, "vec_id", m = 8, subDim = 8)
     val cb = graft.ext.IvfIndex.materialize(
       s, graft.ext.PqIndex.trainCodebooks(sub, "vec_id", subDim = 8, n, k = 16, iters = 2))
-    val codes = graft.ext.PqIndex.encode(sub, "vec_id", cb)
+    // Wide encoding: one row per vector carrying its 8 codes — the
+    // subvector EXPLODE never happens on the corpus side. The previous
+    // shape (16M exploded subvectors × rank window, then a 160M-row
+    // (s,code) join + 20M-group re-aggregation) measured 174 s at sf10;
+    // every step of it was linear-shaped but row-explosion-heavy.
+    val codes = graft.ext.PqIndex.encodeWide(vec, "vec_id", "v", 8, 8, cb)
     val lut = sub
       .filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("s"), col("sv"))
@@ -163,11 +177,20 @@ object SimilarityQueries {
       .select(
         col("query_id"), col("s"), col("cid").as("code"),
         floor(Vectors.dot(col("sv"), col("cv")) * 1e6).cast("long").as("d"))
+    // per-query LUT as ONE map row (8 subspaces × k cells = 128 entries):
+    // ADC becomes a pure projection — 10 broadcast rows × corpus, sum of
+    // 8 map lookups per pair, no join explosion, no re-aggregation
+    val lutMap = lut
+      .groupBy("query_id")
+      .agg(map_from_entries(collect_list(struct(
+        (col("s").cast("long") * 1000 + col("code")).as("k"), col("d").as("v")))).as("lm"))
     val adc = codes
-      .join(broadcast(lut), Seq("s", "code"))
+      .crossJoin(broadcast(lutMap))
       .filter(col("vec_id") =!= col("query_id"))
-      .groupBy("query_id", "vec_id")
-      .agg(sum(col("d")).as("adc"))
+      .withColumn(
+        "adc",
+        expr("aggregate(transform(codes, (c, i) -> element_at(lm, bigint(i) * 1000 + c)), 0L, (a, x) -> a + x)"))
+      .select("query_id", "vec_id", "adc")
     // ADC scores EVERY vector for every query (that is the PQ deal: cheap
     // integer scoring of the whole corpus), so the 32-candidate shortlist
     // must come from the native bounded-heap TopKPerKey — a row_number
