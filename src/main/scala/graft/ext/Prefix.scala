@@ -112,4 +112,64 @@ object Prefix {
     */
   def globalRank(df: DataFrame, orderCols: Seq[Column], out: String): DataFrame =
     runningSum(df, lit(0L), orderCols, lit(1L), out)
+
+  /** Prefix MAX of a LONG `valueCol` within `shardCol` groups in
+    * `orderCols` order — the same two-phase scan as [[runningSum]]
+    * (max is associative and commutative, so the partition-offset
+    * decomposition is identical), with one extra knob: `inclusive=false`
+    * computes the max over STRICTLY EARLIER rows only (the skyline /
+    * dominance shape), where a row with no predecessor gets
+    * `Long.MinValue`. Exclusive semantics fall out locally from a
+    * `(unboundedPreceding, -1)` frame — the cross-partition offset is
+    * unchanged because earlier partitions are strictly earlier rows.
+    *
+    * `orderCols` must be a total order within each shard (same contract
+    * as [[runningSum]]). Long-typed only: the MinValue identity makes a
+    * generic numeric version lie for other widths.
+    */
+  def runningMax(
+      df: DataFrame,
+      shardCol: Column,
+      orderCols: Seq[Column],
+      valueCol: Column,
+      out: String,
+      inclusive: Boolean = true,
+      numPartitions: Int = 0): DataFrame = {
+    val n =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    // same determinism hazard as runningSum: both phases key on
+    // spark_partition_id(), so the range exchange must be materialized
+    // once (RangePartitioner samples boundaries with an RDD-id-dependent
+    // seed; two executions can split at different keys)
+    val ranged = df
+      .withColumn("__shard", shardCol)
+      .withColumn("__v", valueCol.cast(org.apache.spark.sql.types.LongType))
+      .repartitionByRange(n, col("__shard") +: orderCols: _*)
+      .localCheckpoint(true)
+      .withColumn("__pid", spark_partition_id())
+    val frameEnd = if (inclusive) Window.currentRow else -1L
+    val wLocal = Window
+      .partitionBy(col("__pid"), col("__shard"))
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, frameEnd)
+    val local = ranged.withColumn("__lmax", max(col("__v")).over(wLocal))
+    val stats = ranged
+      .groupBy("__pid", "__shard")
+      .agg(max(col("__v")).as("__tot"))
+    val earlier = stats
+      .select(col("__pid").as("__pid2"), col("__shard").as("__shard2"), col("__tot"))
+    val offsets = stats
+      .select("__pid", "__shard")
+      .join(
+        earlier,
+        col("__shard") === col("__shard2") && col("__pid2") < col("__pid"),
+        "left")
+      .groupBy("__pid", "__shard")
+      .agg(coalesce(max("__tot"), lit(Long.MinValue)).as("__off"))
+    local
+      .join(offsets, Seq("__pid", "__shard"))
+      .withColumn(out, greatest(coalesce(col("__lmax"), lit(Long.MinValue)), col("__off")))
+      .drop("__pid", "__shard", "__v", "__lmax", "__off")
+  }
 }

@@ -1,10 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables._
-import graft.ext.{Prefix, TextStats}
+import graft.ext.{Prefix, Quantile, TextStats}
 
 /** Round-6 analytics additions: triangle counting and market-basket pairs
   * over the co-purchase graph, integer-exact BM25 retrieval scoring,
@@ -19,6 +19,13 @@ import graft.ext.{Prefix, TextStats}
   */
 object AnalyticsQueries {
   type Q = (SparkSession, String) => DataFrame
+
+  /** Exact floor division of a nonnegative long Column by a constant:
+    * subtract the remainder first, so the one double division is always
+    * exact (numerator divisible by k, quotient far below 2^53).
+    */
+  private def idiv(c: Column, k: Long): Column =
+    ((c - pmod(c, lit(k))) / k).cast(LongType)
 
   /** Co-purchase edge list: distinct unordered part pairs appearing in the
     * same order, from orders selected by `l_orderkey % modulo == 0`
@@ -314,7 +321,165 @@ object AnalyticsQueries {
         expr("aggregate(evs, 0L, (s, x) -> (x.cents + s) div 2)").as("ewma_cents"))
       .orderBy("user_id")
 
+  /** Item-item similarity over baskets: top-20 part pairs by Jaccard over
+    * the orders containing them, J = n_ab / (d_a + d_b − n_ab), rendered
+    * as integer micros via a single floor division — exact both engines,
+    * and the (micros, a, b) order is total so the top-20 cut is
+    * deterministic. Same linear-in-SF pair volume as [[basketPairs]]
+    * (constant basket sizes); degrees are one hash agg joined twice.
+    * Min support n_ab ≥ 2 — the standard guard that keeps one shared
+    * order from minting a perfect-similarity pair.
+    */
+  private val itemItemJaccard: Q = (s, d) => {
+    val items = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = copurchaseEdges(s, d, 1)
+      .groupBy("a", "b")
+      .agg(count(lit(1)).cast(LongType).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    val deg = items.groupBy("pk").agg(count(lit(1)).cast(LongType).as("dv"))
+    pairs
+      .join(deg.select(col("pk").as("a"), col("dv").as("da")), Seq("a"))
+      .join(deg.select(col("pk").as("b"), col("dv").as("db")), Seq("b"))
+      .withColumn("jaccard_micros", expr("n_ab * 1000000 div (da + db - n_ab)"))
+      .select(col("a"), col("b"), col("n_ab"), col("jaccard_micros"))
+      .orderBy(desc("jaccard_micros"), asc("a"), asc("b"))
+      .limit(20)
+  }
+
+  /** Pareto frontier (skyline) of parts on (price minimize, size
+    * maximize): the points no other part beats on both axes — the
+    * classic multi-criteria shortlist.
+    *
+    * The scale shape is the textbook 2-D sweep, distributed: collapse to
+    * distinct (price, size) points (hash agg), keep each price's max
+    * size (hash agg), then one [[Prefix.runningMax]] EXCLUSIVE scan in
+    * price order — a point survives iff its size strictly exceeds every
+    * strictly-cheaper point's. O(n log n) total work vs the naive
+    * dominance join's O(n²), with the only ordered stage the two-phase
+    * range scan (never a no-partition window). Equal-price ties resolve
+    * inside the per-price max; equal (price, size) duplicates are
+    * counted, not dominated — both contracts pinned by the oracle's
+    * NOT EXISTS formulation. Prices in exact integer cents.
+    */
+  private val skylinePareto: Q = (s, d) => {
+    val pts = part(s, d).select(
+      (dec2(col("p_retailprice")) * 100).cast(LongType).as("price_cents"),
+      col("p_size").cast(LongType).as("size"))
+    val byPoint = pts.groupBy("price_cents", "size")
+      .agg(count(lit(1)).cast(LongType).as("n_parts"))
+    val perPrice = byPoint.groupBy("price_cents").agg(max(col("size")).as("zmax"))
+    val frontier = Prefix
+      .runningMax(perPrice, lit(0L), Seq(asc("price_cents")), col("zmax"),
+        "zprev", inclusive = false)
+      .filter(col("zmax") > col("zprev"))
+      .select(col("price_cents"), col("zmax").as("size"))
+    frontier
+      .join(byPoint, Seq("price_cents", "size"))
+      .select(col("price_cents"), col("size"), col("n_parts"))
+      .orderBy("price_cents")
+  }
+
+  /** Winsorization audit: clip `l_extendedprice` to its per-group exact
+    * [p05, p95] — the robust-statistics tail treatment a feature pipeline
+    * applies before normalization — and report what the clip did.
+    *
+    * The fences are EXACT rank picks (ceil(0.05·n), ceil(0.95·n), both
+    * clamped to [1, n]) from ONE [[Quantile.rankPicks]] histogram pass —
+    * two counting scans plus a ~n/k candidate slice, never a per-group
+    * total sort; the fence frame is |groups|×2 rows, broadcast back onto
+    * the fact scan. All output integers: cents in, clipped-cents sums
+    * out (int64 headroom to ~sf1000).
+    */
+  private val winsorizeAudit: Q = (s, d) => {
+    val b = lineitem(s, d).select(
+      col("l_returnflag").as("g"),
+      (dec2(col("l_extendedprice")) * 100).cast(LongType).as("cents"),
+      col("l_orderkey"), col("l_linenumber"))
+    val picks = Quantile.rankPicks(
+      b, col("g"), col("cents"), Seq(col("l_orderkey"), col("l_linenumber")),
+      Seq(
+        "p05" -> ((n: Column) => least(n, idiv(n * 5 + 99, 100))),
+        "p95" -> ((n: Column) => least(n, idiv(n * 95 + 99, 100)))),
+      "g", "v")
+    val fences = picks.groupBy("g").agg(
+      max(when(col("label") === "p05", col("v"))).cast(LongType).as("lo"),
+      max(when(col("label") === "p95", col("v"))).cast(LongType).as("hi"))
+    b.join(broadcast(fences), Seq("g"))
+      .groupBy("g", "lo", "hi")
+      .agg(
+        count(lit(1)).cast(LongType).as("n"),
+        sum(when(col("cents") < col("lo"), 1L).otherwise(0L)).cast(LongType).as("n_low"),
+        sum(when(col("cents") > col("hi"), 1L).otherwise(0L)).cast(LongType).as("n_high"),
+        sum(least(greatest(col("cents"), col("lo")), col("hi")))
+          .cast(LongType).as("winsor_sum_cents"))
+      .select(col("g").as("l_returnflag"), col("n"), col("n_low"), col("n_high"),
+        col("lo").as("p05_cents"), col("hi").as("p95_cents"), col("winsor_sum_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  /** 2-core peeling, three rounds, over the sampled co-purchase graph —
+    * the degeneracy-ordering building block (k-core is how a curation
+    * pipeline strips barely-connected long-tail nodes before community
+    * steps). Each round is one degree aggregation + two left-semi joins;
+    * the edge set is localCheckpointed per round (same lineage-truncation
+    * contract as the connected-components routes — round r's plan must
+    * not nest round r−1's). Rounds are a fixed constant, so the oracle
+    * replays them as nested CTEs exactly.
+    */
+  private val kcorePeel: Q = (s, d) => {
+    var edges = copurchaseEdges(s, d, 5).distinct().localCheckpoint(true)
+    for (_ <- 1 to 3) {
+      val keep = edges.select(col("a").as("v"))
+        .union(edges.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select("v")
+      edges = edges
+        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+    }
+    edges.select(col("a").as("v")).union(edges.select(col("b").as("v")))
+      .agg(countDistinct(col("v")).cast(LongType).as("n_nodes"))
+      .crossJoin(broadcast(edges.agg(count(lit(1)).cast(LongType).as("n_edges"))))
+      .select(col("n_edges"), col("n_nodes"))
+  }
+
+  /** Last-touch channel attribution: each purchase's revenue is credited
+    * to the user's most recent PRECEDING non-purchase event type (the
+    * marketing classic; purchases with no preceding touch are 'organic').
+    * One user-partitioned ignoreNulls `last` over a strictly-preceding
+    * frame — user_id is an unbounded key, so parallelism scales with
+    * users (the PlanHealthSpec contract), and per-task window state is
+    * one user's events. Integer cents throughout.
+    */
+  private val attributionLastTouch: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .withColumn(
+        "src",
+        last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("src"), lit("organic")).as("channel"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_purchases"),
+        sum("cents").cast(LongType).as("revenue_cents"))
+      .orderBy("channel")
+  }
+
   def queries: Map[String, Q] = Map(
+    "winsorize_audit" -> winsorizeAudit,
+    "kcore_peel" -> kcorePeel,
+    "attribution_last_touch" -> attributionLastTouch,
+    "item_item_jaccard" -> itemItemJaccard,
+    "skyline_pareto" -> skylinePareto,
     "rrf_fusion" -> rrfFusion,
     "nucleus_select" -> nucleusSelect,
     "ewma_user" -> ewmaUser,
@@ -327,6 +492,75 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "winsorize_audit" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |    l_orderkey, l_linenumber FROM lineitem),
+        |nn AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY g),
+        |r AS (SELECT g, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY cents, l_orderkey, l_linenumber) AS rn
+        |  FROM b),
+        |pk AS (SELECT r.g,
+        |    MAX(CASE WHEN rn = LEAST(nn.n, (5 * nn.n + 99) // 100) THEN cents END) AS lo,
+        |    MAX(CASE WHEN rn = LEAST(nn.n, (95 * nn.n + 99) // 100) THEN cents END) AS hi
+        |  FROM r JOIN nn USING (g) GROUP BY r.g)
+        |SELECT b.g AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  pk.lo AS p05_cents, pk.hi AS p95_cents,
+        |  CAST(SUM(LEAST(GREATEST(cents, lo), hi)) AS BIGINT) AS winsor_sum_cents
+        |FROM b JOIN pk USING (g)
+        |GROUP BY b.g, pk.lo, pk.hi ORDER BY l_returnflag""".stripMargin,
+    "kcore_peel" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |            WHERE l_orderkey % 5 = 0),
+        |e0 AS (SELECT DISTINCT a.pk AS a, b.pk AS b FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk),
+        |d1 AS (SELECT v FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
+        |       GROUP BY v HAVING COUNT(*) >= 2),
+        |e1 AS (SELECT * FROM e0 WHERE a IN (SELECT v FROM d1) AND b IN (SELECT v FROM d1)),
+        |d2 AS (SELECT v FROM (SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1)
+        |       GROUP BY v HAVING COUNT(*) >= 2),
+        |e2 AS (SELECT * FROM e1 WHERE a IN (SELECT v FROM d2) AND b IN (SELECT v FROM d2)),
+        |d3 AS (SELECT v FROM (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2)
+        |       GROUP BY v HAVING COUNT(*) >= 2),
+        |e3 AS (SELECT * FROM e2 WHERE a IN (SELECT v FROM d3) AND b IN (SELECT v FROM d3))
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e3) AS n_edges,
+        |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_nodes
+        |FROM (SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)""".stripMargin,
+    "attribution_last_touch" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM events),
+        |a AS (SELECT *, LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src
+        |  FROM e)
+        |SELECT COALESCE(src, 'organic') AS channel,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
+    "item_item_jaccard" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT a.pk AS a, b.pk AS b FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk),
+        |pc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab FROM e GROUP BY a, b
+        |       HAVING COUNT(*) >= 2),
+        |dg AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS dv FROM it GROUP BY pk)
+        |SELECT a, b, n_ab,
+        |  CAST(n_ab * 1000000 // (da.dv + db.dv - n_ab) AS BIGINT) AS jaccard_micros
+        |FROM pc JOIN dg da ON da.pk = pc.a JOIN dg db ON db.pk = pc.b
+        |ORDER BY jaccard_micros DESC, a, b LIMIT 20""".stripMargin,
+    "skyline_pareto" ->
+      """WITH p AS (SELECT CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_cents,
+        |    CAST(p_size AS BIGINT) AS size FROM part),
+        |bp AS (SELECT price_cents, size, CAST(COUNT(*) AS BIGINT) AS n_parts
+        |       FROM p GROUP BY price_cents, size),
+        |mp AS (SELECT price_cents, MAX(size) AS zmax FROM bp GROUP BY price_cents),
+        |f AS (SELECT price_cents, zmax FROM mp m
+        |      WHERE NOT EXISTS (SELECT 1 FROM mp m2
+        |        WHERE m2.price_cents < m.price_cents AND m2.zmax >= m.zmax))
+        |SELECT f.price_cents, f.zmax AS size, bp.n_parts
+        |FROM f JOIN bp ON bp.price_cents = f.price_cents AND bp.size = f.zmax
+        |ORDER BY f.price_cents""".stripMargin,
     "rrf_fusion" ->
       s"""WITH n AS (SELECT doc_id, coalesce($normSql, '') AS t FROM documents),
         |tokd AS (SELECT doc_id, CAST(len(string_split(t, ' ')) AS BIGINT) AS dl FROM n),

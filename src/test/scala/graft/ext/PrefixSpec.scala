@@ -57,6 +57,40 @@ class PrefixSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("runningMax matches the single-window prefix max, inclusive and exclusive") {
+    val wIncl = Window
+      .partitionBy("shard")
+      .orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wExcl = Window
+      .partitionBy("shard")
+      .orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = docs
+      .withColumn("mi", max("tok").over(wIncl))
+      .withColumn("me", coalesce(max("tok").over(wExcl), lit(Long.MinValue)))
+      .select("shard", "id", "mi", "me")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val gotIncl = Prefix
+      .runningMax(docs, col("shard"), Seq(col("id")), col("tok"), "m", inclusive = true,
+        numPartitions = 8)
+      .select("shard", "id", "m")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val gotExcl = Prefix
+      .runningMax(docs, col("shard"), Seq(col("id")), col("tok"), "m", inclusive = false,
+        numPartitions = 8)
+      .select("shard", "id", "m")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(gotIncl == expected.view.mapValues(_._1).toMap)
+    assert(gotExcl == expected.view.mapValues(_._2).toMap)
+  }
+
   test("packSequencesScalable is row-identical to packSequences") {
     def key(df: org.apache.spark.sql.DataFrame) = df
       .select(col("shard"), col("id"), col("seq_id"), col("straddles"))

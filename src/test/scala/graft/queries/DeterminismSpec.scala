@@ -50,7 +50,12 @@ class DeterminismSpec extends SparkSpec {
     "source_tv_divergence",  // integer-micros TV distance per source
     "rrf_fusion",            // two Prefix global ranks fused by integer RRF
     "nucleus_select",        // source-sharded running sum -> integer top-p cut
-    "ewma_user")             // sorted-list fold on integer cents
+    "ewma_user",             // sorted-list fold on integer cents
+    "item_item_jaccard",     // integer-micros Jaccard over basket co-occurrence
+    "skyline_pareto",        // Prefix exclusive running max dominance sweep
+    "winsorize_audit",       // Quantile rank-pick fences + clipped integer sums
+    "kcore_peel",            // iterative semi-join peeling (checkpointed rounds)
+    "attribution_last_touch") // ignoreNulls last over strictly-preceding frame
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf
