@@ -474,7 +474,104 @@ object AnalyticsQueries {
       .orderBy("channel")
   }
 
+  /** Common-neighbor link prediction over the sampled co-purchase graph:
+    * top-20 NON-adjacent part pairs by neighborhood Jaccard
+    * |N(x)∩N(z)| / |N(x)∪N(z)| — the "customers also bought" candidate
+    * generator. Hubs (degree > 64) are removed FIRST (the celebrity cut
+    * every production link predictor ships — a hub's wedge volume is
+    * deg², and its predictions are uninformative), so candidate volume
+    * is bounded by 64·|E|; after the cut everything (wedges, degrees,
+    * the adjacency anti-join) is computed consistently on the pruned
+    * graph, which is exactly what the oracle replays. Integer micros.
+    */
+  private val linkPredictJaccard: Q = (s, d) => {
+    val und0 = copurchaseEdges(s, d, 5).distinct()
+    val deg0 = und0.select(col("a").as("v")).union(und0.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dv"))
+    val keep = deg0.filter(col("dv") <= 64).select("v")
+    // consumed by adj (twice), the degree agg, and the anti-join — one
+    // materialization instead of four scans of the join lineage
+    val e = und0
+      .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+      .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+      .localCheckpoint(true)
+    val adj = e.select(col("a").as("y"), col("b").as("x"))
+      .union(e.select(col("b").as("y"), col("a").as("x")))
+    val deg = adj.groupBy(col("x").as("v")).agg(count(lit(1)).cast(LongType).as("dv"))
+    val wedges = adj.join(adj.select(col("y"), col("x").as("z")), Seq("y"))
+      .filter(col("x") < col("z"))
+      .groupBy("x", "z").agg(count(lit(1)).cast(LongType).as("common"))
+    wedges
+      .join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"), "left_anti")
+      .join(deg.select(col("v").as("x"), col("dv").as("dx")), Seq("x"))
+      .join(deg.select(col("v").as("z"), col("dv").as("dz")), Seq("z"))
+      .withColumn("jaccard_micros", expr("common * 1000000 div (dx + dz - common)"))
+      .select(col("x"), col("z"), col("common"), col("jaccard_micros"))
+      .orderBy(desc("jaccard_micros"), asc("x"), asc("z"))
+      .limit(20)
+  }
+
+  /** Signup→purchase conversion latency: per user, first signup to the
+    * first purchase at-or-after it; one census row with the EXACT lower
+    * median (a [[Quantile.medianPick]] on a single logical group — the
+    * histogram refinement keeps even the global-median case two counting
+    * scans + a ~n/k slice, never a global sort). Milliseconds as longs.
+    */
+  private val timeToConvert: Q = (s, d) => {
+    val e = events(s, d)
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("s_ts"))
+    val pu = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val conv = su.join(pu, Seq("user_id"))
+      .filter(col("p_ts") >= col("s_ts"))
+      .groupBy("user_id", "s_ts").agg(min("p_ts").as("p_ts"))
+      .select(col("user_id"),
+        (unix_millis(col("p_ts")) - unix_millis(col("s_ts"))).as("delta_ms"))
+    val census = conv.agg(
+      count(lit(1)).cast(LongType).as("n_converters"),
+      min("delta_ms").cast(LongType).as("min_ms"),
+      max("delta_ms").cast(LongType).as("max_ms"))
+    val med = Quantile
+      .medianPick(conv, lit(0L), col("delta_ms"), Seq(col("user_id")), "g", "m")
+      .select(col("m").cast(LongType).as("median_ms"))
+    census.crossJoin(broadcast(med))
+  }
+
+  /** Inverted-index build, previewed: the 30 highest-df terms with their
+    * df, total tf, and the first five postings (doc_ids ascending) as a
+    * comma-joined string. The preview head uses the native bounded-heap
+    * [[org.apache.spark.sql.graftnative.TopK]] AFTER a semi-join down to
+    * the 30 winning terms — heap state is 5 rows × 30 keys per task, and
+    * no posting list is ever materialized or sorted whole (the full-list
+    * `collect_list` would be the memory hazard at a 100 TB corpus; a
+    * complete index build would write per-term SHARDS via
+    * repartitionByRange(term) instead).
+    */
+  private val invertedIndex: Q = (s, d) => {
+    val tfdf = TextStats.tfDf(documents(s, d), "doc_id", "text")
+    val top = tfdf.groupBy("term")
+      .agg(max(col("df")).cast(LongType).as("df"),
+        sum(col("tf")).cast(LongType).as("total_tf"))
+      .orderBy(desc("df"), asc("term"))
+      .limit(30)
+    val postings = tfdf.select("term", "doc_id")
+      .join(broadcast(top.select("term")), Seq("term"), "left_semi")
+    val first5 = org.apache.spark.sql.graftnative.TopK
+      .perKey(postings, Seq("term"), Seq(("doc_id", false)), 5)
+    val preview = first5.groupBy("term")
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list(col("doc_id"))), x => x.cast(StringType)))
+        .as("postings_preview"))
+    top.join(preview, Seq("term"))
+      .select(col("term"), col("df"), col("total_tf"), col("postings_preview"))
+      .orderBy(desc("df"), asc("term"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "link_predict_jaccard" -> linkPredictJaccard,
+    "time_to_convert" -> timeToConvert,
+    "inverted_index" -> invertedIndex,
     "winsorize_audit" -> winsorizeAudit,
     "kcore_peel" -> kcorePeel,
     "attribution_last_touch" -> attributionLastTouch,
@@ -492,6 +589,56 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "link_predict_jaccard" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |            WHERE l_orderkey % 5 = 0),
+        |und AS (SELECT DISTINCT a.pk AS a, b.pk AS b FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk),
+        |d0 AS (SELECT v, COUNT(*) AS dv FROM
+        |         (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+        |e AS (SELECT * FROM und
+        |      WHERE a IN (SELECT v FROM d0 WHERE dv <= 64)
+        |        AND b IN (SELECT v FROM d0 WHERE dv <= 64)),
+        |adj AS (SELECT a AS y, b AS x FROM e UNION ALL SELECT b AS y, a AS x FROM e),
+        |dg AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS dv FROM adj GROUP BY x),
+        |w AS (SELECT a1.x AS x, a2.x AS z, CAST(COUNT(*) AS BIGINT) AS common
+        |      FROM adj a1 JOIN adj a2 ON a1.y = a2.y AND a1.x < a2.x GROUP BY 1, 2),
+        |cand AS (SELECT w.* FROM w
+        |         WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = w.x AND e.b = w.z))
+        |SELECT x, z, common,
+        |  CAST(common * 1000000 // (dx.dv + dz.dv - common) AS BIGINT) AS jaccard_micros
+        |FROM cand JOIN dg dx ON dx.v = cand.x JOIN dg dz ON dz.v = cand.z
+        |ORDER BY jaccard_micros DESC, x, z LIMIT 20""".stripMargin,
+    "time_to_convert" ->
+      """WITH su AS (SELECT user_id, MIN(ts) AS s_ts FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |cv AS (SELECT su.user_id, ANY_VALUE(su.s_ts) AS s_ts, MIN(e.ts) AS p_ts
+        |       FROM su JOIN events e ON e.user_id = su.user_id
+        |         AND e.event_type = 'purchase' AND e.ts >= su.s_ts
+        |       GROUP BY su.user_id),
+        |dd AS (SELECT user_id, CAST(epoch_ms(p_ts) - epoch_ms(s_ts) AS BIGINT) AS delta_ms FROM cv),
+        |r AS (SELECT delta_ms, ROW_NUMBER() OVER (ORDER BY delta_ms, user_id) AS rn FROM dd)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
+        |  CAST(MIN(delta_ms) AS BIGINT) AS min_ms,
+        |  CAST(MAX(delta_ms) AS BIGINT) AS max_ms,
+        |  (SELECT CAST(delta_ms AS BIGINT) FROM r
+        |   WHERE rn = (SELECT (COUNT(*) + 1) // 2 FROM dd)) AS median_ms
+        |FROM dd""".stripMargin,
+    "inverted_index" ->
+      s"""WITH n AS (SELECT doc_id, coalesce($normSql, '') AS t FROM documents),
+        |tk AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM n),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tk
+        |       WHERE length(term) > 0 GROUP BY 1, 2),
+        |ag AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+        |         CAST(SUM(tf) AS BIGINT) AS total_tf FROM tf GROUP BY term),
+        |top AS (SELECT * FROM ag ORDER BY df DESC, term LIMIT 30),
+        |p AS (SELECT tf.term, tf.doc_id,
+        |        ROW_NUMBER() OVER (PARTITION BY tf.term ORDER BY tf.doc_id) AS rn
+        |      FROM tf JOIN top ON tf.term = top.term),
+        |pv AS (SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings_preview
+        |       FROM p WHERE rn <= 5 GROUP BY term)
+        |SELECT top.term, df, total_tf, postings_preview
+        |FROM top JOIN pv ON top.term = pv.term
+        |ORDER BY df DESC, top.term""".stripMargin,
     "winsorize_audit" ->
       """WITH b AS (SELECT l_returnflag AS g,
         |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,

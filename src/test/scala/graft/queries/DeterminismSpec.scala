@@ -55,7 +55,10 @@ class DeterminismSpec extends SparkSpec {
     "skyline_pareto",        // Prefix exclusive running max dominance sweep
     "winsorize_audit",       // Quantile rank-pick fences + clipped integer sums
     "kcore_peel",            // iterative semi-join peeling (checkpointed rounds)
-    "attribution_last_touch") // ignoreNulls last over strictly-preceding frame
+    "attribution_last_touch", // ignoreNulls last over strictly-preceding frame
+    "link_predict_jaccard",  // pruned-graph wedge counts + anti-join
+    "time_to_convert",       // global median pick over conversion deltas
+    "inverted_index")        // TakeOrdered term cut + native TopK postings head
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf

@@ -35,6 +35,7 @@ class PlanHealthSpec extends SparkSpec {
     "hits_2iter",       // 1-row renormalization total crossed per half-step
     "graph_triangles",      // two 1-row census aggregates crossed
     "kcore_peel",           // two 1-row census aggregates crossed
+    "time_to_convert",      // 1-row census × 1-row median-pick frame
     "bm25_topk",            // 1-row corpus-stats frame (N, total tokens)
     "rrf_fusion",           // 1-row stats frame + global-rank offset frames
     "sample_weighted_pps",  // 1-row total-weight frame
