@@ -568,7 +568,75 @@ object AnalyticsQueries {
       .orderBy(desc("df"), asc("term"))
   }
 
+  /** Int8 scalar-quantization audit of the embedding table: per
+    * dimension, quantize to 256 equi-width levels between the dim's
+    * [min, max] and report codes used + reconstruction error — the
+    * go/no-go measurement before shipping a quantized ANN index (32→8
+    * bits is 4× less index, IF the error census says so).
+    *
+    * Shape: one posexplode (rows ∝ n·dim — linear, the audit must touch
+    * every element once), per-dim stats broadcast back, then pure
+    * projections. Every emitted number is exact: code/dequant math is
+    * fixed-association IEEE (floor((x−lo)·255/(hi−lo)); lo+(code·(hi−lo))/255
+    * — both engines replay the identical op sequence), and the error is
+    * floored to integer micros per ELEMENT before summing, so the sums
+    * are order-independent longs, never a float reduction. Degenerate
+    * dims (hi == lo) quantize to code 0 with zero error by definition.
+    */
+  private val embeddingQuantizeAudit: Q = (s, d) => {
+    val el = embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), col("pos"), col("xf").cast("double").as("x"))
+    val stats = el.groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
+    el.join(broadcast(stats), Seq("pos"))
+      .withColumn(
+        "code",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit(255L),
+            floor((col("x") - col("lo")) * 255 / (col("hi") - col("lo"))).cast(LongType))))
+      .withColumn(
+        "deq",
+        col("lo") + (col("code").cast("double") * (col("hi") - col("lo"))) / 255)
+      .withColumn("err_micros", floor(abs(col("x") - col("deq")) * 1e6).cast(LongType))
+      .groupBy("pos")
+      .agg(
+        count(lit(1)).cast(LongType).as("n"),
+        countDistinct(col("code")).cast(LongType).as("codes_used"),
+        sum("err_micros").cast(LongType).as("sum_err_micros"),
+        max("err_micros").cast(LongType).as("max_err_micros"))
+      .select(col("pos").cast(LongType).as("pos"), col("n"), col("codes_used"),
+        col("sum_err_micros"), col("max_err_micros"))
+      .orderBy("pos")
+  }
+
+  /** 3-hop BFS from the smallest node of the sampled co-purchase graph:
+    * per-distance node census — the reachability primitive (feature
+    * neighborhoods, blast-radius queries). One frontier-join + anti-join
+    * per hop on the symmetric adjacency, visited set unioned and
+    * localCheckpointed per round (lineage must not nest); hop count
+    * fixed, so the oracle replays hops as nested CTEs.
+    */
+  private val bfs3Hop: Q = (s, d) => {
+    val und = copurchaseEdges(s, d, 5).distinct()
+    val adj = und.select(col("a").as("y"), col("b").as("x"))
+      .union(und.select(col("b").as("y"), col("a").as("x")))
+      .localCheckpoint(true)
+    var dist = adj.agg(min(col("x")).as("v")).withColumn("d", lit(0))
+    for (i <- 1 to 3) {
+      val frontier = dist.filter(col("d") === i - 1).select(col("v").as("y"))
+      val nxt = frontier.join(adj, Seq("y")).select(col("x").as("v")).distinct()
+        .join(dist.select("v"), Seq("v"), "left_anti")
+        .withColumn("d", lit(i))
+      dist = dist.union(nxt).localCheckpoint(true)
+    }
+    dist.groupBy("d")
+      .agg(count(lit(1)).cast(LongType).as("n_nodes"), min("v").as("min_node"))
+      .orderBy("d")
+  }
+
   def queries: Map[String, Q] = Map(
+    "embedding_quantize_audit" -> embeddingQuantizeAudit,
+    "bfs_3hop" -> bfs3Hop,
     "link_predict_jaccard" -> linkPredictJaccard,
     "time_to_convert" -> timeToConvert,
     "inverted_index" -> invertedIndex,
@@ -589,6 +657,40 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "embedding_quantize_audit" ->
+      """WITH el AS (
+        |  SELECT vec_id, p.pos AS pos, CAST(embedding[p.pos + 1] AS DOUBLE) AS x
+        |  FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS pos) p),
+        |st AS MATERIALIZED (SELECT pos, MIN(x) AS lo, MAX(x) AS hi FROM el GROUP BY pos),
+        |q AS MATERIALIZED (SELECT el.pos, x, lo, hi,
+        |        CASE WHEN hi = lo THEN 0
+        |             ELSE LEAST(255, CAST(floor((x - lo) * 255 / (hi - lo)) AS BIGINT)) END AS code
+        |      FROM el JOIN st USING (pos)),
+        |e AS MATERIALIZED (SELECT pos, code,
+        |        CAST(floor(abs(x - (lo + (CAST(code AS DOUBLE) * (hi - lo)) / 255)) * 1e6) AS BIGINT) AS err
+        |      FROM q)
+        |SELECT CAST(pos AS BIGINT) AS pos, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT code) AS BIGINT) AS codes_used,
+        |  CAST(SUM(err) AS BIGINT) AS sum_err_micros,
+        |  CAST(MAX(err) AS BIGINT) AS max_err_micros
+        |FROM e GROUP BY pos ORDER BY pos""".stripMargin,
+    "bfs_3hop" ->
+      """WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |            WHERE l_orderkey % 5 = 0),
+        |und AS MATERIALIZED (SELECT DISTINCT a.pk AS a, b.pk AS b FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj AS MATERIALIZED (SELECT a AS y, b AS x FROM und UNION ALL SELECT b AS y, a AS x FROM und),
+        |d0 AS MATERIALIZED (SELECT MIN(x) AS v, 0 AS d FROM adj),
+        |d1 AS MATERIALIZED (SELECT DISTINCT a2.x AS v, 1 AS d FROM d0 JOIN adj a2 ON a2.y = d0.v
+        |       WHERE a2.x NOT IN (SELECT v FROM d0)),
+        |d2 AS MATERIALIZED (SELECT DISTINCT a2.x AS v, 2 AS d FROM d1 JOIN adj a2 ON a2.y = d1.v
+        |       WHERE a2.x NOT IN (SELECT v FROM d0 UNION ALL SELECT v FROM d1)),
+        |d3 AS MATERIALIZED (SELECT DISTINCT a2.x AS v, 3 AS d FROM d2 JOIN adj a2 ON a2.y = d2.v
+        |       WHERE a2.x NOT IN (SELECT v FROM d0 UNION ALL SELECT v FROM d1
+        |                          UNION ALL SELECT v FROM d2)),
+        |al AS MATERIALIZED (SELECT * FROM d0 UNION ALL SELECT * FROM d1
+        |       UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+        |SELECT d, CAST(COUNT(*) AS BIGINT) AS n_nodes, MIN(v) AS min_node
+        |FROM al GROUP BY d ORDER BY d""".stripMargin,
     "link_predict_jaccard" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
         |            WHERE l_orderkey % 5 = 0),
@@ -659,18 +761,18 @@ object AnalyticsQueries {
         |FROM b JOIN pk USING (g)
         |GROUP BY b.g, pk.lo, pk.hi ORDER BY l_returnflag""".stripMargin,
     "kcore_peel" ->
-      """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      """WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
         |            WHERE l_orderkey % 5 = 0),
-        |e0 AS (SELECT DISTINCT a.pk AS a, b.pk AS b FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk),
-        |d1 AS (SELECT v FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS a, b.pk AS b FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk),
+        |d1 AS MATERIALIZED (SELECT v FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
         |       GROUP BY v HAVING COUNT(*) >= 2),
-        |e1 AS (SELECT * FROM e0 WHERE a IN (SELECT v FROM d1) AND b IN (SELECT v FROM d1)),
-        |d2 AS (SELECT v FROM (SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1)
+        |e1 AS MATERIALIZED (SELECT * FROM e0 WHERE a IN (SELECT v FROM d1) AND b IN (SELECT v FROM d1)),
+        |d2 AS MATERIALIZED (SELECT v FROM (SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1)
         |       GROUP BY v HAVING COUNT(*) >= 2),
-        |e2 AS (SELECT * FROM e1 WHERE a IN (SELECT v FROM d2) AND b IN (SELECT v FROM d2)),
-        |d3 AS (SELECT v FROM (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2)
+        |e2 AS MATERIALIZED (SELECT * FROM e1 WHERE a IN (SELECT v FROM d2) AND b IN (SELECT v FROM d2)),
+        |d3 AS MATERIALIZED (SELECT v FROM (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2)
         |       GROUP BY v HAVING COUNT(*) >= 2),
-        |e3 AS (SELECT * FROM e2 WHERE a IN (SELECT v FROM d3) AND b IN (SELECT v FROM d3))
+        |e3 AS MATERIALIZED (SELECT * FROM e2 WHERE a IN (SELECT v FROM d3) AND b IN (SELECT v FROM d3))
         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e3) AS n_edges,
         |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_nodes
         |FROM (SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)""".stripMargin,

@@ -58,7 +58,9 @@ class DeterminismSpec extends SparkSpec {
     "attribution_last_touch", // ignoreNulls last over strictly-preceding frame
     "link_predict_jaccard",  // pruned-graph wedge counts + anti-join
     "time_to_convert",       // global median pick over conversion deltas
-    "inverted_index")        // TakeOrdered term cut + native TopK postings head
+    "inverted_index",        // TakeOrdered term cut + native TopK postings head
+    "embedding_quantize_audit", // fixed-association IEEE quantize, integer-micros error sums
+    "bfs_3hop")              // frontier joins + checkpointed visited set
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf
