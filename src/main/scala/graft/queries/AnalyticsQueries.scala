@@ -634,7 +634,76 @@ object AnalyticsQueries {
       .orderBy("d")
   }
 
+  /** Seasonal-baseline anomaly census over events: per (weekday, hour)
+    * cell, how many events sit more than 3σ from the cell mean — the
+    * monitoring pass that flags "this Tuesday 3 pm is not like other
+    * Tuesday 3 pms". The whole test is EXACT INTEGER arithmetic: the
+    * per-cell (n, Σv, Σv²) are int64 (cents ≤ ~5e4, so Σv² fits to
+    * ~sf100), and the 3σ test is cross-multiplied to kill both the
+    * division and the sqrt — (v·n − S)² > 9·(n·Q − S²), evaluated in
+    * decimal(38,0) where the squares exceed int64 (max ~1e25 at sf100,
+    * far under the 1e38 ceiling; both engines compare exact integers,
+    * so the flag is bit-identical). Plan: one hash agg to ≤168 cells,
+    * broadcast back, one projection + final agg.
+    */
+  private val anomalySeasonal: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val e = events(s, d).select(
+      (dec2(col("value")) * 100).cast(LongType).as("v"),
+      weekday(col("ts")).cast(LongType).as("dow"),
+      hour(col("ts")).cast(LongType).as("hr"))
+    val g = e.groupBy("dow", "hr").agg(
+      count(lit(1)).cast(LongType).as("n"),
+      sum("v").cast(LongType).as("sv"),
+      sum(col("v") * col("v")).cast(LongType).as("sq"))
+    e.join(broadcast(g), Seq("dow", "hr"))
+      .withColumn("dv", col("v") * col("n") - col("sv"))
+      .withColumn(
+        "anom",
+        (col("dv").cast(dec) * col("dv").cast(dec) >
+          (col("n").cast(dec) * col("sq").cast(dec) -
+            col("sv").cast(dec) * col("sv").cast(dec)) * 9).cast("int"))
+      .groupBy("dow", "hr", "n")
+      .agg(sum("anom").cast(LongType).as("n_anomalies"))
+      .select(col("dow"), col("hr"), col("n"), col("n_anomalies"))
+      .orderBy("dow", "hr")
+  }
+
+  /** Theil–Sen slope of the daily event-volume series — the robust
+    * trend estimate (median of all pairwise slopes) that one outlier
+    * day cannot move, where least squares would chase it.
+    *
+    * The scale contract is the aggregate-first shape: the series is
+    * per-DAY counts, so the pair frame is bounded by the DATE RANGE
+    * squared (~730 points → ~266k pairs at ANY corpus size — data
+    * volume changes y values, never the pair count). Slopes are floored
+    * to integer micros (one double division, |num| < 2^53, exact both
+    * engines); the median is an exact [[Quantile.medianPick]] with
+    * (slope, x1, x2) total order. The pair join is a bounded-frame
+    * non-equi join — justified in PlanHealthSpec.boundedNlj.
+    */
+  private val theilSenSlope: Q = (s, d) => {
+    val pts = events(s, d)
+      .select(floor(unix_millis(col("ts")) / lit(86400000.0)).cast(LongType).as("x"))
+      .groupBy("x").agg(count(lit(1)).cast(LongType).as("y"))
+      .localCheckpoint(true)
+    val pairs = pts.select(col("x").as("x1"), col("y").as("y1"))
+      .join(pts.select(col("x").as("x2"), col("y").as("y2")), col("x1") < col("x2"))
+      .withColumn(
+        "slope",
+        floor((col("y2") - col("y1")).cast("double") * 1e6 / (col("x2") - col("x1")))
+          .cast(LongType))
+    val census = pts.agg(count(lit(1)).cast(LongType).as("n_points"))
+      .crossJoin(broadcast(pairs.agg(count(lit(1)).cast(LongType).as("n_pairs"))))
+    val med = Quantile
+      .medianPick(pairs, lit(0L), col("slope"), Seq(col("x1"), col("x2")), "g", "m")
+      .select(col("m").cast(LongType).as("median_slope_micros"))
+    census.crossJoin(broadcast(med))
+  }
+
   def queries: Map[String, Q] = Map(
+    "anomaly_seasonal" -> anomalySeasonal,
+    "theil_sen_slope" -> theilSenSlope,
     "embedding_quantize_audit" -> embeddingQuantizeAudit,
     "bfs_3hop" -> bfs3Hop,
     "link_predict_jaccard" -> linkPredictJaccard,
@@ -657,6 +726,29 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "anomaly_seasonal" ->
+      """WITH e AS (SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+        |    CAST(isodow(ts) - 1 AS BIGINT) AS dow, CAST(hour(ts) AS BIGINT) AS hr
+        |  FROM events),
+        |g AS (SELECT dow, hr, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sv,
+        |        CAST(SUM(v * v) AS BIGINT) AS sq FROM e GROUP BY dow, hr)
+        |SELECT g.dow, g.hr, n,
+        |  CAST(SUM(CASE WHEN CAST(v * n - sv AS HUGEINT) * CAST(v * n - sv AS HUGEINT)
+        |                   > 9 * (CAST(n AS HUGEINT) * sq - CAST(sv AS HUGEINT) * sv)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        |FROM e JOIN g USING (dow, hr)
+        |GROUP BY g.dow, g.hr, n ORDER BY 1, 2""".stripMargin,
+    "theil_sen_slope" ->
+      """WITH pts AS (SELECT epoch_ms(ts) // 86400000 AS x, CAST(COUNT(*) AS BIGINT) AS y
+        |             FROM events GROUP BY 1),
+        |pr AS (SELECT a.x AS x1, b.x AS x2,
+        |         CAST(floor((b.y - a.y) * 1000000.0 / (b.x - a.x)) AS BIGINT) AS slope
+        |       FROM pts a JOIN pts b ON a.x < b.x),
+        |r AS (SELECT slope, ROW_NUMBER() OVER (ORDER BY slope, x1, x2) AS rn FROM pr)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pts) AS n_points,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pr) AS n_pairs,
+        |  (SELECT CAST(slope AS BIGINT) FROM r
+        |   WHERE rn = (SELECT (COUNT(*) + 1) // 2 FROM pr)) AS median_slope_micros""".stripMargin,
     "embedding_quantize_audit" ->
       """WITH el AS (
         |  SELECT vec_id, p.pos AS pos, CAST(embedding[p.pos + 1] AS DOUBLE) AS x

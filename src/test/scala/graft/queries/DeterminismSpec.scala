@@ -60,7 +60,9 @@ class DeterminismSpec extends SparkSpec {
     "time_to_convert",       // global median pick over conversion deltas
     "inverted_index",        // TakeOrdered term cut + native TopK postings head
     "embedding_quantize_audit", // fixed-association IEEE quantize, integer-micros error sums
-    "bfs_3hop")              // frontier joins + checkpointed visited set
+    "bfs_3hop",              // frontier joins + checkpointed visited set
+    "anomaly_seasonal",      // exact-integer cross-multiplied 3-sigma test
+    "theil_sen_slope")       // bounded pair frame + exact median pick
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf
