@@ -701,7 +701,66 @@ object AnalyticsQueries {
     census.crossJoin(broadcast(med))
   }
 
+  /** Top-10 3-step event paths (type → type → type) over per-user event
+    * order — the path-mining pass behind "what do users do before
+    * churning". Two user-partitioned leads (unbounded user cardinality,
+    * per-task state one user's tail), one hash agg over ≤|types|³ paths,
+    * TakeOrderedAndProject. Path strings are explicit concat so both
+    * engines render them identically.
+    */
+  private val eventPathsTop: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .filter(col("t1").isNotNull && col("t2").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t1"), col("t2")).as("path"))
+      .groupBy("path").agg(count(lit(1)).cast(LongType).as("n"))
+      .orderBy(desc("n"), asc("path"))
+      .limit(10)
+  }
+
+  /** Order-backlog timeline: +1 at order placement, −1 when the order is
+    * fully shipped (max lineitem shipdate); the running sum over the
+    * (day, delta, orderkey) total order is the number of open orders at
+    * every instant — the event-sourcing / concurrent-intervals classic.
+    * The scan rides [[Prefix.runningSum]] (two-phase range scan, no
+    * single-reducer window); the answer frame is three aggregates over
+    * the cumulative series: peak backlog, its first day, and the final
+    * level (> 0 exactly when orders never fully ship — the orphan class
+    * `orphan_audit` counts). Same-day convention pinned by the order:
+    * closes (−1) apply before opens (+1).
+    */
+  private val backlogTimeline: Q = (s, d) => {
+    val opens = orders(s, d).select(
+      // NTZ parquet date: cast is wall-clock identity, matching epoch_ms
+      floor(unix_millis(col("o_orderdate").cast("timestamp")) / lit(86400000.0))
+        .cast(LongType).as("day"),
+      lit(1L).as("delta"), col("o_orderkey").as("ok"))
+    val closes = lineitem(s, d)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(max(col("l_shipdate")).as("sd"))
+      .select(floor(unix_millis(col("sd").cast("timestamp")) / lit(86400000.0))
+        .cast(LongType).as("day"),
+        lit(-1L).as("delta"), col("ok"))
+    val cum = Prefix.runningSum(
+      opens.union(closes), lit(0L),
+      Seq(col("day"), col("delta"), col("ok")), col("delta"), "backlog")
+      .localCheckpoint(true) // consumed by three census branches below
+    val peak = cum.agg(max("backlog").as("peak_backlog"))
+    val peakDay = cum.join(broadcast(peak), col("backlog") === col("peak_backlog"))
+      .agg(min("day").cast(LongType).as("peak_day"))
+    cum.agg(count(lit(1)).cast(LongType).as("n_events"),
+      sum("delta").cast(LongType).as("final_backlog"))
+      .crossJoin(broadcast(peak.select(col("peak_backlog").cast(LongType).as("peak_backlog"))))
+      .crossJoin(broadcast(peakDay))
+  }
+
   def queries: Map[String, Q] = Map(
+    "event_paths_top" -> eventPathsTop,
+    "backlog_timeline" -> backlogTimeline,
     "anomaly_seasonal" -> anomalySeasonal,
     "theil_sen_slope" -> theilSenSlope,
     "embedding_quantize_audit" -> embeddingQuantizeAudit,
@@ -726,6 +785,29 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "event_paths_top" ->
+      """WITH p AS (SELECT event_type || '>' ||
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) || '>' ||
+        |    LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS path
+        |  FROM events)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM p WHERE path IS NOT NULL
+        |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    "backlog_timeline" ->
+      """WITH opens AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+        |    CAST(1 AS BIGINT) AS delta, o_orderkey AS ok FROM orders),
+        |closes AS (SELECT epoch_ms(MAX(l_shipdate)) // 86400000 AS day,
+        |    CAST(-1 AS BIGINT) AS delta, l_orderkey AS ok FROM lineitem GROUP BY l_orderkey),
+        |ev AS (SELECT * FROM opens UNION ALL SELECT * FROM closes),
+        |c AS (SELECT day, delta,
+        |    SUM(delta) OVER (ORDER BY day, delta, ok
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS backlog
+        |  FROM ev),
+        |pk AS (SELECT MAX(backlog) AS peak_backlog FROM c)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(delta) AS BIGINT) AS final_backlog,
+        |  CAST((SELECT peak_backlog FROM pk) AS BIGINT) AS peak_backlog,
+        |  CAST((SELECT MIN(day) FROM c WHERE backlog = (SELECT peak_backlog FROM pk)) AS BIGINT) AS peak_day
+        |FROM c""".stripMargin,
     "anomaly_seasonal" ->
       """WITH e AS (SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
         |    CAST(isodow(ts) - 1 AS BIGINT) AS dow, CAST(hour(ts) AS BIGINT) AS hr

@@ -62,7 +62,9 @@ class DeterminismSpec extends SparkSpec {
     "embedding_quantize_audit", // fixed-association IEEE quantize, integer-micros error sums
     "bfs_3hop",              // frontier joins + checkpointed visited set
     "anomaly_seasonal",      // exact-integer cross-multiplied 3-sigma test
-    "theil_sen_slope")       // bounded pair frame + exact median pick
+    "theil_sen_slope",       // bounded pair frame + exact median pick
+    "event_paths_top",       // per-user double-lead path trigrams
+    "backlog_timeline")      // Prefix running sum over open/close deltas
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf
