@@ -758,7 +758,79 @@ object AnalyticsQueries {
       .crossJoin(broadcast(peakDay))
   }
 
+  /** RFM segmentation: users bucketed into quintiles of recency (days
+    * since last event — 1 = most recent), frequency, and monetary value,
+    * then the ≤125-cell census — the classic customer-base cube. Each
+    * quintile is NTILE(5) replayed from a [[Prefix.globalRank]] with the
+    * exact ceil-first-groups arithmetic (the order_deciles pattern), so
+    * no no-partition window ever runs; the user frame is checkpointed
+    * once and ranked three times.
+    */
+  private val rfmScores: Q = (s, d) => {
+    val ev = events(s, d).select(col("user_id"), col("ts"),
+      (dec2(col("value")) * 100).cast(LongType).as("cents"))
+    val maxMs = ev.agg(max(unix_millis(col("ts"))).as("mx"))
+    val users = ev.groupBy("user_id")
+      .agg(
+        max(unix_millis(col("ts"))).as("last_ms"),
+        count(lit(1)).cast(LongType).as("freq"),
+        sum("cents").cast(LongType).as("money"))
+      .crossJoin(broadcast(maxMs))
+      .withColumn("rec_days", expr("(mx - last_ms) div 86400000"))
+      .localCheckpoint(true)
+    def ntile5(df: DataFrame, metric: Column, out: String): DataFrame = {
+      val ranked = Prefix
+        .globalRank(df, Seq(metric, col("user_id")), "__rnk")
+        .crossJoin(broadcast(df.agg(count(lit(1)).as("__tot"))))
+      val q = (col("__tot") / 5).cast(LongType)
+      val r = col("__tot") % 5
+      val bigSpan = (q + 1) * r
+      ranked
+        .withColumn(
+          out,
+          when(col("__rnk") <= bigSpan, ((col("__rnk") - 1) / (q + 1)).cast(LongType) + 1)
+            .otherwise(r + ((col("__rnk") - bigSpan - 1) / q).cast(LongType) + 1)
+            .cast(LongType))
+        .drop("__rnk", "__tot")
+    }
+    val scored = ntile5(
+      ntile5(ntile5(users, col("rec_days"), "r_score"), col("freq"), "f_score"),
+      col("money"), "m_score")
+    scored
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).cast(LongType).as("n_users"),
+        min("user_id").cast(LongType).as("min_user"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** Seasonal-naive backtest: predict each day's event count and revenue
+    * by the value 7 days earlier, score MAE over the overlap — the
+    * baseline every forecasting pipeline must beat, and the shape of a
+    * backtest at scale: one day-grain aggregation (bounded by the date
+    * range), one self-equi-join on day+7, integer absolute errors.
+    */
+  private val seasonalNaiveBacktest: Q = (s, d) => {
+    val daily = events(s, d)
+      .select(
+        floor(unix_millis(col("ts")) / lit(86400000.0)).cast(LongType).as("day"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .groupBy("day")
+      .agg(count(lit(1)).cast(LongType).as("n"), sum("cents").cast(LongType).as("cs"))
+      .localCheckpoint(true) // actuals + lag-7 predictions read it twice
+    val pred = daily.select((col("day") + 7).as("day"), col("n").as("pn"), col("cs").as("pcs"))
+    daily.join(pred, Seq("day"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_days_scored"),
+        sum(abs(col("n") - col("pn"))).cast(LongType).as("total_abs_err_events"),
+        sum(abs(col("cs") - col("pcs"))).cast(LongType).as("total_abs_err_cents"))
+      .withColumn(
+        "mae_events_micros",
+        expr("total_abs_err_events * 1000000 div n_days_scored"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "rfm_scores" -> rfmScores,
+    "seasonal_naive_backtest" -> seasonalNaiveBacktest,
     "event_paths_top" -> eventPathsTop,
     "backlog_timeline" -> backlogTimeline,
     "anomaly_seasonal" -> anomalySeasonal,
@@ -785,6 +857,33 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "rfm_scores" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM events),
+        |mx AS (SELECT MAX(ms) AS mx FROM ev),
+        |u AS (SELECT user_id, MAX(ms) AS last_ms, CAST(COUNT(*) AS BIGINT) AS freq,
+        |        CAST(SUM(cents) AS BIGINT) AS money FROM ev GROUP BY user_id),
+        |sc AS (SELECT user_id,
+        |    ntile(5) OVER (ORDER BY (mx - last_ms) // 86400000, user_id) AS r_score,
+        |    ntile(5) OVER (ORDER BY freq, user_id) AS f_score,
+        |    ntile(5) OVER (ORDER BY money, user_id) AS m_score
+        |  FROM u CROSS JOIN mx)
+        |SELECT CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(MIN(user_id) AS BIGINT) AS min_user
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "seasonal_naive_backtest" ->
+      """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cs
+        |  FROM events GROUP BY 1),
+        |j AS (SELECT a.n, a.cs, p.n AS pn, p.cs AS pcs
+        |      FROM daily a JOIN daily p ON a.day = p.day + 7)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+        |  CAST(SUM(abs(n - pn)) AS BIGINT) AS total_abs_err_events,
+        |  CAST(SUM(abs(cs - pcs)) AS BIGINT) AS total_abs_err_cents,
+        |  CAST(SUM(abs(n - pn)) * 1000000 // COUNT(*) AS BIGINT) AS mae_events_micros
+        |FROM j""".stripMargin,
     "event_paths_top" ->
       """WITH p AS (SELECT event_type || '>' ||
         |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) || '>' ||

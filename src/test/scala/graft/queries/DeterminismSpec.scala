@@ -64,7 +64,9 @@ class DeterminismSpec extends SparkSpec {
     "anomaly_seasonal",      // exact-integer cross-multiplied 3-sigma test
     "theil_sen_slope",       // bounded pair frame + exact median pick
     "event_paths_top",       // per-user double-lead path trigrams
-    "backlog_timeline")      // Prefix running sum over open/close deltas
+    "backlog_timeline",      // Prefix running sum over open/close deltas
+    "rfm_scores",            // three Prefix NTILE-from-rank passes
+    "seasonal_naive_backtest") // day-grain self-join, integer MAE
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf
