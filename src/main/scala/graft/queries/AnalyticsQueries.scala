@@ -828,7 +828,36 @@ object AnalyticsQueries {
         expr("total_abs_err_events * 1000000 div n_days_scored"))
   }
 
+  /** Gini impurity of the order-priority distribution within each market
+    * segment — the decision-tree split-scoring primitive, rendered
+    * without transcendentals (entropy needs a log; Gini is rational):
+    * gini = 1 − Σp² = (n² − Σc²)/n², emitted as floor(·1e6) where the
+    * long→double casts and one multiply/divide are correctly-rounded
+    * IEEE replayed op-for-op by DuckDB (exact through sf10 in pure
+    * int64; the double rendering stays bit-identical even past 2^53
+    * because both engines run the identical op sequence). Two hash aggs
+    * over ≤|segments|·|priorities| cells after one equi-join.
+    */
+  private val giniSplitScores: Q = (s, d) => {
+    val oc = orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_orderpriority").as("cls"))
+    oc.groupBy("seg", "cls").agg(count(lit(1)).cast(LongType).as("c"))
+      .groupBy("seg")
+      .agg(
+        sum("c").cast(LongType).as("n_orders"),
+        count(lit(1)).cast(LongType).as("n_classes"),
+        sum(col("c") * col("c")).cast(LongType).as("sum_c2"))
+      .withColumn(
+        "gini_micros",
+        floor((col("n_orders") * col("n_orders") - col("sum_c2")).cast("double") * 1e6 /
+          (col("n_orders") * col("n_orders")).cast("double")).cast(LongType))
+      .select(col("seg"), col("n_orders"), col("n_classes"), col("gini_micros"))
+      .orderBy("seg")
+  }
+
   def queries: Map[String, Q] = Map(
+    "gini_split_scores" -> giniSplitScores,
     "rfm_scores" -> rfmScores,
     "seasonal_naive_backtest" -> seasonalNaiveBacktest,
     "event_paths_top" -> eventPathsTop,
@@ -857,6 +886,18 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "gini_split_scores" ->
+      """WITH cc AS (SELECT c_mktsegment AS seg, o_orderpriority AS cls,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |g AS (SELECT seg, CAST(SUM(c) AS BIGINT) AS n_orders,
+        |        CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |        CAST(SUM(c * c) AS BIGINT) AS sum_c2 FROM cc GROUP BY seg)
+        |SELECT seg, n_orders, n_classes,
+        |  CAST(floor(CAST(n_orders * n_orders - sum_c2 AS DOUBLE) * 1000000.0 /
+        |       CAST(n_orders * n_orders AS DOUBLE)) AS BIGINT) AS gini_micros
+        |FROM g ORDER BY seg""".stripMargin,
     "rfm_scores" ->
       """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms,
         |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM events),

@@ -19,6 +19,40 @@ object SimilarityQueries {
       .withColumn("v", Vectors.toDouble(col("embedding")))
       .withColumn("nrm", Vectors.l2Norm(col("v")))
 
+  /** k-NN label evaluation: classify each of the 10 fixed query vectors
+    * by the majority label of its 5 exact cosine neighbors and score
+    * against its own label — the eval primitive behind "is this
+    * embedding space any good". Reuses the brute scoring shape (exact
+    * baseline, O(queries × corpus)) with BOTH selections on the native
+    * bounded-heap TopK: the 5-NN cut (5×10 heap state) and the majority
+    * vote (1×10) — never a low-cardinality row_number window.
+    */
+  private val knnLabelEval: Q = (s, d) => {
+    val base = normed(s, d)
+    val lab = embeddings(s, d).select(col("vec_id"), col("label"))
+    val q = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = base.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val scored = q
+      .join(c, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .select("query_id", "neighbor_id", "cos")
+    val top5 = org.apache.spark.sql.graftnative.TopK
+      .perKey(scored, Seq("query_id"), Seq(("cos", true), ("neighbor_id", false)), 5)
+    val votes = top5
+      .join(lab.select(col("vec_id").as("neighbor_id"), col("label")), Seq("neighbor_id"))
+      .groupBy("query_id", "label")
+      .agg(count(lit(1)).cast("long").as("votes"))
+    val pred = org.apache.spark.sql.graftnative.TopK
+      .perKey(votes, Seq("query_id"), Seq(("votes", true), ("label", false)), 1)
+    pred
+      .join(lab.select(col("vec_id").as("query_id"), col("label").as("actual")), Seq("query_id"))
+      .select(col("query_id"), col("actual").cast("long").as("actual_label"),
+        col("label").cast("long").as("predicted_label"), col("votes"),
+        (col("label") === col("actual")).cast("long").as("correct"))
+      .orderBy("query_id")
+  }
+
   private val bruteTopK: Q = (s, d) => {
     val base = normed(s, d)
     val q = base.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -240,6 +274,7 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "knn_label_eval" -> knnLabelEval,
     "sim_topk_brute" -> bruteTopK,
     "sim_topk_lsh" -> lshTopK,
     "sim_topk_lsh_multiprobe" -> lshMultiProbe,
@@ -249,6 +284,25 @@ object SimilarityQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "knn_label_eval" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+        |      FROM m q JOIN m c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
+        |t AS (SELECT query_id, neighbor_id FROM (
+        |        SELECT query_id, neighbor_id,
+        |          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        |        FROM p) WHERE rn <= 5),
+        |v AS (SELECT t.query_id, e.label, CAST(COUNT(*) AS BIGINT) AS votes
+        |      FROM t JOIN embeddings e ON e.vec_id = t.neighbor_id GROUP BY 1, 2),
+        |pr AS (SELECT query_id, label, votes FROM (
+        |        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+        |        FROM v) WHERE rn = 1)
+        |SELECT pr.query_id, CAST(e.label AS BIGINT) AS actual_label,
+        |  CAST(pr.label AS BIGINT) AS predicted_label, votes,
+        |  CAST(CASE WHEN pr.label = e.label THEN 1 ELSE 0 END AS BIGINT) AS correct
+        |FROM pr JOIN embeddings e ON e.vec_id = pr.query_id ORDER BY pr.query_id""".stripMargin,
     "embedding_dim_audit" -> {
       def m(i: Int) =
         s"CAST(SUM(CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS d${i}_sum"

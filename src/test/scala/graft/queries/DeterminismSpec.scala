@@ -66,7 +66,9 @@ class DeterminismSpec extends SparkSpec {
     "event_paths_top",       // per-user double-lead path trigrams
     "backlog_timeline",      // Prefix running sum over open/close deltas
     "rfm_scores",            // three Prefix NTILE-from-rank passes
-    "seasonal_naive_backtest") // day-grain self-join, integer MAE
+    "seasonal_naive_backtest", // day-grain self-join, integer MAE
+    "gini_split_scores",     // rational impurity, IEEE-identical rendering
+    "knn_label_eval")        // double TopK: 5-NN cut + majority vote
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf

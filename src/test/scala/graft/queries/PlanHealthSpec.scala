@@ -21,6 +21,7 @@ class PlanHealthSpec extends SparkSpec {
     "sample_temperature",     // 1-row min-token frame
     "set_ops_customers",      // scalar-aggregate set algebra
     "sim_topk_brute",         // deliberate exact baseline: 10 fixed queries broadcast
+    "knn_label_eval",         // same 10-query broadcast scoring as sim_topk_brute
     "sim_topk_ivf",           // bounded centroid model
     "sim_topk_pq",            // bounded centroid model (subspace codebooks)
     "dedup_semantic",         // bounded centroid model (SemDeDup cells)
