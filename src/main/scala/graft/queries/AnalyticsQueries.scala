@@ -498,9 +498,27 @@ object AnalyticsQueries {
     val adj = e.select(col("a").as("y"), col("b").as("x"))
       .union(e.select(col("b").as("y"), col("a").as("x")))
     val deg = adj.groupBy(col("x").as("v")).agg(count(lit(1)).cast(LongType).as("dv"))
-    val wedges = adj.join(adj.select(col("y"), col("x").as("z")), Seq("y"))
-      .filter(col("x") < col("z"))
+    // wedge generation via per-apex neighbor LISTS, not an adjacency
+    // self-join: the celebrity cut bounds every list at 64, so
+    // collect_list state is bounded and the HOF emits exactly the
+    // C(deg,2) ordered pairs — the self-join formulation (measured 78 s
+    // at sf1) enumerates deg² candidates through a second shuffle and
+    // discards half at the x<z filter; this shape shuffles the adjacency
+    // once and generates each unordered pair once (sorted distinct list
+    // ⇒ slice beyond own position = strictly-greater neighbors)
+    val nbrs = adj.groupBy("y").agg(sort_array(collect_list(col("x"))).as("ns"))
+    val wedges = nbrs
+      .select(explode(expr(
+        "flatten(transform(ns, (x, i) -> transform(slice(ns, i + 2, size(ns)), z -> struct(x, z))))"))
+        .as("p"))
+      .select(col("p.x").as("x"), col("p.z").as("z"))
       .groupBy("x", "z").agg(count(lit(1)).cast(LongType).as("common"))
+      // evidence floor: ≥2 shared neighbors. One shared neighbor is no
+      // corroboration (and between two degree-1 endpoints would mint a
+      // perfect 1.0 from a single co-purchase); it is also the scale
+      // valve — measured at sf1, 94% of candidate pairs (54.8M of 58M)
+      // are common=1 and drop HERE, before the anti-join + degree joins
+      .filter(col("common") >= 2)
     wedges
       .join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"), "left_anti")
       .join(deg.select(col("v").as("x"), col("dv").as("dx")), Seq("x"))
@@ -856,7 +874,43 @@ object AnalyticsQueries {
       .orderBy("seg")
   }
 
+  /** Two-sample proportion test on purchase conversion, A/B split by
+    * user-id parity — the experimentation primitive. The z-test at
+    * α=0.05 (z²=3.8416) is cross-multiplied into pure integers:
+    *
+    *   (p̂₁−p̂₂)² > z²·p̂(1−p̂)(1/n₁+1/n₂)
+    *   ⇔ 10000·(c₁n₂−c₂n₁)²·n > 38416·c(n−c)·n₁·n₂
+    *
+    * (common factor n₁n₂ cancelled first — without it the left side hits
+    * 1e42 and overflows even decimal(38)). Evaluated in decimal(38,0) /
+    * HUGEINT: with users ≤ ~3e7 the largest term is ~1e38·ε — headroom
+    * through ~sf30, documented; past that, divide both sides by n once
+    * more. The verdict bit is exact — no float z-table, no sqrt.
+    */
+  private val abTestProportions: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val perUser = events(s, d)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .withColumn("arm", (col("user_id") % 2).cast(LongType))
+    val arms = perUser.groupBy("arm")
+      .agg(count(lit(1)).cast(LongType).as("n"), sum("conv").cast(LongType).as("c"))
+    val a = arms.filter(col("arm") === 0).select(col("n").as("n1"), col("c").as("c1"))
+    val b = arms.filter(col("arm") === 1).select(col("n").as("n2"), col("c").as("c2"))
+    a.crossJoin(broadcast(b))
+      .withColumn("diff", col("c1") * col("n2") - col("c2") * col("n1"))
+      .withColumn(
+        "significant",
+        (col("diff").cast(dec) * col("diff").cast(dec) * lit(10000).cast(dec) *
+          (col("n1") + col("n2")).cast(dec) >
+          lit(38416).cast(dec) * (col("c1") + col("c2")).cast(dec) *
+            (col("n1") + col("n2") - col("c1") - col("c2")).cast(dec) *
+            col("n1").cast(dec) * col("n2").cast(dec)).cast(LongType))
+      .select(col("n1"), col("c1"), col("n2"), col("c2"), col("significant"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "ab_test_proportions" -> abTestProportions,
     "gini_split_scores" -> giniSplitScores,
     "rfm_scores" -> rfmScores,
     "seasonal_naive_backtest" -> seasonalNaiveBacktest,
@@ -886,6 +940,23 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "ab_test_proportions" ->
+      """WITH u AS (SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+        |    user_id % 2 AS arm
+        |  FROM events GROUP BY user_id),
+        |arms AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS c
+        |         FROM u GROUP BY arm),
+        |a AS (SELECT n AS n1, c AS c1 FROM arms WHERE arm = 0),
+        |b AS (SELECT n AS n2, c AS c2 FROM arms WHERE arm = 1)
+        |SELECT n1, c1, n2, c2,
+        |  CAST(CASE WHEN
+        |    CAST(c1 * n2 - c2 * n1 AS HUGEINT) * CAST(c1 * n2 - c2 * n1 AS HUGEINT)
+        |      * 10000 * CAST(n1 + n2 AS HUGEINT)
+        |    > 38416 * CAST(c1 + c2 AS HUGEINT) * CAST(n1 + n2 - c1 - c2 AS HUGEINT)
+        |      * CAST(n1 AS HUGEINT) * CAST(n2 AS HUGEINT)
+        |  THEN 1 ELSE 0 END AS BIGINT) AS significant
+        |FROM a CROSS JOIN b""".stripMargin,
     "gini_split_scores" ->
       """WITH cc AS (SELECT c_mktsegment AS seg, o_orderpriority AS cls,
         |    CAST(COUNT(*) AS BIGINT) AS c
@@ -1017,7 +1088,8 @@ object AnalyticsQueries {
         |adj AS (SELECT a AS y, b AS x FROM e UNION ALL SELECT b AS y, a AS x FROM e),
         |dg AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS dv FROM adj GROUP BY x),
         |w AS (SELECT a1.x AS x, a2.x AS z, CAST(COUNT(*) AS BIGINT) AS common
-        |      FROM adj a1 JOIN adj a2 ON a1.y = a2.y AND a1.x < a2.x GROUP BY 1, 2),
+        |      FROM adj a1 JOIN adj a2 ON a1.y = a2.y AND a1.x < a2.x GROUP BY 1, 2
+        |      HAVING COUNT(*) >= 2),
         |cand AS (SELECT w.* FROM w
         |         WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = w.x AND e.b = w.z))
         |SELECT x, z, common,

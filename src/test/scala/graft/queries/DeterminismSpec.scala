@@ -68,7 +68,8 @@ class DeterminismSpec extends SparkSpec {
     "rfm_scores",            // three Prefix NTILE-from-rank passes
     "seasonal_naive_backtest", // day-grain self-join, integer MAE
     "gini_split_scores",     // rational impurity, IEEE-identical rendering
-    "knn_label_eval")        // double TopK: 5-NN cut + majority vote
+    "knn_label_eval",        // double TopK: 5-NN cut + majority vote
+    "ab_test_proportions")   // cross-multiplied exact z-test verdict
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf
