@@ -889,9 +889,16 @@ object AnalyticsQueries {
     */
   private val abTestProportions: Q = (s, d) => {
     val dec = DecimalType(38, 0)
+    // conversion = a DOZEN-plus purchases, not "any purchase": every
+    // fixture user purchases at least once, which would make c = n in
+    // both arms and the verdict vacuously 0 at any α (the z² constant
+    // unwitnessable). At ≥12 the statistic is live — non-significant at
+    // sf0.001, SIGNIFICANT at sf0.01/sf0.1 — so both verdict branches
+    // are oracle-pinned across the driver SFs.
     val perUser = events(s, d)
       .groupBy("user_id")
-      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 12)
+        .cast(LongType).as("conv"))
       .withColumn("arm", (col("user_id") % 2).cast(LongType))
     val arms = perUser.groupBy("arm")
       .agg(count(lit(1)).cast(LongType).as("n"), sum("conv").cast(LongType).as("c"))
@@ -942,7 +949,8 @@ object AnalyticsQueries {
   def oracle: Map[String, String] = Map(
     "ab_test_proportions" ->
       """WITH u AS (SELECT user_id,
-        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 12
+        |         THEN 1 ELSE 0 END AS conv,
         |    user_id % 2 AS arm
         |  FROM events GROUP BY user_id),
         |arms AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS c
