@@ -916,7 +916,85 @@ object AnalyticsQueries {
       .select(col("n1"), col("c1"), col("n2"), col("c2"), col("significant"))
   }
 
+  /** Maximum drawdown of the daily-revenue level series: the largest
+    * peak-to-trough drop, with the first day it occurs — the
+    * volatility-monitoring classic. Day-grain aggregation first (frame
+    * bounded by the date range), then ONE [[Prefix.runningMax]]
+    * inclusive scan in day order; drawdown is peak−today, census
+    * aggregates pick the max and its first day. Integer cents.
+    */
+  private val maxDrawdown: Q = (s, d) => {
+    val daily = events(s, d)
+      .select(
+        floor(unix_millis(col("ts")) / lit(86400000.0)).cast(LongType).as("day"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .groupBy("day").agg(sum("cents").cast(LongType).as("rev"))
+    val m = Prefix
+      .runningMax(daily, lit(0L), Seq(col("day")), col("rev"), "peak")
+      .withColumn("dd", col("peak") - col("rev"))
+      .localCheckpoint(true) // census + argmax branches below
+    val worst = m.agg(max("dd").as("max_dd_cents"))
+    val ddDay = m.join(broadcast(worst), col("dd") === col("max_dd_cents"))
+      .agg(min("day").cast(LongType).as("dd_day"))
+    m.agg(
+      count(lit(1)).cast(LongType).as("n_days"),
+      max("peak").cast(LongType).as("peak_rev_cents"))
+      .crossJoin(broadcast(worst.select(col("max_dd_cents").cast(LongType).as("max_dd_cents"))))
+      .crossJoin(broadcast(ddDay))
+  }
+
+  /** Linear multi-touch attribution: each purchase's revenue is split
+    * across its preceding touch TYPES proportionally to touch counts —
+    * the equal-credit sibling of [[attributionLastTouch]]. Per-type
+    * credit is the integer floor `cents·c_t div n`; the division
+    * remainder goes to the LAST preceding touch (a deterministic
+    * largest-position rule, so every cent is conserved — the oracle
+    * pins conservation by construction). One user-partitioned window
+    * pass computes the per-type preceding counts and the last touch in
+    * the same frame; touchless purchases are 'organic' in full.
+    */
+  private val attributionLinear: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val types = Seq("click", "view", "signup", "error")
+    val base = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+    val counted = types.foldLeft(
+      base.withColumn(
+        "last_t",
+        last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
+          .over(w))) { (df, t) =>
+      // coalesce: an empty preceding frame (user's first event) sums to
+      // NULL, which would drop that purchase from BOTH branches below
+      df.withColumn(s"c_$t",
+        coalesce(sum(when(col("event_type") === t, 1L).otherwise(0L)).over(w), lit(0L)))
+    }
+    val p = counted.filter(col("event_type") === "purchase")
+      .withColumn("n_touch", types.map(t => col(s"c_$t")).reduce(_ + _))
+    val perType = types.map { t =>
+      p.filter(col("n_touch") > 0)
+        .select(lit(t).as("channel"),
+          expr(s"cents * c_$t div n_touch").as("credit"))
+    }.reduce(_ union _)
+    val remainders = p.filter(col("n_touch") > 0)
+      .select(col("last_t").as("channel"),
+        (col("cents") - types.map(t => expr(s"cents * c_$t div n_touch")).reduce(_ + _))
+          .as("credit"))
+    val organic = p.filter(col("n_touch") === 0)
+      .select(lit("organic").as("channel"), col("cents").as("credit"))
+    perType.union(remainders).union(organic)
+      .groupBy("channel")
+      .agg(sum("credit").cast(LongType).as("credit_cents"))
+      .filter(col("credit_cents") > 0)
+      .orderBy("channel")
+  }
+
   def queries: Map[String, Q] = Map(
+    "max_drawdown" -> maxDrawdown,
+    "attribution_linear" -> attributionLinear,
     "ab_test_proportions" -> abTestProportions,
     "gini_split_scores" -> giniSplitScores,
     "rfm_scores" -> rfmScores,
@@ -947,6 +1025,47 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "max_drawdown" ->
+      """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT day, rev,
+        |    MAX(rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM daily),
+        |d AS (SELECT day, peak, peak - rev AS dd FROM m),
+        |wst AS (SELECT MAX(dd) AS mx FROM d)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_days,
+        |  (SELECT CAST(MAX(peak) AS BIGINT) FROM d) AS peak_rev_cents,
+        |  CAST((SELECT mx FROM wst) AS BIGINT) AS max_dd_cents,
+        |  (SELECT CAST(MIN(day) AS BIGINT) FROM d
+        |   WHERE dd = (SELECT mx FROM wst)) AS dd_day""".stripMargin,
+    "attribution_linear" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM events),
+        |c AS (SELECT *,
+        |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER wpre AS last_t,
+        |    COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER wpre, 0) AS c_click,
+        |    COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER wpre, 0) AS c_view,
+        |    COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER wpre, 0) AS c_signup,
+        |    COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER wpre, 0) AS c_error
+        |  FROM e
+        |  WINDOW wpre AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT *, c_click + c_view + c_signup + c_error AS n_touch FROM c
+        |      WHERE event_type = 'purchase'),
+        |credits AS (
+        |  SELECT 'click' AS channel, cents * c_click // n_touch AS credit FROM p WHERE n_touch > 0
+        |  UNION ALL SELECT 'view', cents * c_view // n_touch FROM p WHERE n_touch > 0
+        |  UNION ALL SELECT 'signup', cents * c_signup // n_touch FROM p WHERE n_touch > 0
+        |  UNION ALL SELECT 'error', cents * c_error // n_touch FROM p WHERE n_touch > 0
+        |  UNION ALL SELECT last_t,
+        |    cents - (cents * c_click // n_touch + cents * c_view // n_touch
+        |             + cents * c_signup // n_touch + cents * c_error // n_touch)
+        |  FROM p WHERE n_touch > 0
+        |  UNION ALL SELECT 'organic', cents FROM p WHERE n_touch = 0)
+        |SELECT channel, CAST(SUM(credit) AS BIGINT) AS credit_cents
+        |FROM credits GROUP BY channel HAVING SUM(credit) > 0 ORDER BY channel""".stripMargin,
     "ab_test_proportions" ->
       """WITH u AS (SELECT user_id,
         |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 12

@@ -69,7 +69,9 @@ class DeterminismSpec extends SparkSpec {
     "seasonal_naive_backtest", // day-grain self-join, integer MAE
     "gini_split_scores",     // rational impurity, IEEE-identical rendering
     "knn_label_eval",        // double TopK: 5-NN cut + majority vote
-    "ab_test_proportions")   // cross-multiplied exact z-test verdict
+    "ab_test_proportions",   // cross-multiplied exact z-test verdict
+    "max_drawdown",          // Prefix running max over the daily level series
+    "attribution_linear")    // integer credit split with remainder conservation
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf
