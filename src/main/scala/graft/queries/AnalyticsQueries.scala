@@ -992,7 +992,74 @@ object AnalyticsQueries {
       .orderBy("channel")
   }
 
+  /** Degree assortativity of the sampled co-purchase graph — Pearson
+    * correlation of endpoint degrees over the directed edge list (both
+    * orientations, the Newman formulation): do similar-degree products
+    * co-purchase? One number that distinguishes hub-and-spoke from
+    * peer-to-peer structure. All five sums are exact int64 (Σd·d' caps
+    * ~5e14 at sf1); the n·Σ cross terms pass int64 so the bridge runs
+    * in decimal(38,0), then ONE double division renders micros —
+    * mirrored op-for-op by DuckDB in HUGEINT. Plan: degree agg + two
+    * broadcast-ready joins + one scalar aggregate.
+    */
+  private val graphAssortativity: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val und = copurchaseEdges(s, d, 5).distinct()
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).cast(LongType).as("dv"))
+    val dir = und.select(col("a"), col("b"))
+      .union(und.select(col("b").as("a"), col("a").as("b")))
+      .join(deg.select(col("v").as("a"), col("dv").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("dv").as("db")), Seq("b"))
+    dir.agg(
+      count(lit(1)).cast(LongType).as("n"),
+      sum("da").cast(LongType).as("sx"),
+      sum(col("da") * col("da")).cast(LongType).as("sxx"),
+      sum(col("da") * col("db")).cast(LongType).as("sxy"))
+      .withColumn(
+        "assortativity_micros",
+        floor(
+          (col("n").cast(dec) * col("sxy").cast(dec) -
+            col("sx").cast(dec) * col("sx").cast(dec)).cast(DoubleType) * 1e6 /
+            (col("n").cast(dec) * col("sxx").cast(dec) -
+              col("sx").cast(dec) * col("sx").cast(dec)).cast(DoubleType))
+          .cast(LongType))
+      .select(col("n").as("n_dir_edges"), col("assortativity_micros"))
+  }
+
+  /** Term-lift pairs: top-20 co-occurring pairs among the 30 highest-df
+    * terms by lift = P(a,b)/(P(a)P(b)) in integer micros — PMI's
+    * rational twin (PMI's log is float-unverifiable; lift ranks
+    * identically per fixed pair support). The vocabulary is cut to 30
+    * FIRST, so per-doc pair volume is bounded by C(30,2)=435 at any
+    * corpus size — the aggregate-first contract again. int64 headroom:
+    * n_ab·N·1e6 ≈ 2.5e17 at sf10.
+    */
+  private val termLiftPairs: Q = (s, d) => {
+    val tfdf = TextStats.tfDf(documents(s, d), "doc_id", "text")
+    val nDocs = documents(s, d).agg(count(lit(1)).cast(LongType).as("big_n"))
+    val top = tfdf.groupBy("term").agg(max(col("df")).cast(LongType).as("df"))
+      .orderBy(desc("df"), asc("term")).limit(30)
+      .localCheckpoint(true) // consumed by the semi-join and two df joins
+    val dt = tfdf.select("doc_id", "term")
+      .join(broadcast(top.select("term")), Seq("term"), "left_semi")
+    val pairs = dt.select(col("doc_id"), col("term").as("t1"))
+      .join(dt.select(col("doc_id"), col("term").as("t2")), Seq("doc_id"))
+      .filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).cast(LongType).as("n_ab"))
+    pairs
+      .join(broadcast(top.select(col("term").as("t1"), col("df").as("na"))), Seq("t1"))
+      .join(broadcast(top.select(col("term").as("t2"), col("df").as("nb"))), Seq("t2"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("lift_micros", expr("n_ab * big_n * 1000000 div (na * nb)"))
+      .select(col("t1"), col("t2"), col("n_ab"), col("lift_micros"))
+      .orderBy(desc("lift_micros"), asc("t1"), asc("t2"))
+      .limit(20)
+  }
+
   def queries: Map[String, Q] = Map(
+    "graph_assortativity" -> graphAssortativity,
+    "term_lift_pairs" -> termLiftPairs,
     "max_drawdown" -> maxDrawdown,
     "attribution_linear" -> attributionLinear,
     "ab_test_proportions" -> abTestProportions,
@@ -1025,6 +1092,39 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "graph_assortativity" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |            WHERE l_orderkey % 5 = 0),
+        |und AS (SELECT DISTINCT a.pk AS a, b.pk AS b FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS dv FROM
+        |          (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+        |dir AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(da.dv) AS BIGINT) AS sx,
+        |        CAST(SUM(da.dv * da.dv) AS BIGINT) AS sxx,
+        |        CAST(SUM(da.dv * db.dv) AS BIGINT) AS sxy
+        |      FROM dir JOIN deg da ON da.v = dir.a JOIN deg db ON db.v = dir.b)
+        |SELECT n AS n_dir_edges,
+        |  CAST(floor(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx AS DOUBLE) * 1000000.0 /
+        |       CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) AS BIGINT)
+        |    AS assortativity_micros
+        |FROM s""".stripMargin,
+    "term_lift_pairs" ->
+      s"""WITH n AS (SELECT doc_id, coalesce($normSql, '') AS t FROM documents),
+        |tk AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM n),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tk
+        |       WHERE length(term) > 0 GROUP BY 1, 2),
+        |ag AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |top AS (SELECT * FROM ag ORDER BY df DESC, term LIMIT 30),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS big_n FROM documents),
+        |dt AS (SELECT tf.doc_id, tf.term FROM tf JOIN top ON tf.term = top.term),
+        |p AS (SELECT a.term AS t1, b.term AS t2, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+        |      GROUP BY 1, 2)
+        |SELECT t1, t2, n_ab,
+        |  CAST(n_ab * big_n * 1000000 // (ta.df * tb.df) AS BIGINT) AS lift_micros
+        |FROM p JOIN top ta ON ta.term = p.t1 JOIN top tb ON tb.term = p.t2 CROSS JOIN nd
+        |ORDER BY lift_micros DESC, t1, t2 LIMIT 20""".stripMargin,
     "max_drawdown" ->
       """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
         |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev

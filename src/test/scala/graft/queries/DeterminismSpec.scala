@@ -71,7 +71,9 @@ class DeterminismSpec extends SparkSpec {
     "knn_label_eval",        // double TopK: 5-NN cut + majority vote
     "ab_test_proportions",   // cross-multiplied exact z-test verdict
     "max_drawdown",          // Prefix running max over the daily level series
-    "attribution_linear")    // integer credit split with remainder conservation
+    "attribution_linear",    // integer credit split with remainder conservation
+    "graph_assortativity",   // exact int64/decimal sums + one double division
+    "term_lift_pairs")       // bounded-vocab pair lift in integer micros
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf

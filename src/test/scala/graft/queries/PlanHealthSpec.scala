@@ -42,6 +42,7 @@ class PlanHealthSpec extends SparkSpec {
     "rfm_scores",           // 1-row max-ts/user-count frames crossed per rank pass
     "ab_test_proportions",  // two 1-row arm frames crossed
     "max_drawdown",         // 1-row worst/argmax/census frames crossed
+    "term_lift_pairs",      // 1-row corpus-doc-count frame crossed
     "bm25_topk",            // 1-row corpus-stats frame (N, total tokens)
     "rrf_fusion",           // 1-row stats frame + global-rank offset frames
     "sample_weighted_pps",  // 1-row total-weight frame
