@@ -1057,7 +1057,58 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  /** Gini coefficient of per-user revenue — the inequality / whale-
+    * concentration metric: G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over
+    * ascending-sorted user revenues. The rank weights come from
+    * [[Prefix.globalRank]] (never a no-partition window); Σ rank·cents
+    * passes int64 (~1e21 at sf10) so it runs in decimal(38,0), then ONE
+    * double division renders micros — DuckDB replays in HUGEINT.
+    */
+  private val giniUserRevenue: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val users = events(s, d)
+      .select(col("user_id"), (dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .groupBy("user_id").agg(sum("cents").cast(LongType).as("rev"))
+    Prefix.globalRank(users, Seq(asc("rev"), asc("user_id")), "rnk")
+      .agg(
+        count(lit(1)).cast(LongType).as("n_users"),
+        sum("rev").cast(LongType).as("total_cents"),
+        sum(col("rnk").cast(dec) * col("rev").cast(dec)).as("srx"))
+      .withColumn(
+        "gini_micros",
+        floor(
+          (lit(2).cast(dec) * col("srx") -
+            (col("n_users") + 1).cast(dec) * col("total_cents").cast(dec)).cast(DoubleType) * 1e6 /
+            (col("n_users").cast(dec) * col("total_cents").cast(dec)).cast(DoubleType))
+          .cast(LongType))
+      .select(col("n_users"), col("total_cents"), col("gini_micros"))
+  }
+
+  /** 7-day conversion rate: of users whose first event is a signup, how
+    * many purchase within 7 days of it — the bounded-window growth
+    * metric (unbounded time_to_convert is the latency twin). Two
+    * per-user aggregates + one census row; rate in integer micros.
+    */
+  private val conversionRate7d: Q = (s, d) => {
+    val e = events(s, d)
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(unix_millis(col("ts"))).as("s_ms"))
+    val pu = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("p_ms"))
+    su.join(pu, Seq("user_id"), "left")
+      .groupBy("user_id")
+      .agg(max(
+        when(col("p_ms") >= col("s_ms") &&
+          col("p_ms") < col("s_ms") + 7L * 86400000L, 1L).otherwise(0L)).as("conv"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_signups"),
+        sum("conv").cast(LongType).as("n_converted_7d"))
+      .withColumn("rate_micros", expr("n_converted_7d * 1000000 div n_signups"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "gini_user_revenue" -> giniUserRevenue,
+    "conversion_rate_7d" -> conversionRate7d,
     "graph_assortativity" -> graphAssortativity,
     "term_lift_pairs" -> termLiftPairs,
     "max_drawdown" -> maxDrawdown,
@@ -1092,6 +1143,29 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "gini_user_revenue" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY user_id),
+        |r AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, user_id) AS rnk FROM u),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users, CAST(SUM(rev) AS BIGINT) AS total_cents,
+        |        SUM(CAST(rnk AS HUGEINT) * rev) AS srx FROM r)
+        |SELECT n_users, total_cents,
+        |  CAST(floor(CAST(2 * srx - CAST(n_users + 1 AS HUGEINT) * total_cents AS DOUBLE) * 1000000.0 /
+        |       CAST(CAST(n_users AS HUGEINT) * total_cents AS DOUBLE)) AS BIGINT) AS gini_micros
+        |FROM s""".stripMargin,
+    "conversion_rate_7d" ->
+      """WITH su AS (SELECT user_id, MIN(epoch_ms(ts)) AS s_ms FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |pu AS (SELECT user_id, epoch_ms(ts) AS p_ms FROM events WHERE event_type = 'purchase'),
+        |u AS (SELECT su.user_id,
+        |    MAX(CASE WHEN pu.p_ms >= su.s_ms AND pu.p_ms < su.s_ms + 7 * 86400000
+        |             THEN 1 ELSE 0 END) AS conv
+        |  FROM su LEFT JOIN pu ON pu.user_id = su.user_id GROUP BY su.user_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_signups,
+        |  CAST(SUM(conv) AS BIGINT) AS n_converted_7d,
+        |  CAST(SUM(conv) * 1000000 // COUNT(*) AS BIGINT) AS rate_micros
+        |FROM u""".stripMargin,
     "graph_assortativity" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
         |            WHERE l_orderkey % 5 = 0),

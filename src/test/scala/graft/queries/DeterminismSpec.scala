@@ -73,7 +73,9 @@ class DeterminismSpec extends SparkSpec {
     "max_drawdown",          // Prefix running max over the daily level series
     "attribution_linear",    // integer credit split with remainder conservation
     "graph_assortativity",   // exact int64/decimal sums + one double division
-    "term_lift_pairs")       // bounded-vocab pair lift in integer micros
+    "term_lift_pairs",       // bounded-vocab pair lift in integer micros
+    "gini_user_revenue",     // Prefix rank-weighted exact Lorenz sum
+    "conversion_rate_7d")    // bounded-window conversion census
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf
