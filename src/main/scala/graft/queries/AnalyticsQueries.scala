@@ -1106,7 +1106,95 @@ object AnalyticsQueries {
       .withColumn("rate_micros", expr("n_converted_7d * 1000000 div n_signups"))
   }
 
+  /** DAU/MAU stickiness per calendar month: (mean daily actives) /
+    * (monthly actives) in integer micros — the engagement-intensity
+    * ratio every growth dashboard carries. Three hash aggregations
+    * (day-grain distinct, month-grain rollup, month-grain distinct) and
+    * one keyed join; every number is a count, ONE integer floor
+    * division renders micros. Sum of daily actives stays far under
+    * int64 (≤31 days × users/day).
+    */
+  private val stickinessDauMau: Q = (s, d) => {
+    val e = events(s, d).select(
+      (year(col("ts")) * 100 + month(col("ts"))).cast(LongType).as("ym"),
+      floor(unix_millis(col("ts")) / lit(86400000.0)).cast(LongType).as("day"),
+      col("user_id"))
+    val daily = e.select("ym", "day", "user_id").distinct()
+      .groupBy("ym", "day").agg(count(lit(1)).as("dau"))
+      .groupBy("ym").agg(
+        count(lit(1)).cast(LongType).as("n_days"),
+        sum("dau").cast(LongType).as("sum_dau"))
+    val monthly = e.select("ym", "user_id").distinct()
+      .groupBy("ym").agg(count(lit(1)).cast(LongType).as("mau"))
+    daily.join(monthly, Seq("ym"))
+      .withColumn("stickiness_micros", expr("sum_dau * 1000000 div (n_days * mau)"))
+  }
+
+  /** Benford first-digit audit of order totals: observed first-digit
+    * share vs Benford's law, per digit, in integer micros. The expected
+    * shares are the nine constants round(log10(1+1/d)·1e6) — baked in as
+    * literals on BOTH engines, so no transcendental is ever evaluated at
+    * query time. The first digit comes from the integer-cents DECIMAL
+    * rendering (leading char of the int64 string — portable, unlike
+    * float formatting or a log10-based bucketing whose ulp at exact
+    * powers of ten could differ cross-engine). Driven from the expected
+    * side (left join) so a digit absent in the data still reports its
+    * deficit. One hash agg + a 9-row broadcast.
+    */
+  private val benfordDigitAudit: Q = (s, d) => {
+    import s.implicits._
+    val expected = Seq(
+      1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,
+      5L -> 79181L, 6L -> 66947L, 7L -> 57992L, 8L -> 51153L,
+      9L -> 45757L).toDF("digit", "expected_micros")
+    val obs = orders(s, d)
+      .select(substring((dec2(col("o_totalprice")) * 100).cast(LongType)
+        .cast(StringType), 1, 1).cast(LongType).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).cast(LongType).as("n"))
+    val tot = obs.agg(sum("n").cast(LongType).as("total"))
+    broadcast(expected).join(obs, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(tot))
+      .withColumn("observed_micros", expr("n * 1000000 div total"))
+      .withColumn("dev_micros", col("observed_micros") - col("expected_micros"))
+      .select("digit", "n", "observed_micros", "expected_micros", "dev_micros")
+  }
+
+  /** Change-point detection on the daily revenue series (CUSUM of
+    * deviations from the global mean): the day where the cumulative
+    * deviation |Σ_{i≤t}(x_i − x̄)| peaks is the classic single
+    * change-point estimate. Division-free: deviations live in n-scaled
+    * integer space (x_i·n − S, exact cents), the running sum is ONE
+    * [[Prefix.runningSum]] pass (never a no-partition window), the peak
+    * pick a census + argmin-day join. |C_t| ≤ n²·max_daily_cents keeps
+    * int64 headroom past sf1000 (~8e17 vs 9.2e18).
+    */
+  private val changepointCusum: Q = (s, d) => {
+    val daily = events(s, d)
+      .select(
+        floor(unix_millis(col("ts")) / lit(86400000.0)).cast(LongType).as("day"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .groupBy("day").agg(sum("cents").cast(LongType).as("rev"))
+      .localCheckpoint(true) // stats + cumulative branches below
+    val stats = daily.agg(
+      count(lit(1)).cast(LongType).as("n_days"),
+      sum("rev").cast(LongType).as("tot"))
+    val dev = daily.crossJoin(broadcast(stats))
+      .withColumn("dev", col("rev") * col("n_days") - col("tot"))
+      .select("day", "dev")
+    val cum = Prefix.runningSum(dev, lit(0L), Seq(col("day")), col("dev"), "c")
+      .localCheckpoint(true) // peak census + argmin-day branches
+    val peak = cum.agg(max(abs(col("c"))).as("max_abs"))
+    cum.join(broadcast(peak), abs(col("c")) === col("max_abs"))
+      .agg(min("day").cast(LongType).as("cp_day"))
+      .crossJoin(broadcast(peak.select(col("max_abs").cast(LongType).as("max_abs_c"))))
+      .crossJoin(broadcast(stats.select(col("n_days"), col("tot").as("total_cents"))))
+  }
+
   def queries: Map[String, Q] = Map(
+    "stickiness_dau_mau" -> stickinessDauMau,
+    "benford_digit_audit" -> benfordDigitAudit,
+    "changepoint_cusum" -> changepointCusum,
     "gini_user_revenue" -> giniUserRevenue,
     "conversion_rate_7d" -> conversionRate7d,
     "graph_assortativity" -> graphAssortativity,
@@ -1143,6 +1231,41 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "stickiness_dau_mau" ->
+      """WITH e AS (SELECT CAST(year(ts) * 100 + month(ts) AS BIGINT) AS ym,
+        |    epoch_ms(ts) // 86400000 AS day, user_id FROM events),
+        |d AS (SELECT ym, day, COUNT(DISTINCT user_id) AS dau FROM e GROUP BY ym, day),
+        |dd AS (SELECT ym, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |         CAST(SUM(dau) AS BIGINT) AS sum_dau FROM d GROUP BY ym),
+        |m AS (SELECT ym, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau FROM e GROUP BY ym)
+        |SELECT dd.ym, n_days, sum_dau, mau,
+        |  CAST(sum_dau * 1000000 // (n_days * mau) AS BIGINT) AS stickiness_micros
+        |FROM dd JOIN m ON dd.ym = m.ym""".stripMargin,
+    "benford_digit_audit" ->
+      """WITH exp AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |    (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |    (9, 45757)) AS t(digit, expected_micros)),
+        |obs AS (SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |          AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |        CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs)
+        |SELECT CAST(exp.digit AS BIGINT) AS digit, COALESCE(obs.n, 0) AS n,
+        |  CAST(COALESCE(obs.n, 0) * 1000000 // total AS BIGINT) AS observed_micros,
+        |  CAST(expected_micros AS BIGINT) AS expected_micros,
+        |  CAST(COALESCE(obs.n, 0) * 1000000 // total - expected_micros AS BIGINT) AS dev_micros
+        |FROM exp LEFT JOIN obs ON exp.digit = obs.digit CROSS JOIN tot""".stripMargin,
+    "changepoint_cusum" ->
+      """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(rev) AS BIGINT) AS tot
+        |       FROM daily),
+        |c AS (SELECT day, SUM(rev * n_days - tot) OVER (ORDER BY day) AS c
+        |      FROM daily CROSS JOIN st),
+        |mx AS (SELECT CAST(MAX(ABS(c)) AS BIGINT) AS max_abs_c FROM c)
+        |SELECT CAST(MIN(day) AS BIGINT) AS cp_day, max_abs_c, n_days, tot AS total_cents
+        |FROM c CROSS JOIN mx CROSS JOIN st
+        |WHERE ABS(c) = max_abs_c GROUP BY max_abs_c, n_days, tot""".stripMargin,
     "gini_user_revenue" ->
       """WITH u AS (SELECT user_id,
         |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev

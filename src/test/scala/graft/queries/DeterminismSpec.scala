@@ -75,7 +75,8 @@ class DeterminismSpec extends SparkSpec {
     "graph_assortativity",   // exact int64/decimal sums + one double division
     "term_lift_pairs",       // bounded-vocab pair lift in integer micros
     "gini_user_revenue",     // Prefix rank-weighted exact Lorenz sum
-    "conversion_rate_7d")    // bounded-window conversion census
+    "conversion_rate_7d",    // bounded-window conversion census
+    "changepoint_cusum")     // Prefix running sum of n-scaled deviations
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf

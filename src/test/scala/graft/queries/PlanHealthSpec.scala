@@ -46,7 +46,9 @@ class PlanHealthSpec extends SparkSpec {
     "bm25_topk",            // 1-row corpus-stats frame (N, total tokens)
     "rrf_fusion",           // 1-row stats frame + global-rank offset frames
     "sample_weighted_pps",  // 1-row total-weight frame
-    "source_tv_divergence") // 1-row corpus-token-total frame
+    "source_tv_divergence", // 1-row corpus-token-total frame
+    "benford_digit_audit",  // 1-row digit-total frame × 9-row expected table
+    "changepoint_cusum")    // 1-row stats/peak frames crossed
 
   /** Data-model columns with single-digit cardinality. A window
     * PARTITION BY drawn ONLY from these caps sort parallelism at the
