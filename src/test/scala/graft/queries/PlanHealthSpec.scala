@@ -48,7 +48,8 @@ class PlanHealthSpec extends SparkSpec {
     "sample_weighted_pps",  // 1-row total-weight frame
     "source_tv_divergence", // 1-row corpus-token-total frame
     "benford_digit_audit",  // 1-row digit-total frame × 9-row expected table
-    "changepoint_cusum")    // 1-row stats/peak frames crossed
+    "changepoint_cusum",    // 1-row stats/peak frames crossed
+    "contrastive_negatives") // 1-row ring-size frame crossed
 
   /** Data-model columns with single-digit cardinality. A window
     * PARTITION BY drawn ONLY from these caps sort parallelism at the
