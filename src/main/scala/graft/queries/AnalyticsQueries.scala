@@ -1251,7 +1251,58 @@ object AnalyticsQueries {
       .select(col("doc_id").as("anchor_id"), col("j"), col("neg_id"))
   }
 
+  /** Kaplan–Meier survival curve of time-to-high-value-conversion: the
+    * "event" is a user's first purchase of value ≥ 200, measured in days
+    * from their first event; users who never convert are RIGHT-CENSORED
+    * at their last observed day — the estimator's whole point, and both
+    * branches are witnessed at every test SF (4/11 deaths/censored at
+    * sf0.001 through 297/1203 at sf0.1). S(tᵢ) = S(tᵢ₋₁)·(nᵢ−dᵢ)/nᵢ is
+    * an inherently SEQUENTIAL product, so the plan is aggregate-first:
+    * the distributed part reduces the corpus to one (duration, deaths,
+    * at-risk) row per distinct duration — at-risk counts are a suffix
+    * sum from ONE [[Prefix.runningSum]] pass — and only that
+    * date-range-bounded frame (≤ a few hundred rows at ANY corpus size)
+    * is folded through a single `aggregate` HOF applying the per-step
+    * integer floor to micros. The same floors replay in DuckDB as a
+    * recursive CTE, so the whole curve hash-checks. S·n ≤ 1e6·users
+    * keeps int64 headroom to ~9e12 users.
+    */
+  private val survivalKaplanMeier: Q = (s, d) => {
+    val e = events(s, d)
+      .select(col("user_id"),
+        floor(unix_millis(col("ts")) / lit(86400000.0)).cast(LongType).as("day"),
+        col("event_type"), col("value"))
+      .localCheckpoint(true) // span + qualifying-purchase branches
+    val span = e.groupBy("user_id").agg(min("day").as("fd"), max("day").as("ld"))
+    val conv = e.filter(col("event_type") === "purchase" && col("value") >= 200)
+      .groupBy("user_id").agg(min("day").as("pd"))
+    val byDur = span.join(conv, Seq("user_id"), "left")
+      .select(
+        when(col("pd").isNotNull, col("pd") - col("fd"))
+          .otherwise(col("ld") - col("fd")).as("dur"),
+        when(col("pd").isNotNull, 1L).otherwise(0L).as("death"))
+      .groupBy("dur").agg(
+        count(lit(1)).cast(LongType).as("m"),
+        sum("death").cast(LongType).as("dd"))
+    val tot = byDur.agg(sum("m").cast(LongType).as("tot"))
+    val steps = Prefix.runningSum(byDur, lit(0L), Seq(col("dur")), col("m"), "cm")
+      .crossJoin(broadcast(tot))
+      .withColumn("n", col("tot") - col("cm") + col("m"))
+      .filter(col("dd") > 0)
+    steps
+      .agg(sort_array(collect_list(struct(col("dur"), col("n"), col("dd")))).as("rows"))
+      .selectExpr(
+        """inline(aggregate(rows,
+          |  cast(array() as array<struct<dur:bigint,n_risk:bigint,deaths:bigint,surv_micros:bigint>>),
+          |  (acc, x) -> array_append(acc, named_struct(
+          |    'dur', x.dur, 'n_risk', x.n, 'deaths', x.dd,
+          |    'surv_micros',
+          |    (if(size(acc) == 0, 1000000L, element_at(acc, -1).surv_micros)
+          |      * (x.n - x.dd)) div x.n))))""".stripMargin)
+  }
+
   def queries: Map[String, Q] = Map(
+    "survival_kaplan_meier" -> survivalKaplanMeier,
     "source_simpson_diversity" -> sourceSimpsonDiversity,
     "contrastive_negatives" -> contrastiveNegatives,
     "stickiness_dau_mau" -> stickinessDauMau,
@@ -1293,6 +1344,29 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "survival_kaplan_meier" ->
+      """WITH RECURSIVE u AS (SELECT user_id,
+        |    MIN(epoch_ms(ts) // 86400000) AS fd, MAX(epoch_ms(ts) // 86400000) AS ld
+        |  FROM events GROUP BY user_id),
+        |cv AS (SELECT user_id, MIN(epoch_ms(ts) // 86400000) AS pd FROM events
+        |       WHERE event_type = 'purchase' AND value >= 200 GROUP BY user_id),
+        |uu AS (SELECT CASE WHEN pd IS NOT NULL THEN pd - fd ELSE ld - fd END AS dur,
+        |         CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END AS death
+        |       FROM u LEFT JOIN cv USING (user_id)),
+        |bt AS (SELECT dur, CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(death) AS BIGINT) AS dd
+        |       FROM uu GROUP BY dur),
+        |tt AS (SELECT CAST(SUM(m) AS BIGINT) AS tot FROM bt),
+        |cm AS (SELECT dur, m, dd, SUM(m) OVER (ORDER BY dur) AS cmm FROM bt),
+        |st AS (SELECT dur, CAST(tot - cmm + m AS BIGINT) AS n, dd,
+        |         ROW_NUMBER() OVER (ORDER BY dur) AS rn
+        |       FROM cm CROSS JOIN tt WHERE dd > 0),
+        |km AS (
+        |  SELECT dur, n, dd, rn, (1000000 * (n - dd)) // n AS s FROM st WHERE rn = 1
+        |  UNION ALL
+        |  SELECT st.dur, st.n, st.dd, st.rn, (km.s * (st.n - st.dd)) // st.n
+        |  FROM km JOIN st ON st.rn = km.rn + 1)
+        |SELECT dur, n AS n_risk, dd AS deaths, CAST(s AS BIGINT) AS surv_micros
+        |FROM km""".stripMargin,
     "source_simpson_diversity" ->
       s"""WITH nm AS (SELECT source AS sid, coalesce($normSql, '') AS t FROM documents),
         |tk AS (SELECT sid, unnest(string_split(t, ' ')) AS term FROM nm),

@@ -351,7 +351,58 @@ object DedupQueries {
       .orderBy("cluster_rep")
   }
 
+  /** MinHash estimator-calibration audit: for every LSH candidate pair,
+    * compare the signature-estimated Jaccard (matching components / 16,
+    * i.e. matches·62500 micros) against the EXACT shingle Jaccard, and
+    * census the error — the audit a production dedup pipeline runs
+    * before trusting a sketch parameterization (k, band shape) at a new
+    * corpus. Exact intersections are computed only for the LSH-bounded
+    * candidate set (never all pairs): shingles semi-joined down to
+    * candidate docs, one shingle equi-join, pair filter pushed before
+    * the count. False-positive pairs with DISJOINT shingle sets must
+    * still score exact=0, so the estimate side left-joins the exact
+    * side. One census row; integer micros throughout.
+    */
+  private val minhashCalibration: Q = (s, d) => {
+    val sh = Dedup.wordShingles(nearDupCorpus(s, d), "doc_id", "t", 5)
+      .localCheckpoint(true) // signature, size, and intersection branches
+    val sig = Dedup.minhashSignature(sh, "doc_id", 16, portable = true)
+      .localCheckpoint(true) // band and per-pair match branches
+    val cands = Dedup.lshCandidates(sig, "doc_id", 16, 2, portable = true)
+      .localCheckpoint(true) // estimate join + intersection restriction
+    val matches = (0 until 16)
+      .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = cands
+      .join(sig.as("a"), col("id_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("id_b") === col("b.doc_id"))
+      .select(col("id_a"), col("id_b"), (matches * 62500L).as("est_micros"))
+    val candDocs = cands.select(col("id_a").as("doc_id"))
+      .union(cands.select(col("id_b").as("doc_id"))).distinct()
+    val shc = sh.join(candDocs, Seq("doc_id"), "leftsemi")
+    val inter = shc.select(col("doc_id").as("id_a"), col("shingle"))
+      .join(shc.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
+      .join(cands, Seq("id_a", "id_b"), "leftsemi")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).cast(LongType).as("i"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).cast(LongType).as("sz"))
+    est
+      .join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("i"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sa")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sb")), Seq("id_b"))
+      .withColumn("exact_micros", expr("i * 1000000 div (sa + sb - i)"))
+      .withColumn("err", col("est_micros") - col("exact_micros"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_pairs"),
+        sum(abs(col("err"))).cast(LongType).as("sum_abs"),
+        max(abs(col("err"))).cast(LongType).as("max_abs_err_micros"),
+        sum("err").cast(LongType).as("sum_signed_err"))
+      .withColumn("mean_abs_err_micros", expr("sum_abs div n_pairs"))
+      .select("n_pairs", "mean_abs_err_micros", "max_abs_err_micros",
+        "sum_signed_err")
+  }
+
   val queries: Map[String, Q] = Map(
+    "minhash_calibration" -> minhashCalibration,
     "dedup_pipeline_e2e" -> pipelineE2e,
     "dedup_clusters" -> clusters,
     "dedup_clusters_star" -> clustersStar,
@@ -441,6 +492,51 @@ object DedupQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Signature + band + candidate CTEs shared with [[minhashLshSql]],
+    * extended with per-pair component matches and the exact shingle
+    * Jaccard — the SQL image of `minhashCalibration`.
+    */
+  private val minhashCalibrationSql: String = {
+    val p = Dedup.MinHashPrime
+    val sigCols = (0 until 16)
+      .map { i =>
+        val (a, b) = Dedup.minhashPermCoeffs(i)
+        s"  MIN(($a * hmod + $b) % $p) AS mh$i"
+      }
+      .mkString(",\n")
+    val bandSelects = (0 until 8)
+      .map(bi =>
+        s"  SELECT doc_id, $bi AS band, md5(concat(mh${2 * bi}, ',', mh${2 * bi + 1})) AS bh FROM sig")
+      .mkString("\n  UNION ALL\n")
+    val matchSum = (0 until 16)
+      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $corpusSql,
+       |shh AS (SELECT doc_id, ${ph64("shingle")} % $p AS hmod FROM sh),
+       |sig AS (SELECT doc_id,
+       |$sigCols
+       |FROM shh GROUP BY doc_id),
+       |bands AS (
+       |$bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |est AS (SELECT id_a, id_b, CAST(($matchSum) * 62500 AS BIGINT) AS est_micros
+       |  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b),
+       |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS s FROM sh GROUP BY doc_id),
+       |itr AS (SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS i
+       |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+       |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle GROUP BY 1, 2),
+       |per AS (SELECT est_micros,
+       |    COALESCE(i, 0) * 1000000 // (za.s + zb.s - COALESCE(i, 0)) AS exact_micros
+       |  FROM est LEFT JOIN itr USING (id_a, id_b)
+       |  JOIN sz za ON za.doc_id = est.id_a JOIN sz zb ON zb.doc_id = est.id_b)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(ABS(est_micros - exact_micros)) // COUNT(*) AS BIGINT) AS mean_abs_err_micros,
+       |  CAST(MAX(ABS(est_micros - exact_micros)) AS BIGINT) AS max_abs_err_micros,
+       |  CAST(SUM(est_micros - exact_micros) AS BIGINT) AS sum_signed_err
+       |FROM per""".stripMargin
+  }
+
   /** 60 per-bit vote sums + bit reassembly + 4x15-bit banding — the exact
     * SQL image of `simhashPortable(..., 60)` + `simhashPairs(..., 3, 15)`.
     */
@@ -477,6 +573,7 @@ object DedupQueries {
 
   val oracle: Map[String, String] = Map(
     "dedup_minhash_lsh" -> minhashLshSql,
+    "minhash_calibration" -> minhashCalibrationSql,
     "dedup_simhash" -> simhashSql,
     "dedup_pipeline_e2e" ->
       s"""WITH $corpusSql,

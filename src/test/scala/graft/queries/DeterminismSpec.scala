@@ -77,7 +77,9 @@ class DeterminismSpec extends SparkSpec {
     "gini_user_revenue",     // Prefix rank-weighted exact Lorenz sum
     "conversion_rate_7d",    // bounded-window conversion census
     "changepoint_cusum",     // Prefix running sum of n-scaled deviations
-    "contrastive_negatives") // Prefix hash-ring rank + modular draw
+    "contrastive_negatives", // Prefix hash-ring rank + modular draw
+    "survival_kaplan_meier", // Prefix suffix-sum + sequential HOF fold
+    "minhash_calibration")   // LSH candidates + exact-Jaccard join census
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf

@@ -49,7 +49,8 @@ class PlanHealthSpec extends SparkSpec {
     "source_tv_divergence", // 1-row corpus-token-total frame
     "benford_digit_audit",  // 1-row digit-total frame × 9-row expected table
     "changepoint_cusum",    // 1-row stats/peak frames crossed
-    "contrastive_negatives") // 1-row ring-size frame crossed
+    "contrastive_negatives", // 1-row ring-size frame crossed
+    "survival_kaplan_meier") // 1-row max-day/total frames crossed
 
   /** Data-model columns with single-digit cardinality. A window
     * PARTITION BY drawn ONLY from these caps sort parallelism at the
