@@ -373,18 +373,30 @@ object DedupQueries {
     val matches = (0 until 16)
       .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1L).otherwise(0L))
       .reduce(_ + _)
-    val est = cands
-      .join(sig.as("a"), col("id_a") === col("a.doc_id"))
-      .join(sig.as("b"), col("id_b") === col("b.doc_id"))
-      .select(col("id_a"), col("id_b"), (matches * 62500L).as("est_micros"))
+    // Everything below involves only CANDIDATE docs, so restrict the
+    // signature and shingle tables to them FIRST (one semi-join each).
+    // At sf1 AQE already broadcasts the bounded candidate frames, so the
+    // measured win is small (331→328 MB, 14.4→13.3 s) — the restriction
+    // is for the regime where candidates OUTGROW broadcast and the
+    // unrestricted pair joins would shuffle the full corpus-wide tables.
+    // The remaining shuffle is the candidate-doc shingle self-join
+    // (exact intersections need the strings), linear in candidates —
+    // the same accepted class as dedup_ngram_jaccard's equi-join.
     val candDocs = cands.select(col("id_a").as("doc_id"))
       .union(cands.select(col("id_b").as("doc_id"))).distinct()
+      .localCheckpoint(true) // sig + shingle restriction branches
+    val sigc = sig.join(candDocs, Seq("doc_id"), "leftsemi")
+    val est = cands
+      .join(sigc.as("a"), col("id_a") === col("a.doc_id"))
+      .join(sigc.as("b"), col("id_b") === col("b.doc_id"))
+      .select(col("id_a"), col("id_b"), (matches * 62500L).as("est_micros"))
     val shc = sh.join(candDocs, Seq("doc_id"), "leftsemi")
+      .localCheckpoint(true) // intersection + size branches
     val inter = shc.select(col("doc_id").as("id_a"), col("shingle"))
       .join(shc.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
       .join(cands, Seq("id_a", "id_b"), "leftsemi")
       .groupBy("id_a", "id_b").agg(count(lit(1)).cast(LongType).as("i"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).cast(LongType).as("sz"))
+    val sizes = shc.groupBy("doc_id").agg(count(lit(1)).cast(LongType).as("sz"))
     est
       .join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("i"))
       .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sa")), Seq("id_a"))
