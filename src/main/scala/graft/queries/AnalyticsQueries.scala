@@ -1301,7 +1301,40 @@ object AnalyticsQueries {
           |      * (x.n - x.dd)) div x.n))))""".stripMargin)
   }
 
+  /** Window funnel (ClickHouse `windowFunnel` semantics): max funnel
+    * depth signup → view → purchase a user reaches with every step
+    * strictly after the previous one and inside T=3 days of the FIRST
+    * step. The sequential "next step after the last" recursion becomes
+    * three chained conditional-min aggregates (each one filtered scan +
+    * equi-join + hash agg — no per-user window sort, parallelism scales
+    * with users); census by depth. All depths witnessed at every test SF
+    * (4/4/7 at sf0.001 through 45/50/55 at sf0.01).
+    */
+  private val windowFunnelDepth: Q = (s, d) => {
+    val T = 3L * 86400000L
+    val e = events(s, d)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_type"))
+      .localCheckpoint(true) // four filtered scans below
+    val t1 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ms").as("t1"))
+    val t2 = e.filter(col("event_type") === "view").join(t1, Seq("user_id"))
+      .filter(col("ms") > col("t1") && col("ms") < col("t1") + T)
+      .groupBy("user_id").agg(min("ms").as("t2"), min("t1").as("t1b"))
+    val t3 = e.filter(col("event_type") === "purchase").join(t2, Seq("user_id"))
+      .filter(col("ms") > col("t2") && col("ms") < col("t1b") + T)
+      .groupBy("user_id").agg(min("ms").as("t3"))
+    e.select("user_id").distinct()
+      .join(t1.select(col("user_id"), lit(1L).as("d1")), Seq("user_id"), "left")
+      .join(t2.select(col("user_id"), lit(1L).as("d2")), Seq("user_id"), "left")
+      .join(t3.select(col("user_id"), lit(1L).as("d3")), Seq("user_id"), "left")
+      .select(
+        when(col("d3").isNotNull, 3L).when(col("d2").isNotNull, 2L)
+          .when(col("d1").isNotNull, 1L).otherwise(0L).as("depth"))
+      .groupBy("depth").agg(count(lit(1)).cast(LongType).as("n_users"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "window_funnel_depth" -> windowFunnelDepth,
     "survival_kaplan_meier" -> survivalKaplanMeier,
     "source_simpson_diversity" -> sourceSimpsonDiversity,
     "contrastive_negatives" -> contrastiveNegatives,
@@ -1344,6 +1377,27 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "window_funnel_depth" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),
+        |t1 AS (SELECT user_id, MIN(ms) AS t1 FROM e WHERE event_type = 'signup'
+        |       GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, MIN(ms) AS t2, MIN(t1.t1) AS t1 FROM e
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE event_type = 'view' AND ms > t1 AND ms < t1 + 259200000
+        |       GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, MIN(ms) AS t3 FROM e
+        |       JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE event_type = 'purchase' AND ms > t2.t2 AND ms < t2.t1 + 259200000
+        |       GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+        |         WHEN t2.user_id IS NOT NULL THEN 2
+        |         WHEN t1.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM u LEFT JOIN t1 USING (user_id)
+        |LEFT JOIN t2 ON u.user_id = t2.user_id
+        |LEFT JOIN t3 ON u.user_id = t3.user_id
+        |GROUP BY 1""".stripMargin,
     "survival_kaplan_meier" ->
       """WITH RECURSIVE u AS (SELECT user_id,
         |    MIN(epoch_ms(ts) // 86400000) AS fd, MAX(epoch_ms(ts) // 86400000) AS ld

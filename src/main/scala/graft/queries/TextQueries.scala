@@ -259,7 +259,58 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Decile lift table — the standard evaluation of a quality/relevance
+    * scorer before it gates a corpus: rank docs by score, split into ten
+    * exact-NTILE buckets, report each bucket's positive rate and lift
+    * over the base rate. The scorer here is English stopword density
+    * (hits per 1000 tokens, integer) against the `lang = 'en'` label, so
+    * the curve is genuinely informative (top deciles enriched) rather
+    * than a flat-lift placebo. Deciles come from [[Prefix.globalRank]]
+    * with the exact ceil-first-groups NTILE arithmetic (`order_deciles`
+    * pattern — no no-partition window); lift's pos·total product runs in
+    * decimal(38,0)/HUGEINT with ONE double division to micros.
+    */
+  private val classifierLiftDeciles: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val scored = documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        split(coalesce(normText(col("text")), lit("")), " ").as("toks"))
+      .select(col("doc_id"), col("lang"),
+        expr("cast(size(filter(toks, t -> t IN ('the','of','and','to','a','in'))) as bigint)")
+          .as("hits"),
+        expr("cast(size(toks) as bigint)").as("ntok"))
+      .withColumn("score", expr("hits * 1000 div greatest(ntok, 1)"))
+      .localCheckpoint(true) // rank + totals branches
+    val totals = scored.agg(
+      count(lit(1)).cast(LongType).as("total"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).cast(LongType).as("pos_total"))
+    val ranked = graft.ext.Prefix
+      .globalRank(scored, Seq(desc("score"), asc("doc_id")), "rnk")
+      .crossJoin(broadcast(totals))
+    val q = (col("total") / 10).cast(LongType)
+    val r = col("total") % 10
+    val bigSpan = (q + 1) * r
+    ranked
+      .withColumn(
+        "decile",
+        when(col("rnk") <= bigSpan, ((col("rnk") - 1) / (q + 1)).cast(LongType) + 1)
+          .otherwise(r + ((col("rnk") - bigSpan - 1) / q).cast(LongType) + 1)
+          .cast(LongType))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).cast(LongType).as("n"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).cast(LongType).as("pos"),
+        min("total").as("total"), min("pos_total").as("pos_total"))
+      .withColumn("pos_rate_micros", expr("pos * 1000000 div n"))
+      .withColumn(
+        "lift_micros",
+        floor((col("pos").cast(dec) * col("total").cast(dec)).cast(DoubleType) * lit(1e6) /
+          (col("n").cast(dec) * col("pos_total").cast(dec)).cast(DoubleType)).cast(LongType))
+      .select("decile", "n", "pos", "pos_rate_micros", "lift_micros")
+  }
+
   val queries: Map[String, Q] = Map(
+    "classifier_lift_deciles" -> classifierLiftDeciles,
     "text_lm_score" -> lmBigramScore,
     "text_classifier_score" -> classifierScore,
     "text_bpe_pairs" -> bpePairs,
@@ -275,6 +326,32 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "classifier_lift_deciles" ->
+      """WITH nm AS (SELECT doc_id, lang,
+        |    string_split(coalesce(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''), ' ') AS toks
+        |  FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |    CAST(len(list_filter(toks, t -> t IN ('the','of','and','to','a','in'))) AS BIGINT) AS hits,
+        |    CAST(len(toks) AS BIGINT) AS ntok FROM nm),
+        |s2 AS (SELECT doc_id, lang, hits * 1000 // greatest(ntok, 1) AS score FROM sc),
+        |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,
+        |         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos_total
+        |       FROM s2),
+        |rk AS (SELECT lang, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM s2),
+        |dc AS (SELECT lang,
+        |    CASE WHEN rnk <= (total // 10 + 1) * (total % 10)
+        |      THEN (rnk - 1) // (total // 10 + 1) + 1
+        |      ELSE total % 10 + (rnk - (total // 10 + 1) * (total % 10) - 1) // (total // 10) + 1
+        |    END AS decile, total, pos_total
+        |  FROM rk CROSS JOIN tt),
+        |ag AS (SELECT CAST(decile AS BIGINT) AS decile, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    MIN(total) AS total, MIN(pos_total) AS pos_total
+        |  FROM dc GROUP BY 1)
+        |SELECT decile, n, pos, pos * 1000000 // n AS pos_rate_micros,
+        |  CAST(floor(CAST(CAST(pos AS HUGEINT) * total AS DOUBLE) * 1000000.0 /
+        |       CAST(CAST(n AS HUGEINT) * pos_total AS DOUBLE)) AS BIGINT) AS lift_micros
+        |FROM ag""".stripMargin,
     "text_classifier_score" ->
       """WITH n AS (SELECT doc_id, source,
         |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),

@@ -79,7 +79,8 @@ class DeterminismSpec extends SparkSpec {
     "changepoint_cusum",     // Prefix running sum of n-scaled deviations
     "contrastive_negatives", // Prefix hash-ring rank + modular draw
     "survival_kaplan_meier", // Prefix suffix-sum + sequential HOF fold
-    "minhash_calibration")   // LSH candidates + exact-Jaccard join census
+    "minhash_calibration",   // LSH candidates + exact-Jaccard join census
+    "classifier_lift_deciles") // Prefix NTILE deciles over a scored rank
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf

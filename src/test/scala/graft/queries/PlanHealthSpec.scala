@@ -50,7 +50,8 @@ class PlanHealthSpec extends SparkSpec {
     "benford_digit_audit",  // 1-row digit-total frame × 9-row expected table
     "changepoint_cusum",    // 1-row stats/peak frames crossed
     "contrastive_negatives", // 1-row ring-size frame crossed
-    "survival_kaplan_meier") // 1-row max-day/total frames crossed
+    "survival_kaplan_meier", // 1-row total frame crossed
+    "classifier_lift_deciles") // 1-row totals frame crossed per rank pass
 
   /** Data-model columns with single-digit cardinality. A window
     * PARTITION BY drawn ONLY from these caps sort parallelism at the
