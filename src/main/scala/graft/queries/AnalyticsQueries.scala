@@ -1333,7 +1333,46 @@ object AnalyticsQueries {
       .groupBy("depth").agg(count(lit(1)).cast(LongType).as("n_users"))
   }
 
+  /** Per-label embedding centroid drift vs the corpus centroid —
+    * squared cosine in integer micros, the audit run before trusting a
+    * label/source split of an embedding corpus ("did cluster X move away
+    * from the center of mass?"). Float sums are order-dependent, so each
+    * component is quantized to micros FIRST (float→double exact, one
+    * correctly-rounded multiply, floor — engine-identical), making every
+    * reduction an integer sum; cosine is scale-invariant, so the SUM
+    * vectors stand in for the means with no division. Dot/norm products
+    * run in decimal(38,0) (≤ ~2.5e32 at sf1000 vs the 1e38 ceiling);
+    * the final cos² renders through correctly-rounded double ops in a
+    * pinned evaluation order that DuckDB replays bit-for-bit. One
+    * posexplode (linear — a drift audit must touch every element), two
+    * hash aggs, one ≤dims-row broadcast join.
+    */
+  private val embeddingCentroidDrift: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val comp = embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim"),
+        floor(col("v").cast(DoubleType) * lit(1e6)).cast(LongType).as("q"))
+    val byLabel = comp.groupBy("label", "dim")
+      .agg(sum("q").cast(LongType).as("sl"), count(lit(1)).cast(LongType).as("cnt"))
+      .localCheckpoint(true) // global centroid derives from the same frame
+    val global = byLabel.groupBy("dim").agg(sum("sl").cast(LongType).as("sg"))
+    byLabel.join(broadcast(global), Seq("dim"))
+      .groupBy("label")
+      .agg(
+        (max("cnt")).cast(LongType).as("n_vecs"), // cnt identical across dims
+        sum(col("sl").cast(dec) * col("sg").cast(dec)).as("dot"),
+        sum(col("sl").cast(dec) * col("sl").cast(dec)).as("na"),
+        sum(col("sg").cast(dec) * col("sg").cast(dec)).as("nb"))
+      .withColumn(
+        "cos2_micros",
+        floor((col("dot").cast(DoubleType) * col("dot").cast(DoubleType)) * lit(1e6) /
+          (col("na").cast(DoubleType) * col("nb").cast(DoubleType))).cast(LongType))
+      .select(col("label").cast(LongType).as("label"), col("n_vecs"), col("cos2_micros"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "embedding_centroid_drift" -> embeddingCentroidDrift,
     "window_funnel_depth" -> windowFunnelDepth,
     "survival_kaplan_meier" -> survivalKaplanMeier,
     "source_simpson_diversity" -> sourceSimpsonDiversity,
@@ -1377,6 +1416,23 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "embedding_centroid_drift" ->
+      """WITH el AS (
+        |  SELECT label, p.pos AS dim,
+        |    CAST(floor(CAST(embedding[p.pos + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+        |  FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS pos) p),
+        |bl AS (SELECT label, dim, CAST(SUM(q) AS BIGINT) AS sl,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt FROM el GROUP BY label, dim),
+        |g AS (SELECT dim, CAST(SUM(sl) AS BIGINT) AS sg FROM bl GROUP BY dim),
+        |ag AS (SELECT label, MAX(cnt) AS n_vecs,
+        |    SUM(CAST(sl AS HUGEINT) * sg) AS dot,
+        |    SUM(CAST(sl AS HUGEINT) * sl) AS na,
+        |    SUM(CAST(sg AS HUGEINT) * sg) AS nb
+        |  FROM bl JOIN g USING (dim) GROUP BY label)
+        |SELECT CAST(label AS BIGINT) AS label, n_vecs,
+        |  CAST(floor((CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)) * 1000000.0 /
+        |       (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) AS cos2_micros
+        |FROM ag""".stripMargin,
     "window_funnel_depth" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),
         |t1 AS (SELECT user_id, MIN(ms) AS t1 FROM e WHERE event_type = 'signup'

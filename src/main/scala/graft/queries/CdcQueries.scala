@@ -116,7 +116,43 @@ object CdcQueries {
       .orderBy("m")
   }
 
+  /** Point-in-time (AS OF) lookup against the SCD2 dimension — the
+    * dimensional-modeling join every lakehouse runs: each purchase reads
+    * the status version valid at its own event time. The dimension is
+    * the NON-purchase status history ([[Cdc.scd2History]]); the lookup
+    * is an equi-join on the user key with the validity range as a
+    * residual predicate — versions per user are bounded (one per status
+    * change), so the residual scan is cheap at any scale; when per-key
+    * version counts explode, the union+sort as-of formulation
+    * (`events_asof_purchase`) is the alternative already in-set. A
+    * purchase at a version's exact opening ms sees the NEW status
+    * (inclusive lower bound — pinned, oracle-mirrored); purchases before
+    * a user's first version report 'none'. Same-ms version collisions
+    * produce empty [ms, ms) ranges that match nothing on either engine,
+    * so the left join never duplicates a purchase.
+    */
+  private val scd2AsofLookup: Q = (s, d) => {
+    val e = events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"), col("event_type"))
+      .localCheckpoint(true) // dimension + purchase branches
+    val dim = Cdc.scd2History(
+        e.filter(col("event_type") =!= "purchase"),
+        keyCol = "user_id", orderCols = Seq("ms", "event_id"),
+        attrCols = Seq("event_type"), validFromCol = "ms")
+      .select(col("user_id").as("d_uid"), col("event_type").as("status"),
+        col("valid_from"), col("valid_to"))
+    e.filter(col("event_type") === "purchase")
+      .join(dim,
+        col("user_id") === col("d_uid") && col("ms") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ms") < col("valid_to")), "left")
+      .select(coalesce(col("status"), lit("none")).as("status_at_purchase"))
+      .groupBy("status_at_purchase")
+      .agg(count(lit(1)).cast(LongType).as("n_purchases"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "scd2_asof_lookup" -> scd2AsofLookup,
     "scd2_user_history" -> scd2UserHistory,
     "cdc_apply_upserts" -> cdcApplyUpserts,
     "incremental_agg_merge" -> incrementalAggMerge,
@@ -124,6 +160,23 @@ object CdcQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "scd2_asof_lookup" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),
+        |np AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+        |l AS (SELECT user_id, event_id, ms, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+        |  FROM np),
+        |ch AS (SELECT user_id, event_id, ms, event_type FROM l
+        |  WHERE prev IS DISTINCT FROM event_type),
+        |h AS (SELECT user_id, event_type AS status, ms AS valid_from,
+        |    lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS valid_to
+        |  FROM ch),
+        |p AS (SELECT user_id, ms FROM e WHERE event_type = 'purchase')
+        |SELECT coalesce(h.status, 'none') AS status_at_purchase,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases
+        |FROM p LEFT JOIN h ON h.user_id = p.user_id AND p.ms >= h.valid_from
+        |  AND (h.valid_to IS NULL OR p.ms < h.valid_to)
+        |GROUP BY 1""".stripMargin,
     "scd2_user_history" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),
         |l AS (SELECT user_id, event_id, ms, event_type,

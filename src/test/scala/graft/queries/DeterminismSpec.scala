@@ -80,7 +80,9 @@ class DeterminismSpec extends SparkSpec {
     "contrastive_negatives", // Prefix hash-ring rank + modular draw
     "survival_kaplan_meier", // Prefix suffix-sum + sequential HOF fold
     "minhash_calibration",   // LSH candidates + exact-Jaccard join census
-    "classifier_lift_deciles") // Prefix NTILE deciles over a scored rank
+    "classifier_lift_deciles", // Prefix NTILE deciles over a scored rank
+    "embedding_centroid_drift", // micros-quantized integer vector sums
+    "scd2_asof_lookup")      // window-derived versions + range-residual join
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf
