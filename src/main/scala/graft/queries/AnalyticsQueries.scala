@@ -1371,7 +1371,83 @@ object AnalyticsQueries {
       .select(col("label").cast(LongType).as("label"), col("n_vecs"), col("cos2_micros"))
   }
 
+  /** Modularity of the brand partition over the co-purchase graph: for
+    * each community c (parts sharing `p_brand`), the Newman contribution
+    * e_c/m − (d_c/2m)² — "is co-purchase structured by brand, beyond
+    * what degrees alone predict?". Division-free core: the numerator
+    * e_c·4m − d_c² is exact in decimal(38,0)/HUGEINT (d_c² ~ 4e24 at
+    * 1e12 edges, ceiling 1e38), ONE pinned double division renders
+    * micros per community. Intra-community edges come from joining the
+    * edge list to the part→brand map twice (plain equi-joins); degrees
+    * are one hash agg. Per-community rows, not a pre-floored global sum
+    * — consumers aggregate at full precision.
+    */
+  private val graphModularity: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val edges = copurchaseEdges(s, d, 5).distinct().localCheckpoint(true)
+    val brand = part(s, d).select(col("p_partkey").as("pk"), col("p_brand"))
+    val m = edges.agg(count(lit(1)).cast(LongType).as("m"))
+    val deg = edges.select(col("a").as("v")).union(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).cast(LongType).as("deg"))
+      .join(brand.select(col("pk").as("v"), col("p_brand")), Seq("v"))
+      .groupBy("p_brand").agg(
+        count(lit(1)).cast(LongType).as("nodes"),
+        sum("deg").cast(LongType).as("d_c"))
+    val intra = edges
+      .join(brand.select(col("pk").as("a"), col("p_brand").as("ba")), Seq("a"))
+      .join(brand.select(col("pk").as("b"), col("p_brand").as("bb")), Seq("b"))
+      .filter(col("ba") === col("bb"))
+      .groupBy(col("ba").as("p_brand"))
+      .agg(count(lit(1)).cast(LongType).as("e_c"))
+    deg.join(intra, Seq("p_brand"), "left").na.fill(0L, Seq("e_c"))
+      .crossJoin(broadcast(m))
+      .withColumn(
+        "contrib_micros",
+        floor((col("e_c").cast(dec) * 4 * col("m") - col("d_c").cast(dec) * col("d_c"))
+          .cast(DoubleType) * lit(1e6) /
+          (lit(4).cast(dec) * col("m").cast(dec) * col("m").cast(dec)).cast(DoubleType))
+          .cast(LongType))
+      .select("p_brand", "nodes", "e_c", "d_c", "contrib_micros")
+  }
+
+  /** Top-k ranking stability audit: top-20 parts by revenue computed
+    * independently on the two order-key-parity arms, compared by overlap
+    * (Jaccard micros) and summed rank displacement — the "is this
+    * ranking reproducible on a split sample?" check run before shipping
+    * any leaderboard. Each arm is a hash agg + TakeOrderedAndProject
+    * (never a global sort); ranks attach via the aggregate-first bounded
+    * trick (sort_array + posexplode over the 20-row frame — no window,
+    * no NLJ); the compare is one full-outer join of two 20-row frames.
+    */
+  private val topkStabilityAudit: Q = (s, d) => {
+    def armTop(parity: Int): DataFrame =
+      lineitem(s, d)
+        .filter(col("l_orderkey") % 2 === parity)
+        .groupBy("l_partkey")
+        .agg(sum((dec2(col("l_extendedprice")) * 100).cast(LongType))
+          .cast(LongType).as("rev"))
+        .orderBy(desc("rev"), asc("l_partkey"))
+        .limit(20)
+        .agg(sort_array(collect_list(struct((-col("rev")).as("nr"),
+          col("l_partkey").as("pk")))).as("rows"))
+        .selectExpr("posexplode(rows) as (pos, r)")
+        .select(col("r.pk").as("pk"), (col("pos") + 1).cast(LongType).as("rnk"))
+    val a = armTop(0).select(col("pk"), col("rnk").as("rank_a"))
+    val b = armTop(1).select(col("pk"), col("rnk").as("rank_b"))
+    a.join(b, Seq("pk"), "full_outer")
+      .agg(
+        sum(when(col("rank_a").isNotNull && col("rank_b").isNotNull, 1L)
+          .otherwise(0L)).cast(LongType).as("n_common"),
+        count(lit(1)).cast(LongType).as("n_union"),
+        sum(when(col("rank_a").isNotNull && col("rank_b").isNotNull,
+          abs(col("rank_a") - col("rank_b"))).otherwise(0L))
+          .cast(LongType).as("sum_rank_delta"))
+      .withColumn("jaccard_micros", expr("n_common * 1000000 div n_union"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "graph_modularity" -> graphModularity,
+    "topk_stability_audit" -> topkStabilityAudit,
     "embedding_centroid_drift" -> embeddingCentroidDrift,
     "window_funnel_depth" -> windowFunnelDepth,
     "survival_kaplan_meier" -> survivalKaplanMeier,
@@ -1416,6 +1492,47 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "graph_modularity" ->
+      """WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem WHERE l_orderkey % 5 = 0),
+        |ed AS MATERIALIZED (SELECT DISTINCT a.pk AS a, b.pk AS b FROM it a
+        |       JOIN it b ON a.ok = b.ok AND a.pk < b.pk),
+        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ed),
+        |dg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM
+        |       (SELECT a AS v FROM ed UNION ALL SELECT b AS v FROM ed) GROUP BY v),
+        |db AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS nodes,
+        |         CAST(SUM(deg) AS BIGINT) AS d_c
+        |       FROM dg JOIN part ON p_partkey = v GROUP BY p_brand),
+        |ic AS (SELECT pa.p_brand, CAST(COUNT(*) AS BIGINT) AS e_c FROM ed
+        |       JOIN part pa ON pa.p_partkey = ed.a
+        |       JOIN part pb ON pb.p_partkey = ed.b
+        |       WHERE pa.p_brand = pb.p_brand GROUP BY pa.p_brand)
+        |SELECT db.p_brand, nodes, COALESCE(e_c, 0) AS e_c, d_c,
+        |  CAST(floor(CAST(CAST(COALESCE(e_c, 0) AS HUGEINT) * 4 * mm.m
+        |         - CAST(d_c AS HUGEINT) * d_c AS DOUBLE) * 1000000.0 /
+        |       CAST(4 * CAST(mm.m AS HUGEINT) * mm.m AS DOUBLE)) AS BIGINT) AS contrib_micros
+        |FROM db LEFT JOIN ic USING (p_brand) CROSS JOIN mm""".stripMargin,
+    "topk_stability_audit" ->
+      """WITH ra AS (SELECT pk, ROW_NUMBER() OVER (ORDER BY rev DESC, pk) AS rank_a FROM
+        |    (SELECT l_partkey AS pk,
+        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+        |     FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1)
+        |  QUALIFY rank_a <= 20),
+        |rb AS (SELECT pk, ROW_NUMBER() OVER (ORDER BY rev DESC, pk) AS rank_b FROM
+        |    (SELECT l_partkey AS pk,
+        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+        |     FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY 1)
+        |  QUALIFY rank_b <= 20),
+        |j AS (SELECT COALESCE(ra.pk, rb.pk) AS pk, rank_a, rank_b
+        |      FROM ra FULL OUTER JOIN rb ON ra.pk = rb.pk)
+        |SELECT
+        |  CAST(SUM(CASE WHEN rank_a IS NOT NULL AND rank_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+        |  CAST(COUNT(*) AS BIGINT) AS n_union,
+        |  CAST(SUM(CASE WHEN rank_a IS NOT NULL AND rank_b IS NOT NULL
+        |        THEN ABS(rank_a - rank_b) ELSE 0 END) AS BIGINT) AS sum_rank_delta,
+        |  CAST(SUM(CASE WHEN rank_a IS NOT NULL AND rank_b IS NOT NULL THEN 1 ELSE 0 END)
+        |    * 1000000 // COUNT(*) AS BIGINT) AS jaccard_micros
+        |FROM j""".stripMargin,
     "embedding_centroid_drift" ->
       """WITH el AS (
         |  SELECT label, p.pos AS dim,

@@ -82,7 +82,9 @@ class DeterminismSpec extends SparkSpec {
     "minhash_calibration",   // LSH candidates + exact-Jaccard join census
     "classifier_lift_deciles", // Prefix NTILE deciles over a scored rank
     "embedding_centroid_drift", // micros-quantized integer vector sums
-    "scd2_asof_lookup")      // window-derived versions + range-residual join
+    "scd2_asof_lookup",      // window-derived versions + range-residual join
+    "graph_modularity",      // edge joins + decimal cross-multiply
+    "topk_stability_audit")  // two TakeOrdered cuts + bounded rank frames
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf
