@@ -1445,7 +1445,36 @@ object AnalyticsQueries {
       .withColumn("jaccard_micros", expr("n_common * 1000000 div n_union"))
   }
 
+  /** Time-decayed trending leaderboard: top-10 parts by ship-recency-
+    * weighted volume, where a shipment w weeks before the corpus horizon
+    * carries weight 2^(8−w) (zero beyond 8 weeks) — EXACT half-life
+    * decay in pure integers. The standard e^(−λt) formulation is
+    * float-unverifiable cross-engine; power-of-two half-lives give the
+    * identical product shape (trending = recent-heavy) with
+    * bit-reproducible scores, which also makes the leaderboard
+    * incrementally maintainable (new week ⇒ halve all scores, add the
+    * new week — both exact). One hash agg + TakeOrderedAndProject.
+    */
+  private val leaderboardDecayed: Q = (s, d) => {
+    val li = lineitem(s, d).select(col("l_partkey"),
+      floor(unix_millis(col("l_shipdate").cast("timestamp")) / lit(86400000.0))
+        .cast(LongType).as("day"))
+    val mx = li.agg(max("day").as("mxd"))
+    li.crossJoin(broadcast(mx))
+      .withColumn("w", expr("(mxd - day) div 7"))
+      .withColumn("wt",
+        when(col("w") <= 8, expr("shiftleft(1L, cast(8 - w as int))"))
+          .otherwise(0L))
+      .groupBy("l_partkey")
+      .agg(sum("wt").cast(LongType).as("score"),
+        count(lit(1)).cast(LongType).as("n_ships"))
+      .filter(col("score") > 0)
+      .orderBy(desc("score"), asc("l_partkey"))
+      .limit(10)
+  }
+
   def queries: Map[String, Q] = Map(
+    "leaderboard_decayed" -> leaderboardDecayed,
     "graph_modularity" -> graphModularity,
     "topk_stability_audit" -> topkStabilityAudit,
     "embedding_centroid_drift" -> embeddingCentroidDrift,
@@ -1492,6 +1521,19 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "leaderboard_decayed" ->
+      """WITH li AS (SELECT l_partkey, epoch_ms(l_shipdate) // 86400000 AS day FROM lineitem),
+        |mx AS (SELECT MAX(day) AS mxd FROM li),
+        |wt AS (SELECT l_partkey,
+        |    CASE WHEN (mxd - day) // 7 <= 8
+        |      THEN CAST(1 AS BIGINT) << CAST(8 - (mxd - day) // 7 AS INT)
+        |      ELSE 0 END AS wt
+        |  FROM li CROSS JOIN mx),
+        |ag AS (SELECT l_partkey, CAST(SUM(wt) AS BIGINT) AS score,
+        |         CAST(COUNT(*) AS BIGINT) AS n_ships
+        |       FROM wt GROUP BY l_partkey)
+        |SELECT l_partkey, score, n_ships FROM ag WHERE score > 0
+        |ORDER BY score DESC, l_partkey LIMIT 10""".stripMargin,
     "graph_modularity" ->
       """WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem WHERE l_orderkey % 5 = 0),

@@ -84,7 +84,8 @@ class DeterminismSpec extends SparkSpec {
     "embedding_centroid_drift", // micros-quantized integer vector sums
     "scd2_asof_lookup",      // window-derived versions + range-residual join
     "graph_modularity",      // edge joins + decimal cross-multiply
-    "topk_stability_audit")  // two TakeOrdered cuts + bounded rank frames
+    "topk_stability_audit",  // two TakeOrdered cuts + bounded rank frames
+    "leaderboard_decayed")   // integer half-life weights + TakeOrdered cut
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf

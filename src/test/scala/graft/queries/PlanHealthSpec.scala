@@ -52,7 +52,8 @@ class PlanHealthSpec extends SparkSpec {
     "contrastive_negatives", // 1-row ring-size frame crossed
     "survival_kaplan_meier", // 1-row total frame crossed
     "classifier_lift_deciles", // 1-row totals frame crossed per rank pass
-    "graph_modularity")     // 1-row edge-count frame crossed
+    "graph_modularity",     // 1-row edge-count frame crossed
+    "leaderboard_decayed")  // 1-row horizon frame crossed
 
   /** Data-model columns with single-digit cardinality. A window
     * PARTITION BY drawn ONLY from these caps sort parallelism at the
