@@ -1473,7 +1473,80 @@ object AnalyticsQueries {
       .limit(10)
   }
 
+  /** Exact OLS trend of the daily revenue level — slope, intercept and r²
+    * of cents-per-day against the epoch day: the moment-based fit every
+    * BI layer draws, and the least-squares sibling of [[theilSenSlope]]
+    * (median-based, robust; OLS is the variance-weighted line). All six
+    * moments (n, Σx, Σx², Σy, Σxy, Σy²) are EXACT — int64 where they
+    * fit, decimal(38,0) where a product crosses it (Σy² ~ 2.4e19 at
+    * sf0.1 already; DuckDB replays those in HUGEINT) — and the classical
+    * closed forms n·Σxy−Σx·Σy / n·Σx²−(Σx)² stay exact in decimal38
+    * (≤ ~1e25 at sf10 against the 1e38 ceiling). Exact integers in, ONE
+    * pinned chain of IEEE double ops out (the assortativity render
+    * pattern), so both engines produce identical bits. Plan: day-grain
+    * pre-agg bounds the moment input at #days rows, then one scalar
+    * aggregate — x̄/ȳ centering is deliberately NOT used: it needs a
+    * second pass or a fused co-moment, and the uncentered moments are
+    * exact here anyway (centering guards FLOAT cancellation, which
+    * integer arithmetic doesn't suffer).
+    */
+  private val olsTrendExact: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val daily = events(s, d)
+      .select(
+        floor(unix_millis(col("ts")) / lit(86400000.0)).cast(LongType).as("day"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .groupBy("day").agg(sum("cents").cast(LongType).as("rev"))
+    val m = daily.agg(
+      count(lit(1)).cast(LongType).as("n"),
+      sum("day").cast(LongType).as("sx"),
+      sum(col("day").cast(dec) * col("day").cast(dec)).cast(dec).as("sxx"),
+      sum("rev").cast(LongType).as("sy"),
+      sum(col("day").cast(dec) * col("rev").cast(dec)).cast(dec).as("sxy"),
+      sum(col("rev").cast(dec) * col("rev").cast(dec)).cast(dec).as("syy"))
+    val sNum = m("n").cast(dec) * m("sxy") - m("sx").cast(dec) * m("sy").cast(dec)
+    val sDen = m("n").cast(dec) * m("sxx") - m("sx").cast(dec) * m("sx").cast(dec)
+    val iNum = m("sy").cast(dec) * m("sxx") - m("sx").cast(dec) * m("sxy")
+    val yDen = m("n").cast(dec) * m("syy") - m("sy").cast(dec) * m("sy").cast(dec)
+    m.select(
+      m("n").as("n_days"),
+      floor(sNum.cast(DoubleType) * 1e6 / sDen.cast(DoubleType))
+        .cast(LongType).as("slope_micros"),
+      floor(iNum.cast(DoubleType) * 1e6 / sDen.cast(DoubleType))
+        .cast(LongType).as("intercept_cents_micros"),
+      floor(sNum.cast(DoubleType) * sNum.cast(DoubleType) * 1e6 /
+        (sDen.cast(DoubleType) * yDen.cast(DoubleType)))
+        .cast(LongType).as("r2_micros"))
+  }
+
+  /** Vocabulary coverage curve: the token-stream share covered by the
+    * top-3/10/20 most frequent terms — the Zipf-head diagnostic behind
+    * tokenizer-vocabulary sizing (how large a vocab before OOV mass is
+    * negligible). Global term counts are one hash agg over the exploded
+    * token relation; the curve itself runs on the VOCAB frame (|V| rows,
+    * corpus-size independent): one [[Prefix.globalRank]] + one
+    * [[Prefix.runningSum]] in (count desc, term) order — never a
+    * no-partition window — then three rank picks and an integer-micros
+    * share against the broadcast 1-row total (share numerator bridged
+    * through decimal38; cum·1e6 crosses int64 near 1e13 tokens).
+    */
+  private val vocabCoverageCurve: Q = (s, d) => {
+    val ord = Seq(col("cnt").desc, col("term").asc)
+    val tc = TextStats.terms(documents(s, d), "doc_id", "text")
+      .groupBy("term").agg(count(lit(1)).cast(LongType).as("cnt"))
+    val tot = tc.agg(sum("cnt").cast(LongType).as("tot"))
+    val cum = Prefix.runningSum(
+      Prefix.globalRank(tc, ord, "rank"), lit(0L), ord, col("cnt"), "cum")
+    cum.filter(col("rank").isin(3L, 10L, 20L))
+      .crossJoin(broadcast(tot))
+      .select(col("rank").cast(LongType).as("rank"), col("term"), col("cnt"),
+        col("cum").cast(LongType).as("cum_tokens"),
+        expr("cast(cum as decimal(38,0)) * 1000000 div tot").as("coverage_micros"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "ols_trend_exact" -> olsTrendExact,
+    "vocab_coverage_curve" -> vocabCoverageCurve,
     "leaderboard_decayed" -> leaderboardDecayed,
     "graph_modularity" -> graphModularity,
     "topk_stability_audit" -> topkStabilityAudit,
@@ -1521,6 +1594,41 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "ols_trend_exact" ->
+      """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(day) AS BIGINT) AS sx,
+        |             SUM(CAST(day AS HUGEINT) * day) AS sxx,
+        |             CAST(SUM(rev) AS BIGINT) AS sy,
+        |             SUM(CAST(day AS HUGEINT) * rev) AS sxy,
+        |             SUM(CAST(rev AS HUGEINT) * rev) AS syy
+        |      FROM daily)
+        |SELECT n AS n_days,
+        |  CAST(FLOOR(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) * 1e6 /
+        |       CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) AS BIGINT) AS slope_micros,
+        |  CAST(FLOOR(CAST(CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS DOUBLE) * 1e6 /
+        |       CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) AS BIGINT) AS intercept_cents_micros,
+        |  CAST(FLOOR(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) *
+        |       CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) * 1e6 /
+        |       (CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) *
+        |        CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))) AS BIGINT) AS r2_micros
+        |FROM m""".stripMargin,
+    "vocab_coverage_curve" ->
+      s"""WITH n AS (SELECT doc_id, coalesce($normSql, '') AS t FROM documents),
+        |tk AS (SELECT unnest(string_split(t, ' ')) AS term FROM n),
+        |tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk
+        |       WHERE length(term) > 0 GROUP BY term),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM tc),
+        |r AS (SELECT term, cnt,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank,
+        |        CAST(SUM(cnt) OVER (ORDER BY cnt DESC, term
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |      FROM tc)
+        |SELECT rank, term, cnt, cum_tokens,
+        |  CAST(CAST(cum_tokens AS HUGEINT) * 1000000 // tot AS BIGINT) AS coverage_micros
+        |FROM r CROSS JOIN tot WHERE rank IN (3, 10, 20)""".stripMargin,
     "leaderboard_decayed" ->
       """WITH li AS (SELECT l_partkey, epoch_ms(l_shipdate) // 86400000 AS day FROM lineitem),
         |mx AS (SELECT MAX(day) AS mxd FROM li),

@@ -85,7 +85,9 @@ class DeterminismSpec extends SparkSpec {
     "scd2_asof_lookup",      // window-derived versions + range-residual join
     "graph_modularity",      // edge joins + decimal cross-multiply
     "topk_stability_audit",  // two TakeOrdered cuts + bounded rank frames
-    "leaderboard_decayed")   // integer half-life weights + TakeOrdered cut
+    "leaderboard_decayed",   // integer half-life weights + TakeOrdered cut
+    "ols_trend_exact",       // exact integer moments, pinned double render
+    "vocab_coverage_curve")  // Prefix rank + running sum over the vocab
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf
