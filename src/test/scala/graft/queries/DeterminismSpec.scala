@@ -87,7 +87,9 @@ class DeterminismSpec extends SparkSpec {
     "topk_stability_audit",  // two TakeOrdered cuts + bounded rank frames
     "leaderboard_decayed",   // integer half-life weights + TakeOrdered cut
     "ols_trend_exact",       // exact integer moments, pinned double render
-    "vocab_coverage_curve")  // Prefix rank + running sum over the vocab
+    "vocab_coverage_curve",  // Prefix rank + running sum over the vocab
+    "roc_auc_exact",         // Prefix running sum over the score frame
+    "classifier_prf")        // tiny-frame joins of one checkpointed census
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf
