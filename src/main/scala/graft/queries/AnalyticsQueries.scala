@@ -1544,7 +1544,110 @@ object AnalyticsQueries {
         expr("cast(cum as decimal(38,0)) * 1000000 div tot").as("coverage_micros"))
   }
 
+  /** Deterministic bootstrap 95 % CI for the mean daily revenue — B = 200
+    * multinomial resamples drawn with [[graft.ext.Dedup.portableHash64]]
+    * instead of an RNG, so the interval is REPRODUCIBLE and
+    * oracle-checkable (DuckDB replays the same picks bit-for-bit; a
+    * Random-based bootstrap can never hash-check nor re-run identically
+    * across task retries — the same argument as contrastive_negatives).
+    * Resampling happens on the DAY-GRAIN frame, so the grid is B×n_days —
+    * bounded by the date range at ANY corpus size; the only corpus-sized
+    * work is the one day agg. Slot i of resample b picks day rank
+    * h(b:i) mod n + 1 via one equi-join back to the ranked frame;
+    * per-resample sums are exact int64 cents; the 2.5 %/97.5 % fences are
+    * ranks 5/195 of the B sums (ceil index semantics,
+    * [[Prefix.globalRank]] over a 200-row frame — never a no-partition
+    * window). Renders bridge decimal38 so cents·1e6 can't overflow.
+    */
+  private val bootstrapCiMean: Q = (s, d) => {
+    val daily = events(s, d)
+      .select(
+        floor(unix_millis(col("ts")) / lit(86400000.0)).cast(LongType).as("day"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .groupBy("day").agg(sum("cents").cast(LongType).as("rev"))
+    val ranked = Prefix.globalRank(daily, Seq(col("day").asc), "i")
+      .localCheckpoint(true) // grid, lookup and point-estimate branches
+    val n = ranked.agg(count(lit(1)).cast(LongType).as("n"))
+    val picks = ranked.crossJoin(broadcast(n))
+      .withColumn("b", explode(sequence(lit(1L), lit(200L))))
+      .select(col("b"),
+        (pmod(graft.ext.Dedup.portableHash64(
+          concat(col("b").cast(StringType), lit(":"), col("i").cast(StringType))),
+          col("n")) + 1).as("pick"))
+    val sums = picks
+      .join(ranked.select(col("i").as("pick"), col("rev")), Seq("pick"))
+      .groupBy("b").agg(sum("rev").cast(LongType).as("bsum"))
+    val fences = Prefix.globalRank(sums, Seq(col("bsum").asc, col("b").asc), "rk")
+      .agg(
+        min(when(col("rk") === 5, col("bsum"))).cast(LongType).as("losum"),
+        min(when(col("rk") === 195, col("bsum"))).cast(LongType).as("hisum"))
+    ranked.agg(sum("rev").cast(LongType).as("tot"),
+        count(lit(1)).cast(LongType).as("n_days"))
+      .crossJoin(broadcast(fences))
+      .select(col("n_days"), lit(200L).as("b_reps"),
+        expr("cast(tot as decimal(38,0)) * 1000000 div n_days").as("mean_micros"),
+        expr("cast(losum as decimal(38,0)) * 1000000 div n_days").as("lo_micros"),
+        expr("cast(hisum as decimal(38,0)) * 1000000 div n_days").as("hi_micros"))
+  }
+
+  /** Data-quality expectations census over the order pipeline — the
+    * great-expectations-style gate a production table runs before
+    * publish: referential integrity both directions (lineitem→orders,
+    * orders→customer), key multiplicity (duplicate (orderkey,
+    * linenumber) pairs, counted as excess rows over distinct pairs),
+    * row-level domain checks (non-positive quantity) and temporal sanity
+    * (shipped before ordered). Three passes total at ANY scale: one
+    * lineitem agg (count + domain + exact distinct-pair count), one
+    * lineitem⟕orders join serving TWO checks (fk orphans and temporal),
+    * one orders⟕(distinct lineitem keys)⟕customer join serving two more;
+    * each pass reduces to a localCheckpointed 1-row frame read twice, so
+    * nothing corpus-sized runs twice. The fixture is NOT all-green:
+    * childless orders, duplicate line numbers and ship-before-order are
+    * real violations in this data (257 / 11 785 / 29 157 at sf0.01)
+    * while both fk checks and the quantity domain pass with 0 — both
+    * verdict shapes witnessed.
+    */
+  private val dqExpectations: Q = (s, d) => {
+    val ord = orders(s, d)
+    val li = lineitem(s, d)
+    val liAgg = li.agg(
+      count(lit(1)).cast(LongType).as("n"),
+      sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).cast(LongType).as("badqty"),
+      countDistinct(col("l_orderkey"), col("l_linenumber")).cast(LongType).as("dk"))
+      .localCheckpoint(true)
+    val liOrd = li.select(col("l_orderkey"), col("l_shipdate").cast("timestamp").as("ship"))
+      .join(ord.select(col("o_orderkey"), col("o_orderdate").cast("timestamp").as("odate")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).cast(LongType).as("orphan"),
+        sum(when(col("ship") < col("odate"), 1L).otherwise(0L)).cast(LongType).as("shipviol"))
+      .localCheckpoint(true)
+    val ordAgg = ord.select(col("o_orderkey"), col("o_custkey"))
+      .join(li.select(col("l_orderkey")).distinct(),
+        col("o_orderkey") === col("l_orderkey"), "left")
+      .join(customer(s, d).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).cast(LongType).as("childless"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).cast(LongType).as("nocust"))
+      .localCheckpoint(true)
+    liAgg.select(lit("lineitem_nonpositive_qty").as("check"),
+        col("n").as("n_checked"), col("badqty").as("n_violations"))
+      .unionByName(liAgg.select(lit("lineitem_dup_linenumber").as("check"),
+        col("n").as("n_checked"), (col("n") - col("dk")).as("n_violations")))
+      .unionByName(liOrd.select(lit("lineitem_order_fk").as("check"),
+        col("n").as("n_checked"), col("orphan").as("n_violations")))
+      .unionByName(liOrd.select(lit("ship_before_orderdate").as("check"),
+        col("n").as("n_checked"), col("shipviol").as("n_violations")))
+      .unionByName(ordAgg.select(lit("order_has_lineitems").as("check"),
+        col("n").as("n_checked"), col("childless").as("n_violations")))
+      .unionByName(ordAgg.select(lit("order_customer_fk").as("check"),
+        col("n").as("n_checked"), col("nocust").as("n_violations")))
+  }
+
   def queries: Map[String, Q] = Map(
+    "bootstrap_ci_mean" -> bootstrapCiMean,
+    "dq_expectations" -> dqExpectations,
     "ols_trend_exact" -> olsTrendExact,
     "vocab_coverage_curve" -> vocabCoverageCurve,
     "leaderboard_decayed" -> leaderboardDecayed,
@@ -1594,6 +1697,48 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "bootstrap_ci_mean" ->
+      """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1),
+        |rk AS (SELECT rev, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i FROM daily),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rk),
+        |grid AS (SELECT b, i FROM (SELECT unnest(generate_series(1, 200)) AS b)
+        |         CROSS JOIN (SELECT i FROM rk)),
+        |picks AS (SELECT b,
+        |    (CAST('0x' || substr(md5(CAST(b AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % n) + 1 AS pick
+        |  FROM grid CROSS JOIN nn),
+        |sums AS (SELECT b, CAST(SUM(rev) AS BIGINT) AS bsum
+        |  FROM picks JOIN rk ON pick = i GROUP BY b),
+        |f AS (SELECT MIN(CASE WHEN r2 = 5 THEN bsum END) AS losum,
+        |        MIN(CASE WHEN r2 = 195 THEN bsum END) AS hisum
+        |      FROM (SELECT b, bsum, ROW_NUMBER() OVER (ORDER BY bsum, b) AS r2 FROM sums)),
+        |p AS (SELECT CAST(SUM(rev) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+        |SELECT n_days, CAST(200 AS BIGINT) AS b_reps,
+        |  CAST(CAST(tot AS HUGEINT) * 1000000 // n_days AS BIGINT) AS mean_micros,
+        |  CAST(CAST(losum AS HUGEINT) * 1000000 // n_days AS BIGINT) AS lo_micros,
+        |  CAST(CAST(hisum AS HUGEINT) * 1000000 // n_days AS BIGINT) AS hi_micros
+        |FROM p CROSS JOIN f""".stripMargin,
+    "dq_expectations" ->
+      """WITH liagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS badqty,
+        |    CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS dk FROM lineitem),
+        |liord AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan,
+        |    CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS shipviol
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |ordagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN lk.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS childless,
+        |    CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nocust
+        |  FROM orders o
+        |  LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) lk ON o.o_orderkey = lk.l_orderkey
+        |  LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+        |SELECT 'lineitem_nonpositive_qty' AS "check", n AS n_checked, badqty AS n_violations FROM liagg
+        |UNION ALL SELECT 'lineitem_dup_linenumber', n, n - dk FROM liagg
+        |UNION ALL SELECT 'lineitem_order_fk', n, orphan FROM liord
+        |UNION ALL SELECT 'ship_before_orderdate', n, shipviol FROM liord
+        |UNION ALL SELECT 'order_has_lineitems', n, childless FROM ordagg
+        |UNION ALL SELECT 'order_customer_fk', n, nocust FROM ordagg""".stripMargin,
     "ols_trend_exact" ->
       """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
         |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev

@@ -89,7 +89,8 @@ class DeterminismSpec extends SparkSpec {
     "ols_trend_exact",       // exact integer moments, pinned double render
     "vocab_coverage_curve",  // Prefix rank + running sum over the vocab
     "roc_auc_exact",         // Prefix running sum over the score frame
-    "classifier_prf")        // tiny-frame joins of one checkpointed census
+    "classifier_prf",        // tiny-frame joins of one checkpointed census
+    "bootstrap_ci_mean")     // hash picks + two Prefix ranks + fence picks
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf

@@ -54,7 +54,8 @@ class PlanHealthSpec extends SparkSpec {
     "classifier_lift_deciles", // 1-row totals frame crossed per rank pass
     "graph_modularity",     // 1-row edge-count frame crossed
     "leaderboard_decayed",  // 1-row horizon frame crossed
-    "vocab_coverage_curve") // 1-row token-total frame crossed
+    "vocab_coverage_curve", // 1-row token-total frame crossed
+    "bootstrap_ci_mean")    // 1-row n and CI-fence frames crossed
 
   /** Data-model columns with single-digit cardinality. A window
     * PARTITION BY drawn ONLY from these caps sort parallelism at the
