@@ -1645,7 +1645,82 @@ object AnalyticsQueries {
         col("n").as("n_checked"), col("nocust").as("n_violations")))
   }
 
+  /** Pairwise cosine similarity between source term-frequency profiles —
+    * the corpus-mix diagnostic behind "which sources are near-redundant"
+    * decisions. Vocabulary cut FIRST (top-30 terms by global count, the
+    * [[termLiftPairs]] pattern) so each profile is ≤30 rows and the
+    * pair self-join runs on a |sources|×30 frame at ANY corpus size; the
+    * one corpus-sized step is the (source, term) count agg. SQUARED
+    * cosine (dot²/(‖a‖²·‖b‖²)) avoids sqrt, as embedding_centroid_drift
+    * does: exact decimal38 dot/norm integers in, one pinned chain of
+    * IEEE double ops out. Top-20 pairs by a total (cos², sa, sb) order —
+    * a TakeOrdered cut, no window.
+    */
+  private val sourceProfileCosine: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val tc = TextStats.terms(documents(s, d), "source", "text")
+      .groupBy("source", "term").agg(count(lit(1)).cast(LongType).as("c"))
+    val vocab = tc.groupBy("term").agg(sum("c").cast(LongType).as("t"))
+      .orderBy(desc("t"), asc("term")).limit(30)
+      .localCheckpoint(true) // consumed by the profile semi-join
+    val prof = tc.join(broadcast(vocab.select("term")), Seq("term"), "left_semi")
+      .localCheckpoint(true) // |sources| × ≤30 rows, read three times
+    val norms = prof.groupBy("source")
+      .agg(sum(col("c").cast(dec) * col("c").cast(dec)).cast(dec).as("n2"))
+    prof.select(col("term"), col("source").as("sa"), col("c").as("ca"))
+      .join(prof.select(col("term"), col("source").as("sb"), col("c").as("cb")), Seq("term"))
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb")
+      .agg(sum(col("ca").cast(dec) * col("cb").cast(dec)).cast(dec).as("dot"))
+      .join(norms.select(col("source").as("sa"), col("n2").as("na")), Seq("sa"))
+      .join(norms.select(col("source").as("sb"), col("n2").as("nb")), Seq("sb"))
+      .select(col("sa"), col("sb"), col("dot").cast(LongType).as("dot"),
+        floor(col("dot").cast(DoubleType) * col("dot").cast(DoubleType) * lit(1e6) /
+            (col("na").cast(DoubleType) * col("nb").cast(DoubleType)))
+          .cast(LongType).as("cos2_micros"))
+      .orderBy(desc("cos2_micros"), asc("sa"), asc("sb"))
+      .limit(20)
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the quantity
+    * distributions of returned (flag R) and kept lineitems — the
+    * distribution-shift test in its EXACT integer form: KS·n₁·n₂ =
+    * max_v |F₁(v)·n₂ − F₂(v)·n₁| needs no division until the final
+    * micros render, so the argmax and the statistic are bit-reproducible
+    * (a double-CDF max would tie-break on ulps). Aggregate-first: one
+    * hash agg to the ≤50-row distinct-value frame, two
+    * [[Prefix.runningSum]] passes for the joint CDFs, decimal38/HUGEINT
+    * cross-products (int64 dies at ~3e9 rows per side; decimal38 is good
+    * past 1e18), one TakeOrdered row out.
+    */
+  private val ksTwoSample: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val f = lineitem(s, d)
+      .select(col("l_quantity").cast(LongType).as("q"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"))
+      .groupBy("q")
+      .agg(sum("r").cast(LongType).as("c1"),
+        (count(lit(1)) - sum("r")).cast(LongType).as("c2"))
+    val cum = Prefix.runningSum(
+      Prefix.runningSum(f, lit(0L), Seq(col("q").asc), col("c1"), "f1"),
+      lit(0L), Seq(col("q").asc), col("c2"), "f2")
+    val tot = f.agg(sum("c1").cast(LongType).as("n1"), sum("c2").cast(LongType).as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("q"),
+        abs(col("f1").cast(dec) * col("n2").cast(dec) -
+          col("f2").cast(dec) * col("n1").cast(dec)).cast(dec).as("d"),
+        col("n1"), col("n2"))
+      .orderBy(desc("d"), asc("q"))
+      .limit(1)
+      .select(col("q").as("ks_at_q"),
+        expr("cast(d as decimal(38,0)) * 1000000 div (cast(n1 as decimal(38,0)) * n2)")
+          .as("ks_micros"),
+        col("n1"), col("n2"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "source_profile_cosine" -> sourceProfileCosine,
+    "ks_two_sample" -> ksTwoSample,
     "bootstrap_ci_mean" -> bootstrapCiMean,
     "dq_expectations" -> dqExpectations,
     "ols_trend_exact" -> olsTrendExact,
@@ -1697,6 +1772,40 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "source_profile_cosine" ->
+      s"""WITH tk AS (SELECT source,
+        |    unnest(string_split(coalesce($normSql, ''), ' ')) AS term FROM documents),
+        |tc AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c FROM tk
+        |       WHERE length(term) > 0 GROUP BY 1, 2),
+        |v AS (SELECT term FROM (SELECT term, CAST(SUM(c) AS BIGINT) AS t FROM tc GROUP BY 1)
+        |      ORDER BY t DESC, term LIMIT 30),
+        |prof AS (SELECT source, term, c FROM tc WHERE term IN (SELECT term FROM v)),
+        |norms AS (SELECT source, SUM(CAST(c AS HUGEINT) * c) AS n2 FROM prof GROUP BY 1),
+        |dots AS (SELECT a.source AS sa, b.source AS sb,
+        |    SUM(CAST(a.c AS HUGEINT) * b.c) AS dot
+        |  FROM prof a JOIN prof b ON a.term = b.term AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa, sb, CAST(dot AS BIGINT) AS dot,
+        |  CAST(FLOOR(CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE) * 1e6 /
+        |    (CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))) AS BIGINT) AS cos2_micros
+        |FROM dots JOIN norms na ON dots.sa = na.source
+        |          JOIN norms nb ON dots.sb = nb.source
+        |ORDER BY cos2_micros DESC, sa, sb LIMIT 20""".stripMargin,
+    "ks_two_sample" ->
+      """WITH f AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT q,
+        |    CAST(SUM(c1) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f1,
+        |    CAST(SUM(c2) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f2
+        |  FROM f),
+        |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM f),
+        |d AS (SELECT q, abs(CAST(f1 AS HUGEINT) * n2 - CAST(f2 AS HUGEINT) * n1) AS d, n1, n2
+        |      FROM c CROSS JOIN t)
+        |SELECT q AS ks_at_q,
+        |  CAST(d * 1000000 // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS ks_micros, n1, n2
+        |FROM d ORDER BY d DESC, q LIMIT 1""".stripMargin,
     "bootstrap_ci_mean" ->
       """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
         |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev

@@ -90,7 +90,9 @@ class DeterminismSpec extends SparkSpec {
     "vocab_coverage_curve",  // Prefix rank + running sum over the vocab
     "roc_auc_exact",         // Prefix running sum over the score frame
     "classifier_prf",        // tiny-frame joins of one checkpointed census
-    "bootstrap_ci_mean")     // hash picks + two Prefix ranks + fence picks
+    "bootstrap_ci_mean",     // hash picks + two Prefix ranks + fence picks
+    "source_profile_cosine", // bounded self-join + TakeOrdered cut
+    "ks_two_sample")         // two Prefix CDF passes + TakeOrdered argmax
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf

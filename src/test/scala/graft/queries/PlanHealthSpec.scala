@@ -55,7 +55,8 @@ class PlanHealthSpec extends SparkSpec {
     "graph_modularity",     // 1-row edge-count frame crossed
     "leaderboard_decayed",  // 1-row horizon frame crossed
     "vocab_coverage_curve", // 1-row token-total frame crossed
-    "bootstrap_ci_mean")    // 1-row n and CI-fence frames crossed
+    "bootstrap_ci_mean",    // 1-row n and CI-fence frames crossed
+    "ks_two_sample")        // 1-row totals frame crossed
 
   /** Data-model columns with single-digit cardinality. A window
     * PARTITION BY drawn ONLY from these caps sort parallelism at the
