@@ -1718,7 +1718,131 @@ object AnalyticsQueries {
         col("n1"), col("n2"))
   }
 
+  /** Local clustering coefficient census of the co-purchase graph, built
+    * on the same degree-oriented wedge machinery as [[graphTriangles]]
+    * (each triangle closes exactly once, wedge volume O(E^1.5)). The
+    * closed-wedge frame EXPLODES to its three corners → per-node triangle
+    * counts t(v); per-node coefficient 2t·1e6 div (deg·(deg−1)) is exact
+    * int64; the census folds everything into ONE aggregate over the node
+    * frame — n_triangles = Σt/3 and global transitivity = 2Σt·1e6 div
+    * Σdeg(deg−1) (= 3T/wedges) come from the same sums, so no 1-row
+    * crossJoins at all. Σdeg(deg−1) bridges decimal38 (a 1e9-degree hub
+    * squares past int64).
+    */
+  private val clusteringCoefficient: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val und = copurchaseEdges(s, d, 5).distinct()
+      .localCheckpoint(true) // degree union + orientation joins below
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).cast(LongType).as("deg"))
+      .localCheckpoint(true) // orientation + census branches
+    val da = deg.select(col("v").as("a"), col("deg").as("dega"))
+    val db = deg.select(col("v").as("b"), col("deg").as("degb"))
+    val oriented = und.join(da, Seq("a")).join(db, Seq("b"))
+      .select(
+        when(col("dega") < col("degb") ||
+          (col("dega") === col("degb") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("x"),
+        when(col("dega") < col("degb") ||
+          (col("dega") === col("degb") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("y"))
+      .localCheckpoint(true) // wedge + closure joins read it twice
+    val e2 = oriented.select(col("x").as("y"), col("y").as("z"))
+    val tri = oriented.join(e2, Seq("y")).select(col("x"), col("y"), col("z"))
+      .join(oriented.select(col("x"), col("y").as("z")), Seq("x", "z"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).cast(LongType).as("t"))
+    deg.join(tri, Seq("v"), "left")
+      .na.fill(0L, Seq("t"))
+      .agg(
+        sum(when(col("deg") >= 2, 1L).otherwise(0L)).cast(LongType).as("n_nodes2"),
+        sum("deg").cast(LongType).as("sumdeg"),
+        sum("t").cast(LongType).as("sumt"),
+        sum(when(col("deg") >= 2,
+          expr("2 * t * 1000000 div (deg * (deg - 1))")).otherwise(0L))
+          .cast(LongType).as("sumcoef"),
+        sum((col("deg") * (col("deg") - 1)).cast(dec)).cast(dec).as("sumdd"))
+      .select(
+        col("n_nodes2").as("n_nodes"),
+        expr("sumdeg div 2").as("n_edges"),
+        expr("sumt div 3").as("n_triangles"),
+        expr("sumcoef div n_nodes2").as("avg_local_micros"),
+        expr("cast(2 as decimal(38,0)) * sumt * 1000000 div sumdd")
+          .as("transitivity_micros"))
+  }
+
+  /** Exact weighted lower median and weighted p90 of the lineitem price,
+    * weighted by quantity — the "median price per unit sold" statistic,
+    * where an unweighted median over rows would be wrong whenever weights
+    * vary. Aggregate-first to the distinct-cents frame, ONE
+    * [[Prefix.runningSum]] of weights in price order, then the classic
+    * pick: smallest value whose cumulative weight reaches ceil(q·W)
+    * (ceil via (a·W + b − 1) div b, all integer — both fences from the
+    * same pass as conditional mins). The total rides as a broadcast
+    * 1-row frame; nothing sorts the fact table.
+    */
+  private val weightedMedian: Q = (s, d) => {
+    val grain = lineitem(s, d)
+      .select((dec2(col("l_extendedprice")) * 100).cast(LongType).as("cents"),
+        col("l_quantity").cast(LongType).as("qty"))
+      .groupBy("cents").agg(sum("qty").cast(LongType).as("w"))
+    val cum = Prefix.runningSum(grain, lit(0L), Seq(col("cents").asc), col("w"), "cw")
+    val tot = grain.agg(sum("w").cast(LongType).as("wt"))
+    cum.crossJoin(broadcast(tot))
+      .agg(
+        min(when(col("cw") >= expr("(wt + 1) div 2"), col("cents")))
+          .cast(LongType).as("median_cents"),
+        min(when(col("cw") >= expr("(9 * wt + 9) div 10"), col("cents")))
+          .cast(LongType).as("p90_cents"),
+        min("wt").as("w_total"))
+  }
+
+  /** Pearson χ² independence statistic for lang × source over documents —
+    * the contingency audit behind "is the language mix uniform across
+    * sources". Each cell's contribution uses the cross-multiplied form
+    * (O·N − r·c)²/(r·c·N) — the exact-integer difference O·N − r·c comes
+    * out of decimal38 (≤ N², fine to N ~ 1e19), its square would NOT fit
+    * decimal38 at scale, so the render is the pinned double chain
+    * floor(diff²·1e6/(r·c·N)) per cell, then an exact int64 sum of the
+    * floored micros — a DEFINED statistic both engines replay bit-for-bit
+    * (the textbook float Σ would differ in ulps; a p-value would need the
+    * incomplete gamma — the documented transcendental trade, as in BM25's
+    * rational idf). One hash agg to ≤|lang|·|source| cells plus two
+    * marginal aggs on that tiny frame. On this fixture stat ≈ df (the
+    * independence regime: the data's lang and source are independent),
+    * and the mutation audit proves dependence is detectable.
+    */
+  private val chi2Independence: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val obs = documents(s, d)
+      .groupBy("lang", "source").agg(count(lit(1)).cast(LongType).as("o"))
+      .localCheckpoint(true) // marginals + cell pass
+    val rt = obs.groupBy("lang").agg(sum("o").cast(LongType).as("r"))
+    val ct = obs.groupBy("source").agg(sum("o").cast(LongType).as("c"))
+    val nt = obs.agg(sum("o").cast(LongType).as("n"),
+      countDistinct("lang").cast(LongType).as("nl"),
+      countDistinct("source").cast(LongType).as("ns"))
+    obs.join(rt, Seq("lang")).join(ct, Seq("source"))
+      .crossJoin(broadcast(nt))
+      .select(col("n"), col("nl"), col("ns"),
+        floor(
+          (col("o").cast(dec) * col("n").cast(dec) -
+            col("r").cast(dec) * col("c").cast(dec)).cast(DoubleType) *
+            (col("o").cast(dec) * col("n").cast(dec) -
+              col("r").cast(dec) * col("c").cast(dec)).cast(DoubleType) * lit(1e6) /
+            ((col("r").cast(dec) * col("c").cast(dec)).cast(DoubleType) *
+              col("n").cast(DoubleType)))
+          .cast(LongType).as("contrib"))
+      .groupBy()
+      .agg(min("n").as("n_total"),
+        ((min("nl") - 1) * (min("ns") - 1)).cast(LongType).as("df"),
+        sum("contrib").cast(LongType).as("chi2_micros"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "clustering_coefficient" -> clusteringCoefficient,
+    "weighted_median" -> weightedMedian,
+    "chi2_independence" -> chi2Independence,
     "source_profile_cosine" -> sourceProfileCosine,
     "ks_two_sample" -> ksTwoSample,
     "bootstrap_ci_mean" -> bootstrapCiMean,
@@ -1772,6 +1896,59 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "clustering_coefficient" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |            WHERE l_orderkey % 5 = 0),
+        |und AS (SELECT DISTINCT a.pk AS a, b.pk AS b FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM
+        |          (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+        |o AS (SELECT CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.a ELSE u.b END AS x,
+        |             CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.b ELSE u.a END AS y
+        |      FROM und u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b),
+        |cl AS (SELECT w.x, w.y, w.z FROM
+        |         (SELECT e1.x, e1.y, e2.y AS z FROM o e1 JOIN o e2 ON e1.y = e2.x) w
+        |       JOIN o ON o.x = w.x AND o.y = w.z),
+        |tri AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM
+        |          (SELECT x AS v FROM cl UNION ALL SELECT y FROM cl UNION ALL SELECT z FROM cl)
+        |        GROUP BY v),
+        |nd AS (SELECT deg.deg, coalesce(tri.t, 0) AS t FROM deg LEFT JOIN tri ON deg.v = tri.v),
+        |a AS (SELECT CAST(SUM(CASE WHEN deg >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_nodes2,
+        |        CAST(SUM(deg) AS BIGINT) AS sumdeg, CAST(SUM(t) AS BIGINT) AS sumt,
+        |        CAST(SUM(CASE WHEN deg >= 2 THEN 2 * t * 1000000 // (deg * (deg - 1)) ELSE 0 END) AS BIGINT) AS sumcoef,
+        |        SUM(CAST(deg AS HUGEINT) * (deg - 1)) AS sumdd FROM nd)
+        |SELECT n_nodes2 AS n_nodes, sumdeg // 2 AS n_edges, sumt // 3 AS n_triangles,
+        |  sumcoef // n_nodes2 AS avg_local_micros,
+        |  CAST(CAST(2 AS HUGEINT) * sumt * 1000000 // sumdd AS BIGINT) AS transitivity_micros
+        |FROM a""".stripMargin,
+    "weighted_median" ->
+      """WITH grain AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT cents,
+        |    CAST(SUM(w) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+        |  FROM grain),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS wt FROM grain)
+        |SELECT
+        |  MIN(CASE WHEN cw >= (wt + 1) // 2 THEN cents END) AS median_cents,
+        |  MIN(CASE WHEN cw >= (9 * wt + 9) // 10 THEN cents END) AS p90_cents,
+        |  MIN(wt) AS w_total
+        |FROM c CROSS JOIN t""".stripMargin,
+    "chi2_independence" ->
+      """WITH obs AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+        |ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |         CAST(COUNT(DISTINCT lang) AS BIGINT) AS nl,
+        |         CAST(COUNT(DISTINCT source) AS BIGINT) AS ns FROM obs),
+        |cell AS (SELECT n, nl, ns,
+        |    CAST(FLOOR(CAST(CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c AS DOUBLE) *
+        |      CAST(CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c AS DOUBLE) * 1e6 /
+        |      (CAST(CAST(r AS HUGEINT) * c AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT) AS contrib
+        |  FROM obs JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN nt)
+        |SELECT MIN(n) AS n_total, (MIN(nl) - 1) * (MIN(ns) - 1) AS df,
+        |  CAST(SUM(contrib) AS BIGINT) AS chi2_micros
+        |FROM cell""".stripMargin,
     "source_profile_cosine" ->
       s"""WITH tk AS (SELECT source,
         |    unnest(string_split(coalesce($normSql, ''), ' ')) AS term FROM documents),

@@ -92,7 +92,9 @@ class DeterminismSpec extends SparkSpec {
     "classifier_prf",        // tiny-frame joins of one checkpointed census
     "bootstrap_ci_mean",     // hash picks + two Prefix ranks + fence picks
     "source_profile_cosine", // bounded self-join + TakeOrdered cut
-    "ks_two_sample")         // two Prefix CDF passes + TakeOrdered argmax
+    "ks_two_sample",         // two Prefix CDF passes + TakeOrdered argmax
+    "clustering_coefficient", // oriented wedge joins + exploded corners
+    "weighted_median")       // Prefix weight CDF + conditional-min picks
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf

@@ -56,7 +56,9 @@ class PlanHealthSpec extends SparkSpec {
     "leaderboard_decayed",  // 1-row horizon frame crossed
     "vocab_coverage_curve", // 1-row token-total frame crossed
     "bootstrap_ci_mean",    // 1-row n and CI-fence frames crossed
-    "ks_two_sample")        // 1-row totals frame crossed
+    "ks_two_sample",        // 1-row totals frame crossed
+    "weighted_median",      // 1-row weight-total frame crossed
+    "chi2_independence")    // 1-row N/df frame crossed onto <=100 cells
 
   /** Data-model columns with single-digit cardinality. A window
     * PARTITION BY drawn ONLY from these caps sort parallelism at the
