@@ -1839,7 +1839,96 @@ object AnalyticsQueries {
         sum("contrib").cast(LongType).as("chi2_micros"))
   }
 
+  /** Spearman rank correlation between daily revenue and daily event
+    * volume — the monotone-association statistic, EXACT because ranks
+    * are integers: ρ = 1 − 6Σd²/(n(n²−1)) renders as one integral
+    * division in decimal38 (both engines truncate integral division
+    * toward zero — probed on negatives — so a negative ρ is safe with
+    * no double anywhere). Ranks come from two [[Prefix.globalRank]]
+    * passes over the date-range-bounded day frame on the TOTAL order
+    * (value, day): the deterministic-tie-break variant of Spearman —
+    * textbook midranks are fractional and would reintroduce floats; on
+    * tie-free data the two coincide, and the convention is pinned in
+    * both engines (the BM25 rational-idf style of documented trade).
+    */
+  private val spearmanDaily: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val daily = events(s, d)
+      .select(
+        floor(unix_millis(col("ts")) / lit(86400000.0)).cast(LongType).as("day"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .groupBy("day").agg(sum("cents").cast(LongType).as("rev"),
+        count(lit(1)).cast(LongType).as("cnt"))
+    val r2 = Prefix.globalRank(
+      Prefix.globalRank(daily, Seq(col("rev").asc, col("day").asc), "ra"),
+      Seq(col("cnt").asc, col("day").asc), "rb")
+    r2.agg(count(lit(1)).cast(LongType).as("n"),
+        sum(((col("ra") - col("rb")) * (col("ra") - col("rb"))).cast(dec))
+          .cast(dec).as("sd2"))
+      .select(col("n"), col("sd2").cast(LongType).as("sum_d2"),
+        expr("""(cast(n as decimal(38,0)) * (n * n - 1) - 6 * sd2) * 1000000
+                div (cast(n as decimal(38,0)) * (n * n - 1))""").as("rho_micros"))
+  }
+
+  /** Revenue reconciliation census — does the order header's total agree
+    * with Σ over its lines of extendedprice·(1−discount)·(1+tax)? The
+    * accounting cross-check every billing pipeline runs, in EXACT scaled
+    * integers: percentages become int factors (100−d)(100+t) so a line's
+    * gross is cents·1e4 with zero float rounding, the header total is
+    * cents·1e4 by construction, and the per-order delta is an exact
+    * int64. One lineitem agg keyed by order + one equi-join to headers;
+    * the census reports match count and the |delta| mass/max (this
+    * fixture's synthetic totals are independent of the lines, so ~every
+    * order mismatches — the audit measures, it does not assume).
+    * Σ|delta| bridges decimal38 (passes int64 near sf100).
+    */
+  private val revenueReconciliation: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val lg = lineitem(s, d)
+      .select(col("l_orderkey"),
+        ((dec2(col("l_extendedprice")) * 100).cast(LongType) *
+          (lit(100L) - (dec2(col("l_discount")) * 100).cast(LongType)) *
+          (lit(100L) + (dec2(col("l_tax")) * 100).cast(LongType))).as("gross_e4"))
+      .groupBy("l_orderkey").agg(sum("gross_e4").cast(LongType).as("line_e4"))
+    orders(s, d)
+      .select(col("o_orderkey"),
+        ((dec2(col("o_totalprice")) * 100).cast(LongType) * 10000L).as("head_e4"))
+      .join(lg, col("o_orderkey") === col("l_orderkey"))
+      .select(abs(col("head_e4") - col("line_e4")).as("ad"))
+      .agg(count(lit(1)).cast(LongType).as("n_orders"),
+        sum(when(col("ad") === 0L, 1L).otherwise(0L)).cast(LongType).as("n_exact"),
+        sum(col("ad").cast(dec)).cast(dec).as("sad"),
+        max("ad").cast(LongType).as("max_abs_e4"))
+      .select(col("n_orders"), col("n_exact"),
+        expr("sad div n_orders").as("mean_abs_e4"), col("max_abs_e4"))
+  }
+
+  /** Top-10 frequent 3-itemsets over order baskets — the Apriori-depth-3
+    * census, linear in data because TPC-H-like baskets are constant-size
+    * (C(4,3) triples per basket; the same bound argument as
+    * [[copurchaseEdges]], and a mega-basket would need the same cap).
+    * Two chained per-basket self-joins with a strict p1 < p2 < p3 total
+    * order so each triple is counted exactly once; hash agg;
+    * TakeOrderedAndProject on (n desc, p1, p2, p3).
+    */
+  private val basketTriples: Q = (s, d) => {
+    val items = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    items.select(col("ok"), col("pk").as("p1"))
+      .join(items.select(col("ok"), col("pk").as("p2")), Seq("ok"))
+      .filter(col("p1") < col("p2"))
+      .join(items.select(col("ok"), col("pk").as("p3")), Seq("ok"))
+      .filter(col("p2") < col("p3"))
+      .groupBy("p1", "p2", "p3").agg(count(lit(1)).cast(LongType).as("n"))
+      .orderBy(desc("n"), asc("p1"), asc("p2"), asc("p3"))
+      .limit(10)
+  }
+
   def queries: Map[String, Q] = Map(
+    "spearman_daily" -> spearmanDaily,
+    "revenue_reconciliation" -> revenueReconciliation,
+    "basket_triples" -> basketTriples,
     "clustering_coefficient" -> clusteringCoefficient,
     "weighted_median" -> weightedMedian,
     "chi2_independence" -> chi2Independence,
@@ -1896,6 +1985,40 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "spearman_daily" ->
+      """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY rev, day) AS BIGINT) AS ra,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY cnt, day) AS BIGINT) AS rb
+        |      FROM daily),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        SUM(CAST(ra - rb AS HUGEINT) * (ra - rb)) AS sd2 FROM r)
+        |SELECT n, CAST(sd2 AS BIGINT) AS sum_d2,
+        |  CAST((CAST(n AS HUGEINT) * (n * n - 1) - 6 * sd2) * 1000000
+        |       // (CAST(n AS HUGEINT) * (n * n - 1)) AS BIGINT) AS rho_micros
+        |FROM a""".stripMargin,
+    "revenue_reconciliation" ->
+      """WITH lg AS (SELECT l_orderkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) *
+        |      (100 - CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)) *
+        |      (100 + CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS BIGINT))) AS BIGINT) AS line_e4
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT abs(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 10000
+        |        - line_e4) AS ad
+        |      FROM orders JOIN lg ON o_orderkey = l_orderkey)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CASE WHEN ad = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST(SUM(CAST(ad AS HUGEINT)) // COUNT(*) AS BIGINT) AS mean_abs_e4,
+        |  CAST(MAX(ad) AS BIGINT) AS max_abs_e4
+        |FROM j""".stripMargin,
+    "basket_triples" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+        |SELECT a.pk AS p1, b.pk AS p2, c.pk AS p3, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+        |          JOIN it c ON b.ok = c.ok AND b.pk < c.pk
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, p1, p2, p3 LIMIT 10""".stripMargin,
     "clustering_coefficient" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
         |            WHERE l_orderkey % 5 = 0),

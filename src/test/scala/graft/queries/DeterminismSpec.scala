@@ -94,7 +94,9 @@ class DeterminismSpec extends SparkSpec {
     "source_profile_cosine", // bounded self-join + TakeOrdered cut
     "ks_two_sample",         // two Prefix CDF passes + TakeOrdered argmax
     "clustering_coefficient", // oriented wedge joins + exploded corners
-    "weighted_median")       // Prefix weight CDF + conditional-min picks
+    "weighted_median",       // Prefix weight CDF + conditional-min picks
+    "spearman_daily",        // two Prefix rank passes, integer rho
+    "basket_triples")        // chained self-joins + TakeOrdered cut
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf
