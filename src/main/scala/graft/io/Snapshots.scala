@@ -551,4 +551,42 @@ object Snapshots {
     require(entry.isDefined, s"version $v is not published in $dir")
     spark.read.parquet(new Path(dir, entry.get._1).toString)
   }
+
+  /** Z-order OPTIMIZE: rewrite the latest version clustered by the Morton
+    * interleave of `cols` and commit it (with a stats sidecar on those
+    * same columns) as a NEW version — the multi-dimensional sibling of
+    * [[Compaction.writeClustered]]. Lexicographic range clustering on
+    * (a, b) leaves b's per-file min/max spanning the whole domain, so
+    * [[readVersionPruned]] can skip on a but never on b; the Z-layout
+    * keeps every dimension's span ~n^(1/d) of the domain, so a k-dim box
+    * predicate prunes on all k at once — ZorderSpec asserts the file
+    * count strictly drops vs a scattered layout on the same box. The
+    * rewrite is one scan + one range exchange; old versions stay
+    * readable (time travel is untouched) until [[vacuum]] reaps their
+    * data. The min/max collect is ONE planning-time row, same class as
+    * the pruned-file list. Numeric (long-castable) columns only.
+    */
+  def optimizeZorder(
+      spark: SparkSession,
+      dir: String,
+      cols: Seq[String],
+      files: Int,
+      bits: Int = 16,
+      maxRetries: Int = 10): Long = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    require(cols.nonEmpty, "z-order needs at least one column")
+    val cur = read(spark, dir)
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("long")).as(s"lo_$c"), max(col(c).cast("long")).as(s"hi_$c")))
+    val mm = cur.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val qcols = cols.zipWithIndex.map { case (c, j) =>
+      Compaction.quantize(col(c).cast("long"), mm.getLong(2 * j), mm.getLong(2 * j + 1), bits)
+    }
+    val clustered = cur
+      .withColumn("__z", Compaction.zValue(qcols, bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z") // projection after the sort: intra-partition order kept
+    commitVersionWithStats(spark, clustered, dir, cols, maxRetries)
+  }
 }
