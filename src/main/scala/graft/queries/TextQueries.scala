@@ -432,7 +432,104 @@ object TextQueries {
         expr("2 * tp * 1000000 div (pred_n + actual_n)").as("f1_micros"))
   }
 
+  /** Vocabulary growth curve — how many distinct terms the corpus has
+    * introduced after its first 25/50/75/100 % of documents (doc_id
+    * order): the Heaps-law diagnostic behind "will the vocabulary keep
+    * exploding", kept TRANSCENDENTAL-FREE by reporting the exact curve
+    * points instead of fitting K·n^β. Each term reduces to its FIRST
+    * document rank (one agg over the term relation + one equi-join to
+    * the [[graft.ext.Prefix.globalRank]]-ranked doc frame); the census is
+    * one aggregate with ceil thresholds (N+3) div 4 etc. — integer-exact,
+    * and the doc total rides as a broadcast 1-row frame.
+    */
+  private val vocabGrowthCurve: Q = (s, d) => {
+    val ranked = graft.ext.Prefix.globalRank(
+      documents(s, d).select(col("doc_id")), Seq(col("doc_id").asc), "r")
+      .localCheckpoint(true) // join target + doc total
+    val n = ranked.agg(count(lit(1)).cast(LongType).as("n"))
+    val firstRank = TextStats.terms(documents(s, d), "doc_id", "text")
+      .join(ranked, Seq("doc_id"))
+      .groupBy("term").agg(min("r").cast(LongType).as("minr"))
+    firstRank.crossJoin(broadcast(n))
+      .agg(
+        min("n").as("n_docs"),
+        count(lit(1)).cast(LongType).as("vocab_total"),
+        sum(when(col("minr") <= expr("(n + 3) div 4"), 1L).otherwise(0L))
+          .cast(LongType).as("v25"),
+        sum(when(col("minr") <= expr("(n + 1) div 2"), 1L).otherwise(0L))
+          .cast(LongType).as("v50"),
+        sum(when(col("minr") <= expr("(3 * n + 3) div 4"), 1L).otherwise(0L))
+          .cast(LongType).as("v75"))
+  }
+
+  /** Burstiness (Fano factor) of the top-20 terms — variance-to-mean
+    * ratio of per-document occurrence counts over ALL documents
+    * (zero-count docs included via the broadcast doc total; they add
+    * nothing to Σx or Σx², only to n): VMR = (N·Σx² − (Σx)²)/(N·Σx),
+    * exact in decimal38/HUGEINT with one integral division to micros.
+    * VMR ≈ 1e6 is Poisson scatter; bursty content words run higher,
+    * boilerplate lower — the term-level quality signal. One term-doc
+    * count agg; everything after runs on the 20-row vocabulary frame.
+    */
+  private val termBurstiness: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val td = TextStats.terms(documents(s, d), "doc_id", "text")
+      .groupBy("term", "doc_id").agg(count(lit(1)).cast(LongType).as("x"))
+    val stats = td.groupBy("term").agg(
+      count(lit(1)).cast(LongType).as("df"),
+      sum("x").cast(LongType).as("tf"),
+      sum((col("x") * col("x")).cast(dec)).cast(dec).as("sxx"))
+    val top = stats.orderBy(desc("tf"), asc("term")).limit(20)
+    val n = documents(s, d).agg(count(lit(1)).cast(LongType).as("n"))
+    top.crossJoin(broadcast(n))
+      .select(col("term"), col("df"), col("tf"),
+        expr("""(cast(n as decimal(38,0)) * sxx - cast(tf as decimal(38,0)) * tf)
+                * 1000000 div (cast(n as decimal(38,0)) * tf)""").as("vmr_micros"))
+  }
+
+  /** McNemar's paired test between the two deterministic annotators of
+    * [[annotatorKappa]], each scored against the `lang = 'en'` truth —
+    * the right test for "is classifier A better than B on the SAME
+    * examples" (two independent proportions would ignore the pairing).
+    * Only the discordant cells matter: statistic (b−c)²/(b+c) exact to
+    * integer micros, verdict against the baked χ²(1df, α=0.05) critical
+    * value 3.841459 (the standard table constant, like Benford's baked
+    * log10 table — no query-time transcendental). BOTH verdict branches
+    * are witnessed across the driver SFs (stat ≈ 16.9 / 0.8 / 40.8 at
+    * sf0.001/0.01/0.1).
+    */
+  private val mcnemarTest: Q = (s, d) => {
+    val m = documents(s, d)
+      .select(
+        split(coalesce(normText(col("text")), lit("")), " ").as("toks"),
+        lower(col("text")).as("lt"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("t"))
+      .select(col("t"),
+        when(expr(
+          """cast(size(filter(toks, tk -> tk IN ('the','of','and','to','a','in'))) as bigint)
+             * 1000 div greatest(cast(size(toks) as bigint), 1)""") >= 40, 1L)
+          .otherwise(0L).as("a"),
+        when(regexp_count(col("lt"), lit("\\b(the|a|of)\\b")) >=
+          regexp_count(col("lt"), lit("\\b(spark|hash|key)\\b")), 1L)
+          .otherwise(0L).as("b"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n"),
+        sum(when(col("a") === col("t") && col("b") =!= col("t"), 1L).otherwise(0L))
+          .cast(LongType).as("only_a"),
+        sum(when(col("a") =!= col("t") && col("b") === col("t"), 1L).otherwise(0L))
+          .cast(LongType).as("only_b"))
+    m.select(col("n"), col("only_a"), col("only_b"),
+      expr("""case when only_a + only_b = 0 then 0L
+              else cast(only_a - only_b as decimal(38,0)) * (only_a - only_b)
+                   * 1000000 div (only_a + only_b) end""").as("stat_micros"))
+      .withColumn("significant",
+        (col("stat_micros") > 3841459L).cast(LongType).as("significant"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "vocab_growth_curve" -> vocabGrowthCurve,
+    "term_burstiness" -> termBurstiness,
+    "mcnemar_test" -> mcnemarTest,
     "roc_auc_exact" -> rocAucExact,
     "annotator_kappa" -> annotatorKappa,
     "classifier_prf" -> classifierPrf,
@@ -452,6 +549,59 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "vocab_growth_curve" ->
+      """WITH rk AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS r
+        |  FROM documents),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |tk AS (SELECT doc_id,
+        |    unnest(string_split(coalesce(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''), ' ')) AS term
+        |  FROM documents),
+        |fr AS (SELECT term, CAST(MIN(r) AS BIGINT) AS minr
+        |  FROM tk JOIN rk USING (doc_id) WHERE length(term) > 0 GROUP BY term)
+        |SELECT MIN(n) AS n_docs, CAST(COUNT(*) AS BIGINT) AS vocab_total,
+        |  CAST(SUM(CASE WHEN minr <= (n + 3) // 4 THEN 1 ELSE 0 END) AS BIGINT) AS v25,
+        |  CAST(SUM(CASE WHEN minr <= (n + 1) // 2 THEN 1 ELSE 0 END) AS BIGINT) AS v50,
+        |  CAST(SUM(CASE WHEN minr <= (3 * n + 3) // 4 THEN 1 ELSE 0 END) AS BIGINT) AS v75
+        |FROM fr CROSS JOIN nn""".stripMargin,
+    "term_burstiness" ->
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(string_split(coalesce(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''), ' ')) AS term
+        |  FROM documents),
+        |td AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS x FROM tk
+        |       WHERE length(term) > 0 GROUP BY 1, 2),
+        |st AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(x) AS BIGINT) AS tf,
+        |         SUM(CAST(x AS HUGEINT) * x) AS sxx FROM td GROUP BY term),
+        |top AS (SELECT * FROM st ORDER BY tf DESC, term LIMIT 20),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+        |SELECT term, df, tf,
+        |  CAST((CAST(n AS HUGEINT) * sxx - CAST(tf AS HUGEINT) * tf) * 1000000
+        |       // (CAST(n AS HUGEINT) * tf) AS BIGINT) AS vmr_micros
+        |FROM top CROSS JOIN nn""".stripMargin,
+    "mcnemar_test" ->
+      """WITH nm AS (SELECT lang,
+        |    string_split(coalesce(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''), ' ') AS toks,
+        |    lower(text) AS lt FROM documents),
+        |sc AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t,
+        |    CASE WHEN CAST(len(list_filter(toks, tk -> tk IN ('the','of','and','to','a','in'))) AS BIGINT)
+        |              * 1000 // greatest(CAST(len(toks) AS BIGINT), 1) >= 40
+        |         THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN len(regexp_extract_all(lt, '\b(the|a|of)\b')) >=
+        |              len(regexp_extract_all(lt, '\b(spark|hash|key)\b'))
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM nm),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN a = t AND b <> t THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+        |    CAST(SUM(CASE WHEN a <> t AND b = t THEN 1 ELSE 0 END) AS BIGINT) AS only_b
+        |  FROM sc)
+        |SELECT n, only_a, only_b,
+        |  CASE WHEN only_a + only_b = 0 THEN 0
+        |       ELSE CAST(CAST(only_a - only_b AS HUGEINT) * (only_a - only_b) * 1000000
+        |            // (only_a + only_b) AS BIGINT) END AS stat_micros,
+        |  CASE WHEN (CASE WHEN only_a + only_b = 0 THEN 0
+        |       ELSE CAST(CAST(only_a - only_b AS HUGEINT) * (only_a - only_b) * 1000000
+        |            // (only_a + only_b) AS BIGINT) END) > 3841459
+        |       THEN 1 ELSE 0 END AS significant
+        |FROM m""".stripMargin,
     "roc_auc_exact" ->
       """WITH nm AS (SELECT lang,
         |    string_split(coalesce(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''), ' ') AS toks

@@ -96,7 +96,9 @@ class DeterminismSpec extends SparkSpec {
     "clustering_coefficient", // oriented wedge joins + exploded corners
     "weighted_median",       // Prefix weight CDF + conditional-min picks
     "spearman_daily",        // two Prefix rank passes, integer rho
-    "basket_triples")        // chained self-joins + TakeOrdered cut
+    "basket_triples",        // chained self-joins + TakeOrdered cut
+    "vocab_growth_curve",    // Prefix doc ranks + first-rank reduction
+    "term_burstiness")       // TakeOrdered vocab cut + integer VMR
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf

@@ -58,7 +58,9 @@ class PlanHealthSpec extends SparkSpec {
     "bootstrap_ci_mean",    // 1-row n and CI-fence frames crossed
     "ks_two_sample",        // 1-row totals frame crossed
     "weighted_median",      // 1-row weight-total frame crossed
-    "chi2_independence")    // 1-row N/df frame crossed onto <=100 cells
+    "chi2_independence",    // 1-row N/df frame crossed onto <=100 cells
+    "vocab_growth_curve",   // 1-row doc-total frame crossed
+    "term_burstiness")      // 1-row doc-total frame crossed onto 20 rows
 
   /** Data-model columns with single-digit cardinality. A window
     * PARTITION BY drawn ONLY from these caps sort parallelism at the
