@@ -1925,7 +1925,96 @@ object AnalyticsQueries {
       .limit(10)
   }
 
+  /** Exact sample autocorrelation of daily revenue at lags 1/7/14 — the
+    * seasonality diagnostic, with the mean-centering done in N-SCALED
+    * integers so no division happens before the final render: dev_t =
+    * n·x_t − S is exact, and in r_k = Σdev_t·dev_{t+k} / Σdev_t² the n²
+    * factors cancel, so the quotient IS the textbook ACF (the CUSUM
+    * trick upgraded to products). Products run in decimal38 (dev ~
+    * n·cents ~ 1e14 at sf1, squared 1e28 < 1e38; DuckDB replays in
+    * HUGEINT), ONE integral division to micros per lag (negative-safe:
+    * both engines truncate toward zero, probed). Pairs join on calendar
+    * day+k over the bounded day frame — missing days drop their pairs,
+    * the standard gap convention, pinned identically in the oracle. The
+    * denominator spans ALL days (textbook ACF), not just paired ones.
+    */
+  private val acfDaily: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val daily = events(s, d)
+      .select(
+        floor(unix_millis(col("ts")) / lit(86400000.0)).cast(LongType).as("day"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .groupBy("day").agg(sum("cents").cast(LongType).as("rev"))
+      .localCheckpoint(true) // totals + dev frame + three lag joins
+    val tot = daily.agg(count(lit(1)).cast(LongType).as("n"),
+      sum("rev").cast(LongType).as("s"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .select(col("day"),
+        (col("n").cast(dec) * col("rev").cast(dec) - col("s").cast(dec)).cast(dec).as("dv"))
+      .localCheckpoint(true) // read once per lag + once for the denominator
+    val den = dev.agg(sum(col("dv") * col("dv")).cast(dec).as("den"))
+    val lagged = dev.withColumn("lag", explode(array(lit(1L), lit(7L), lit(14L))))
+      .select(col("lag"), (col("day") + col("lag")).as("day"), col("dv").as("dv0"))
+      .join(dev, Seq("day"))
+      .groupBy("lag")
+      .agg(count(lit(1)).cast(LongType).as("n_pairs"),
+        sum(col("dv0") * col("dv")).cast(dec).as("num"))
+    lagged.crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        expr("num * 1000000 div den").as("acf_micros"))
+  }
+
+  /** Wald–Wolfowitz runs test for randomness of the daily revenue series
+    * around its exact lower median — "does the level wander (too few
+    * runs) or oscillate (too many) vs an i.i.d. sequence". Everything
+    * stays rational: the median is an exact rank pick; runs R = 1 +
+    * sign flips between RANK-consecutive days (one equi-join on rank+1
+    * over the bounded day frame — rank adjacency, so calendar gaps
+    * can't split a run); and the z² statistic cross-multiplies to
+    * D²(n−1) / (2n₁n₂(2n₁n₂−n)) with D = R·n − 2n₁n₂ − n — exact in
+    * decimal38, one integral division to micros, verdict vs the baked
+    * χ²(1) constant (z² ~ χ²₁). The fixture is the independence regime
+    * (random synthetic data ⇒ not significant); the mutation audit
+    * proves a broken run count goes red.
+    */
+  private val runsTest: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val daily = events(s, d)
+      .select(
+        floor(unix_millis(col("ts")) / lit(86400000.0)).cast(LongType).as("day"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .groupBy("day").agg(sum("cents").cast(LongType).as("rev"))
+    val byRev = Prefix.globalRank(daily, Seq(col("rev").asc, col("day").asc), "rr")
+      .localCheckpoint(true) // median pick + sign frame
+    val nRow = byRev.agg(count(lit(1)).cast(LongType).as("n"))
+    val medPick = byRev.crossJoin(broadcast(nRow))
+      .agg(min(when(col("rr") === expr("(n + 1) div 2"), col("rev")))
+        .cast(LongType).as("m"))
+    val signs = Prefix.globalRank(byRev, Seq(col("day").asc), "r")
+      .crossJoin(broadcast(medPick))
+      .select(col("r"), when(col("rev") > col("m"), 1L).otherwise(0L).as("sg"))
+      .localCheckpoint(true) // flip join + marginals
+    val flips = signs.select((col("r") + 1).as("r"), col("sg").as("sg0"))
+      .join(signs, Seq("r"))
+      .agg(sum(when(col("sg") =!= col("sg0"), 1L).otherwise(0L)).cast(LongType).as("fl"))
+    val marg = signs.agg(count(lit(1)).cast(LongType).as("n"),
+      sum("sg").cast(LongType).as("n1"))
+    marg.crossJoin(broadcast(flips))
+      .select(col("n"), col("n1"), (col("n") - col("n1")).as("n0"),
+        (col("fl") + 1).as("runs"))
+      .select(col("n"), col("n1"), col("n0"), col("runs"),
+        expr("""case when n1 = 0 or n0 = 0 then 0L else
+                (cast(runs as decimal(38,0)) * n - 2 * cast(n1 as decimal(38,0)) * n0 - n)
+                * (cast(runs as decimal(38,0)) * n - 2 * cast(n1 as decimal(38,0)) * n0 - n)
+                * (n - 1) * 1000000
+                div (2 * cast(n1 as decimal(38,0)) * n0
+                     * (2 * cast(n1 as decimal(38,0)) * n0 - n)) end""").as("z2_micros"))
+      .withColumn("significant", (col("z2_micros") > 3841459L).cast(LongType))
+  }
+
   def queries: Map[String, Q] = Map(
+    "acf_daily" -> acfDaily,
+    "runs_test" -> runsTest,
     "spearman_daily" -> spearmanDaily,
     "revenue_reconciliation" -> revenueReconciliation,
     "basket_triples" -> basketTriples,
@@ -1985,6 +2074,47 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "acf_daily" ->
+      """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(rev) AS BIGINT) AS s FROM daily),
+        |dev AS (SELECT day, CAST(n AS HUGEINT) * rev - s AS dv FROM daily CROSS JOIN tot),
+        |den AS (SELECT SUM(dv * dv) AS den FROM dev),
+        |lags AS (SELECT unnest([1, 7, 14]) AS lag),
+        |pr AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs, SUM(a.dv * b.dv) AS num
+        |       FROM lags, dev a JOIN dev b ON a.day + lag = b.day
+        |       GROUP BY lag)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+        |  CAST(num * 1000000 // den AS BIGINT) AS acf_micros
+        |FROM pr CROSS JOIN den""".stripMargin,
+    "runs_test" ->
+      """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1),
+        |rr AS (SELECT day, rev, CAST(ROW_NUMBER() OVER (ORDER BY rev, day) AS BIGINT) AS rr FROM daily),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+        |md AS (SELECT MIN(CASE WHEN rr = (n + 1) // 2 THEN rev END) AS m FROM rr CROSS JOIN nn),
+        |sg AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS r,
+        |         CASE WHEN rev > m THEN 1 ELSE 0 END AS sg FROM daily CROSS JOIN md),
+        |fl AS (SELECT CAST(SUM(CASE WHEN a.sg <> b.sg THEN 1 ELSE 0 END) AS BIGINT) AS fl
+        |       FROM sg a JOIN sg b ON a.r + 1 = b.r),
+        |mg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(sg) AS BIGINT) AS n1 FROM sg)
+        |SELECT n, n1, n - n1 AS n0, fl + 1 AS runs,
+        |  CASE WHEN n1 = 0 OR n - n1 = 0 THEN 0 ELSE
+        |    CAST((CAST(fl + 1 AS HUGEINT) * n - 2 * CAST(n1 AS HUGEINT) * (n - n1) - n)
+        |       * (CAST(fl + 1 AS HUGEINT) * n - 2 * CAST(n1 AS HUGEINT) * (n - n1) - n)
+        |       * (n - 1) * 1000000
+        |       // (2 * CAST(n1 AS HUGEINT) * (n - n1)
+        |          * (2 * CAST(n1 AS HUGEINT) * (n - n1) - n)) AS BIGINT) END AS z2_micros,
+        |  CASE WHEN (CASE WHEN n1 = 0 OR n - n1 = 0 THEN 0 ELSE
+        |    CAST((CAST(fl + 1 AS HUGEINT) * n - 2 * CAST(n1 AS HUGEINT) * (n - n1) - n)
+        |       * (CAST(fl + 1 AS HUGEINT) * n - 2 * CAST(n1 AS HUGEINT) * (n - n1) - n)
+        |       * (n - 1) * 1000000
+        |       // (2 * CAST(n1 AS HUGEINT) * (n - n1)
+        |          * (2 * CAST(n1 AS HUGEINT) * (n - n1) - n)) AS BIGINT) END) > 3841459
+        |    THEN 1 ELSE 0 END AS significant
+        |FROM mg CROSS JOIN fl""".stripMargin,
     "spearman_daily" ->
       """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
         |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev,

@@ -98,7 +98,9 @@ class DeterminismSpec extends SparkSpec {
     "spearman_daily",        // two Prefix rank passes, integer rho
     "basket_triples",        // chained self-joins + TakeOrdered cut
     "vocab_growth_curve",    // Prefix doc ranks + first-rank reduction
-    "term_burstiness")       // TakeOrdered vocab cut + integer VMR
+    "term_burstiness",       // TakeOrdered vocab cut + integer VMR
+    "acf_daily",             // n-scaled integer devs + calendar lag joins
+    "runs_test")             // two Prefix ranks + rank-adjacency flips
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf

@@ -60,7 +60,9 @@ class PlanHealthSpec extends SparkSpec {
     "weighted_median",      // 1-row weight-total frame crossed
     "chi2_independence",    // 1-row N/df frame crossed onto <=100 cells
     "vocab_growth_curve",   // 1-row doc-total frame crossed
-    "term_burstiness")      // 1-row doc-total frame crossed onto 20 rows
+    "term_burstiness",      // 1-row doc-total frame crossed onto 20 rows
+    "acf_daily",            // 1-row totals/denominator frames crossed
+    "runs_test")            // 1-row n/median/flips frames crossed
 
   /** Data-model columns with single-digit cardinality. A window
     * PARTITION BY drawn ONLY from these caps sort parallelism at the
