@@ -2012,7 +2012,97 @@ object AnalyticsQueries {
       .withColumn("significant", (col("z2_micros") > 3841459L).cast(LongType))
   }
 
+  /** Mann–Kendall trend test on the daily revenue series — the
+    * nonparametric significance companion to [[theilSenSlope]] (same
+    * bounded pair frame: the date-range² census, never corpus-sized).
+    * S = Σ_{i<j} sign(x_j − x_i) is an exact integer; 18·Var(S) =
+    * n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5) carries the exact tie
+    * correction from one value-grain agg; the continuity-corrected z² =
+    * (|S|−1)²·18 / Var18 cross-multiplies to one integral division in
+    * decimal38 (n⁴-ish numerators pass int64 near 40k days), verdict vs
+    * the baked χ²(1) constant. The fixture is the no-trend regime; the
+    * audit proves a sign error goes red.
+    */
+  private val mannKendallTrend: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val daily = events(s, d)
+      .select(
+        floor(unix_millis(col("ts")) / lit(86400000.0)).cast(LongType).as("day"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .groupBy("day").agg(sum("cents").cast(LongType).as("rev"))
+      .localCheckpoint(true) // pair join (both sides) + tie groups + n
+    val pairs = daily.select(col("day").as("d1"), col("rev").as("r1"))
+      .join(daily.select(col("day").as("d2"), col("rev").as("r2")),
+        col("d1") < col("d2"))
+      .agg(sum(when(col("r2") > col("r1"), 1L)
+        .when(col("r2") < col("r1"), -1L).otherwise(0L)).cast(LongType).as("s"))
+    val ties = daily.groupBy("rev").agg(count(lit(1)).cast(LongType).as("t"))
+      .agg(sum((col("t") * (col("t") - 1) * (col("t") * 2 + 5)).cast(dec))
+        .cast(dec).as("tc"))
+    val n = daily.agg(count(lit(1)).cast(LongType).as("n"))
+    pairs.crossJoin(broadcast(ties)).crossJoin(broadcast(n))
+      .select(col("n"), col("s"),
+        expr("""case when s = 0 then 0L else
+                (abs(s) - 1) * (abs(s) - 1) * cast(18 as decimal(38,0)) * 1000000
+                div (cast(n as decimal(38,0)) * (n - 1) * (2 * n + 5) - tc) end""")
+          .as("z2_micros"))
+      .withColumn("significant", (col("z2_micros") > 3841459L).cast(LongType))
+  }
+
+  /** CUPED variance reduction for the user-parity A/B arms — the modern
+    * experimentation adjustment: each user's post-period spend Y is
+    * debiased by their PRE-period spend X via θ = cov(X,Y)/var(X), so
+    * delta_adj = (ȳ₁−ȳ₀) − θ(x̄₁−x̄₀) removes the between-user variance
+    * that X explains. The period split is the exact calendar midpoint
+    * ((min+max+1) div 2, broadcast 1-row frame); ALL moments (per-arm
+    * n/Σx/Σy and pooled Σxy/Σx²) are exact int64/decimal38 cents from
+    * one user-grain agg; θ and the two deltas render through ONE pinned
+    * IEEE double chain mirrored op-for-op in DuckDB (the OLS pattern —
+    * the division makes exact integers impossible, the pinning makes
+    * the bits equal).
+    */
+  private val cupedAdjustment: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val ev = events(s, d)
+      .select(col("user_id"),
+        floor(unix_millis(col("ts")) / lit(86400000.0)).cast(LongType).as("day"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+    val mid = ev.agg(((min("day") + max("day") + 1) / 2).cast(LongType).as("mid"))
+    val users = ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("day") < col("mid"), col("cents")).otherwise(0L))
+          .cast(LongType).as("x"),
+        sum(when(col("day") >= col("mid"), col("cents")).otherwise(0L))
+          .cast(LongType).as("y"))
+      .select(col("x"), col("y"), (col("user_id") % 2).cast(LongType).as("arm"))
+    val m = users.agg(
+      count(lit(1)).cast(LongType).as("n"),
+      sum("x").cast(LongType).as("sx"),
+      sum("y").cast(LongType).as("sy"),
+      sum(col("x").cast(dec) * col("y").cast(dec)).cast(dec).as("sxy"),
+      sum(col("x").cast(dec) * col("x").cast(dec)).cast(dec).as("sxx"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).cast(LongType).as("n1"),
+      sum(when(col("arm") === 1, col("x")).otherwise(0L)).cast(LongType).as("sx1"),
+      sum(when(col("arm") === 1, col("y")).otherwise(0L)).cast(LongType).as("sy1"))
+    val theta = (col("n").cast(dec) * col("sxy") -
+        col("sx").cast(dec) * col("sy").cast(dec)).cast(DoubleType) /
+      (col("n").cast(dec) * col("sxx") -
+        col("sx").cast(dec) * col("sx").cast(dec)).cast(DoubleType)
+    val n0 = (col("n") - col("n1")).cast(DoubleType)
+    val dRaw = col("sy1").cast(DoubleType) / col("n1").cast(DoubleType) -
+      (col("sy") - col("sy1")).cast(DoubleType) / n0
+    val dX = col("sx1").cast(DoubleType) / col("n1").cast(DoubleType) -
+      (col("sx") - col("sx1")).cast(DoubleType) / n0
+    m.select(col("n"), col("n1"),
+      floor(theta * lit(1e6)).cast(LongType).as("theta_micros"),
+      floor(dRaw * lit(1e6)).cast(LongType).as("delta_raw_micros"),
+      floor((dRaw - theta * dX) * lit(1e6)).cast(LongType).as("delta_adj_micros"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "mann_kendall_trend" -> mannKendallTrend,
+    "cuped_adjustment" -> cupedAdjustment,
     "acf_daily" -> acfDaily,
     "runs_test" -> runsTest,
     "spearman_daily" -> spearmanDaily,
@@ -2074,6 +2164,51 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "mann_kendall_trend" ->
+      """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+        |        WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |      FROM daily a JOIN daily b ON a.day < b.day),
+        |tc AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS tc FROM
+        |        (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY rev)),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+        |z AS (SELECT n, s,
+        |    CASE WHEN s = 0 THEN 0 ELSE
+        |      CAST((abs(s) - 1) * (abs(s) - 1) * CAST(18 AS HUGEINT) * 1000000
+        |        // (CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tc) AS BIGINT) END AS z2_micros
+        |  FROM p CROSS JOIN tc CROSS JOIN nn)
+        |SELECT n, s, z2_micros,
+        |  CASE WHEN z2_micros > 3841459 THEN 1 ELSE 0 END AS significant FROM z""".stripMargin,
+    "cuped_adjustment" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM events),
+        |md AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM ev),
+        |u AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN day < mid THEN cents ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN day >= mid THEN cents ELSE 0 END) AS BIGINT) AS y,
+        |    user_id % 2 AS arm
+        |  FROM ev CROSS JOIN md GROUP BY user_id),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy, SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1
+        |  FROM u)
+        |SELECT n, n1,
+        |  CAST(FLOOR(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+        |    CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) * 1e6) AS BIGINT) AS theta_micros,
+        |  CAST(FLOOR((CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+        |    CAST(sy - sy1 AS DOUBLE) / CAST(n - n1 AS DOUBLE)) * 1e6) AS BIGINT) AS delta_raw_micros,
+        |  CAST(FLOOR(((CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+        |      CAST(sy - sy1 AS DOUBLE) / CAST(n - n1 AS DOUBLE)) -
+        |    CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+        |      CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) *
+        |    (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+        |      CAST(sx - sx1 AS DOUBLE) / CAST(n - n1 AS DOUBLE))) * 1e6) AS BIGINT) AS delta_adj_micros
+        |FROM m""".stripMargin,
     "acf_daily" ->
       """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
         |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev

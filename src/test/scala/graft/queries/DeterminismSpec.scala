@@ -100,7 +100,9 @@ class DeterminismSpec extends SparkSpec {
     "vocab_growth_curve",    // Prefix doc ranks + first-rank reduction
     "term_burstiness",       // TakeOrdered vocab cut + integer VMR
     "acf_daily",             // n-scaled integer devs + calendar lag joins
-    "runs_test")             // two Prefix ranks + rank-adjacency flips
+    "runs_test",             // two Prefix ranks + rank-adjacency flips
+    "mann_kendall_trend",    // bounded pair join + exact tie correction
+    "cuped_adjustment")      // exact moments, pinned double renders
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf

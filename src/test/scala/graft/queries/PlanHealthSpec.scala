@@ -62,7 +62,9 @@ class PlanHealthSpec extends SparkSpec {
     "vocab_growth_curve",   // 1-row doc-total frame crossed
     "term_burstiness",      // 1-row doc-total frame crossed onto 20 rows
     "acf_daily",            // 1-row totals/denominator frames crossed
-    "runs_test")            // 1-row n/median/flips frames crossed
+    "runs_test",            // 1-row n/median/flips frames crossed
+    "mann_kendall_trend",   // 1-row tie/n frames crossed
+    "cuped_adjustment")     // 1-row midpoint frame crossed
 
   /** Data-model columns with single-digit cardinality. A window
     * PARTITION BY drawn ONLY from these caps sort parallelism at the
