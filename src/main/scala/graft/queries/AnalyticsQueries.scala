@@ -2100,7 +2100,73 @@ object AnalyticsQueries {
       floor((dRaw - theta * dX) * lit(1e6)).cast(LongType).as("delta_adj_micros"))
   }
 
+  /** Cohort LTV curve — cumulative revenue per signup-cohort per month of
+    * age, normalized per cohort user: the growth-analytics complement of
+    * [[cohort_retention]] (users) in money. Months are the linear index
+    * year·12+month (exact int, no date arithmetic ambiguity); the
+    * cumulative pass is [[Prefix.runningSum]] SHARDED by cohort — the
+    * low-cardinality-partition window this repo bans is exactly what a
+    * naive PARTITION BY cohort would be; the sharded range scan splits
+    * WITHIN cohorts so parallelism never caps at the cohort count. LTV
+    * per user in micros divides the exact cumulative cents by the
+    * cohort's distinct-user census through decimal38.
+    */
+  private val ltvCumulative: Q = (s, d) => {
+    val ev = events(s, d)
+      .select(col("user_id"),
+        (year(col("ts")) * 12 + month(col("ts"))).cast(LongType).as("m"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .localCheckpoint(true) // cohort derivation + activity rollup
+    val cohort = ev.groupBy("user_id").agg(min("m").cast(LongType).as("cohort"))
+    val act = ev.join(cohort, Seq("user_id"))
+      .groupBy("cohort", "m")
+      .agg(sum("cents").cast(LongType).as("rev"))
+      .select(col("cohort"), (col("m") - col("cohort")).as("age"), col("rev"))
+    val sizes = cohort.groupBy("cohort")
+      .agg(count(lit(1)).cast(LongType).as("n_users"))
+    Prefix.runningSum(act, col("cohort"), Seq(col("age").asc), col("rev"), "cum")
+      .join(sizes, Seq("cohort"))
+      .select(col("cohort"), col("age"), col("rev"), col("cum").cast(LongType).as("cum_rev"),
+        expr("cast(cum as decimal(38,0)) * 1000000 div n_users").as("ltv_micros"),
+        col("n_users"))
+  }
+
+  /** Monthly active-user decomposition into NEW / RETAINED / RESURRECTED —
+    * the growth-accounting census behind every DAU chart: new = first
+    * month, retained = also active the month before, resurrected =
+    * returning after a gap of ≥1 month. One distinct user-month frame,
+    * one self-join at m−1, one per-user first-month join — integer
+    * micros rates; the three classes partition actives exactly, and the
+    * identity new+retained+resurrected = active is an output-level
+    * invariant the oracle re-derives.
+    */
+  private val resurrectionRate: Q = (s, d) => {
+    val um = events(s, d)
+      .select(col("user_id"),
+        (year(col("ts")) * 12 + month(col("ts"))).cast(LongType).as("m"))
+      .distinct()
+      .localCheckpoint(true) // self-join both sides + first-month frame
+    val first = um.groupBy("user_id").agg(min("m").cast(LongType).as("fm"))
+    val prev = um.select(col("user_id"), (col("m") + 1).as("m"), lit(1L).as("was_prev"))
+    um.join(prev, Seq("user_id", "m"), "left")
+      .join(first, Seq("user_id"))
+      .groupBy("m")
+      .agg(
+        count(lit(1)).cast(LongType).as("n_active"),
+        sum(when(col("fm") === col("m"), 1L).otherwise(0L)).cast(LongType).as("n_new"),
+        sum(when(col("was_prev").isNotNull && col("fm") < col("m"), 1L).otherwise(0L))
+          .cast(LongType).as("n_retained"),
+        sum(when(col("was_prev").isNull && col("fm") < col("m"), 1L).otherwise(0L))
+          .cast(LongType).as("n_resurrected"))
+      .select(col("m"), col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"),
+        expr("n_resurrected * 1000000 div n_active").as("resurrect_micros"),
+        expr("n_retained * 1000000 div n_active").as("retain_micros"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "ltv_cumulative" -> ltvCumulative,
+    "resurrection_rate" -> resurrectionRate,
     "mann_kendall_trend" -> mannKendallTrend,
     "cuped_adjustment" -> cupedAdjustment,
     "acf_daily" -> acfDaily,
@@ -2164,6 +2230,38 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "ltv_cumulative" ->
+      """WITH ev AS (SELECT user_id,
+        |    CAST(year(ts) * 12 + month(ts) AS BIGINT) AS m,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM events),
+        |ch AS (SELECT user_id, CAST(MIN(m) AS BIGINT) AS cohort FROM ev GROUP BY 1),
+        |act AS (SELECT cohort, m - cohort AS age, CAST(SUM(cents) AS BIGINT) AS rev
+        |  FROM ev JOIN ch USING (user_id) GROUP BY 1, 2),
+        |sz AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users FROM ch GROUP BY 1),
+        |cum AS (SELECT cohort, age, rev,
+        |    CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY age
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev FROM act)
+        |SELECT cohort, age, rev, cum_rev,
+        |  CAST(CAST(cum_rev AS HUGEINT) * 1000000 // n_users AS BIGINT) AS ltv_micros,
+        |  n_users
+        |FROM cum JOIN sz USING (cohort)""".stripMargin,
+    "resurrection_rate" ->
+      """WITH um AS (SELECT DISTINCT user_id,
+        |    CAST(year(ts) * 12 + month(ts) AS BIGINT) AS m FROM events),
+        |fm AS (SELECT user_id, CAST(MIN(m) AS BIGINT) AS fm FROM um GROUP BY 1),
+        |j AS (SELECT a.user_id, a.m, fm.fm,
+        |        CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS was_prev
+        |      FROM um a JOIN fm ON a.user_id = fm.user_id
+        |      LEFT JOIN um p ON a.user_id = p.user_id AND p.m = a.m - 1)
+        |SELECT m, CAST(COUNT(*) AS BIGINT) AS n_active,
+        |  CAST(SUM(CASE WHEN fm = m THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(SUM(CASE WHEN was_prev = 1 AND fm < m THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |  CAST(SUM(CASE WHEN was_prev = 0 AND fm < m THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+        |  CAST(SUM(CASE WHEN was_prev = 0 AND fm < m THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // COUNT(*) AS resurrect_micros,
+        |  CAST(SUM(CASE WHEN was_prev = 1 AND fm < m THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // COUNT(*) AS retain_micros
+        |FROM j GROUP BY m""".stripMargin,
     "mann_kendall_trend" ->
       """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
         |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev

@@ -102,7 +102,8 @@ class DeterminismSpec extends SparkSpec {
     "acf_daily",             // n-scaled integer devs + calendar lag joins
     "runs_test",             // two Prefix ranks + rank-adjacency flips
     "mann_kendall_trend",    // bounded pair join + exact tie correction
-    "cuped_adjustment")      // exact moments, pinned double renders
+    "cuped_adjustment",      // exact moments, pinned double renders
+    "ltv_cumulative")        // cohort-sharded Prefix running sum
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf
