@@ -2100,28 +2100,37 @@ object AnalyticsQueries {
       floor((dRaw - theta * dX) * lit(1e6)).cast(LongType).as("delta_adj_micros"))
   }
 
-  /** Cohort LTV curve — cumulative revenue per signup-cohort per month of
-    * age, normalized per cohort user: the growth-analytics complement of
-    * [[cohort_retention]] (users) in money. Months are the linear index
-    * year·12+month (exact int, no date arithmetic ambiguity); the
-    * cumulative pass is [[Prefix.runningSum]] SHARDED by cohort — the
-    * low-cardinality-partition window this repo bans is exactly what a
-    * naive PARTITION BY cohort would be; the sharded range scan splits
-    * WITHIN cohorts so parallelism never caps at the cohort count. LTV
-    * per user in micros divides the exact cumulative cents by the
-    * cohort's distinct-user census through decimal38.
+  /** Cohort LTV curve — cumulative purchase revenue per cohort per WEEK
+    * of age, normalized per cohort user: the growth-analytics complement
+    * of [[cohort_retention]] (users) in money. Cohort = week of the
+    * user's first HIGH-VALUE purchase (≥ $200, the Kaplan–Meier
+    * conversion anchor — the fixture's events span one month, so a
+    * plain first-activity cohort is a single degenerate bucket; the
+    * high-value anchor spreads users over 2–5 weekly cohorts at every
+    * SF, probed); age counts purchase revenue from the cohort week on.
+    * The cumulative pass is [[Prefix.runningSum]] SHARDED by cohort —
+    * the low-cardinality-partition window this repo bans is exactly
+    * what a naive PARTITION BY cohort would be; the sharded range scan
+    * splits WITHIN cohorts so parallelism never caps at the cohort
+    * count. Per-user micros divide exact cents through decimal38.
     */
   private val ltvCumulative: Q = (s, d) => {
     val ev = events(s, d)
-      .select(col("user_id"),
-        (year(col("ts")) * 12 + month(col("ts"))).cast(LongType).as("m"),
+      .select(col("user_id"), col("event_type"),
+        floor(unix_millis(col("ts")) / lit(86400000.0)).cast(LongType).as("day"),
         (dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .select(col("user_id"), col("event_type"),
+        expr("day div 7").as("w"), col("cents"))
       .localCheckpoint(true) // cohort derivation + activity rollup
-    val cohort = ev.groupBy("user_id").agg(min("m").cast(LongType).as("cohort"))
-    val act = ev.join(cohort, Seq("user_id"))
-      .groupBy("cohort", "m")
+    val cohort = ev
+      .filter(col("event_type") === "purchase" && col("cents") >= 20000L)
+      .groupBy("user_id").agg(min("w").cast(LongType).as("cohort"))
+    val act = ev.filter(col("event_type") === "purchase")
+      .join(cohort, Seq("user_id"))
+      .filter(col("w") >= col("cohort"))
+      .groupBy("cohort", "w")
       .agg(sum("cents").cast(LongType).as("rev"))
-      .select(col("cohort"), (col("m") - col("cohort")).as("age"), col("rev"))
+      .select(col("cohort"), (col("w") - col("cohort")).as("age"), col("rev"))
     val sizes = cohort.groupBy("cohort")
       .agg(count(lit(1)).cast(LongType).as("n_users"))
     Prefix.runningSum(act, col("cohort"), Seq(col("age").asc), col("rev"), "cum")
@@ -2131,21 +2140,24 @@ object AnalyticsQueries {
         col("n_users"))
   }
 
-  /** Monthly active-user decomposition into NEW / RETAINED / RESURRECTED —
+  /** Daily purchaser decomposition into NEW / RETAINED / RESURRECTED —
     * the growth-accounting census behind every DAU chart: new = first
-    * month, retained = also active the month before, resurrected =
-    * returning after a gap of ≥1 month. One distinct user-month frame,
-    * one self-join at m−1, one per-user first-month join — integer
-    * micros rates; the three classes partition actives exactly, and the
-    * identity new+retained+resurrected = active is an output-level
-    * invariant the oracle re-derives.
+    * purchase day, retained = also purchased the day before,
+    * resurrected = returning after a gap of ≥1 day. Day grain over
+    * purchase events (the fixture's users fire some event every day, so
+    * an any-event month/week decomposition is degenerate; purchase days
+    * have real gaps — all three classes populated at every SF, probed
+    * 93/897/9059 resurrections). One distinct user-day frame, one d−1
+    * self-join, one first-day join — integer micros rates; the three
+    * classes partition actives exactly.
     */
   private val resurrectionRate: Q = (s, d) => {
     val um = events(s, d)
+      .filter(col("event_type") === "purchase")
       .select(col("user_id"),
-        (year(col("ts")) * 12 + month(col("ts"))).cast(LongType).as("m"))
+        floor(unix_millis(col("ts")) / lit(86400000.0)).cast(LongType).as("m"))
       .distinct()
-      .localCheckpoint(true) // self-join both sides + first-month frame
+      .localCheckpoint(true) // self-join both sides + first-day frame
     val first = um.groupBy("user_id").agg(min("m").cast(LongType).as("fm"))
     val prev = um.select(col("user_id"), (col("m") + 1).as("m"), lit(1L).as("was_prev"))
     um.join(prev, Seq("user_id", "m"), "left")
@@ -2231,12 +2243,14 @@ object AnalyticsQueries {
 
   def oracle: Map[String, String] = Map(
     "ltv_cumulative" ->
-      """WITH ev AS (SELECT user_id,
-        |    CAST(year(ts) * 12 + month(ts) AS BIGINT) AS m,
+      """WITH ev AS (SELECT user_id, event_type,
+        |    (epoch_ms(ts) // 86400000) // 7 AS w,
         |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM events),
-        |ch AS (SELECT user_id, CAST(MIN(m) AS BIGINT) AS cohort FROM ev GROUP BY 1),
-        |act AS (SELECT cohort, m - cohort AS age, CAST(SUM(cents) AS BIGINT) AS rev
-        |  FROM ev JOIN ch USING (user_id) GROUP BY 1, 2),
+        |ch AS (SELECT user_id, CAST(MIN(w) AS BIGINT) AS cohort FROM ev
+        |       WHERE event_type = 'purchase' AND cents >= 20000 GROUP BY 1),
+        |act AS (SELECT cohort, w - cohort AS age, CAST(SUM(cents) AS BIGINT) AS rev
+        |  FROM ev JOIN ch USING (user_id)
+        |  WHERE event_type = 'purchase' AND w >= cohort GROUP BY 1, 2),
         |sz AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users FROM ch GROUP BY 1),
         |cum AS (SELECT cohort, age, rev,
         |    CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY age
@@ -2247,7 +2261,7 @@ object AnalyticsQueries {
         |FROM cum JOIN sz USING (cohort)""".stripMargin,
     "resurrection_rate" ->
       """WITH um AS (SELECT DISTINCT user_id,
-        |    CAST(year(ts) * 12 + month(ts) AS BIGINT) AS m FROM events),
+        |    epoch_ms(ts) // 86400000 AS m FROM events WHERE event_type = 'purchase'),
         |fm AS (SELECT user_id, CAST(MIN(m) AS BIGINT) AS fm FROM um GROUP BY 1),
         |j AS (SELECT a.user_id, a.m, fm.fm,
         |        CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS was_prev
