@@ -212,6 +212,30 @@ object FuzzVerify {
        |ORDER BY g1, g2""".stripMargin
   }
 
+  /** Correlated EXISTS / NOT EXISTS template — Catalyst's
+    * RewritePredicateSubquery family (semi/anti join decorrelation),
+    * which no other template reaches. The inner correlation carries a
+    * numeric threshold drawn INSIDE the subquery so the semi-join is
+    * never a plain FK membership test; NOT EXISTS (unlike NOT IN) is
+    * null-safe by construction, so both polarities are fair game.
+    */
+  def genExistsQuery(r: Random): String = {
+    val (lt, rt, lk, rk) = pick(r, joins)
+    val ltab = tables.find(_.name == lt).get
+    val rtab = tables.find(_.name == rt).get
+    val cat = pick(r, ltab.cols.filter(_.kind == "cat")).name
+    val num = pick(r, ltab.cols.filter(_.kind == "num")).name
+    val rnum = pick(r, rtab.cols.filter(_.kind == "num")).name
+    val not = if (r.nextBoolean()) "NOT " else ""
+    val thr = 1 + r.nextInt(50)
+    s"""SELECT $cat AS g, COUNT(*) AS n,
+       |  CAST(SUM(CAST($num AS DECIMAL(14,2))) AS DOUBLE) AS s
+       |FROM $lt
+       |WHERE ${not}EXISTS (SELECT 1 FROM $rt
+       |  WHERE $rk = $lt.$lk AND $rnum > $thr)
+       |GROUP BY $cat ORDER BY g""".stripMargin
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
@@ -233,6 +257,7 @@ object FuzzVerify {
     val r = new Random(seed)
     val sqls = (0 until n).map { i =>
       val sql = i % 10 match {
+        case 2 => genExistsQuery(r)
         case 3 => genOuterJoinQuery(r)
         case 4 => genWindowQuery(r)
         case 5 => genRunningQuery(r)
