@@ -317,6 +317,37 @@ object DedupQueries {
     * oracle replays the label propagation as a recursive transitive
     * closure, so the component labels are hash-checked, not just counted.
     */
+  /** Keep-BEST-of-cluster dedup decision table — production dedup keeps
+    * each duplicate cluster's highest-QUALITY member, not its smallest
+    * id: per cluster, argmax on the integer stopword-density quality
+    * (hits·1000 div ntok, ties to the smaller doc_id) via the native
+    * bounded-heap [[org.apache.spark.sql.graftnative.TopK]] (k=1 heap
+    * state per cluster — never a window over the cluster key). Clusters
+    * are the same label-propagation transitive closure as
+    * `dedup_clusters`, so the oracle reuses the recursive-CTE ground
+    * truth with a per-cluster argmax on top.
+    */
+  private val keepBest: Q = (s, d) => {
+    val corpus = nearDupCorpus(s, d).localCheckpoint(true) // shingles + quality
+    val sh = Dedup.wordShingles(corpus, "doc_id", "t", 5)
+    val pairs = Dedup.jaccardPairs(sh, "doc_id", 0.5, ShingleDfCap)
+    val members = Dedup.duplicateClusters(pairs, "id_a", "id_b")
+      .join(corpus.select(col("doc_id").as("node"),
+        expr("""cast(size(filter(split(t, ' '), tk -> tk IN ('the','of','and','to','a','in'))) as bigint)
+                * 1000 div greatest(cast(size(split(t, ' ')) as bigint), 1)""").as("q")),
+        Seq("node"))
+      .localCheckpoint(true) // argmax + member census
+    val best = org.apache.spark.sql.graftnative.TopK.perKey(
+      members.select(col("cluster"), col("node"), col("q")),
+      Seq("cluster"), Seq(("q", true), ("node", false)), 1)
+    best
+      .join(members.groupBy("cluster")
+        .agg(count(lit(1)).cast(LongType).as("n_members")), Seq("cluster"))
+      .select(col("cluster").as("cluster_rep"), col("node").cast(LongType).as("kept_id"),
+        col("q").as("kept_quality"), col("n_members"))
+      .orderBy("cluster_rep")
+  }
+
   private val clusters: Q = (s, d) => {
     val sh = Dedup.wordShingles(nearDupCorpus(s, d), "doc_id", "t", 5)
     val pairs = Dedup.jaccardPairs(sh, "doc_id", 0.5, ShingleDfCap)
@@ -416,6 +447,7 @@ object DedupQueries {
   val queries: Map[String, Q] = Map(
     "minhash_calibration" -> minhashCalibration,
     "dedup_pipeline_e2e" -> pipelineE2e,
+    "dedup_keep_best" -> keepBest,
     "dedup_clusters" -> clusters,
     "dedup_clusters_star" -> clustersStar,
     "dedup_exact" -> exact,
@@ -644,6 +676,34 @@ object DedupQueries {
         |  JOIN counts cb ON cb.doc_id = id_b
         |WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $corpusSql,
+        |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairsj AS (SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |    FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) p
+        |  JOIN counts ca ON ca.doc_id = id_a
+        |  JOIN counts cb ON cb.doc_id = id_b
+        |  WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairsj
+        |  UNION SELECT id_b, id_a FROM pairsj),
+        |reach(node, r) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+        |lab AS (SELECT node, LEAST(node, MIN(r)) AS cluster_rep
+        |  FROM reach GROUP BY node),
+        |q AS (SELECT doc_id AS node,
+        |    CAST(len(list_filter(string_split(t, ' '), tk -> tk IN ('the','of','and','to','a','in'))) AS BIGINT)
+        |      * 1000 // greatest(CAST(len(string_split(t, ' ')) AS BIGINT), 1) AS q
+        |  FROM corpus),
+        |mem AS (SELECT lab.node, cluster_rep, q FROM lab JOIN q USING (node)),
+        |best AS (SELECT cluster_rep, node AS kept_id, q AS kept_quality,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster_rep ORDER BY q DESC, node) AS rn FROM mem),
+        |cnt AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_members FROM mem GROUP BY 1)
+        |SELECT best.cluster_rep, CAST(kept_id AS BIGINT) AS kept_id, kept_quality, n_members
+        |FROM best JOIN cnt USING (cluster_rep) WHERE rn = 1 ORDER BY cluster_rep""".stripMargin,
     "dedup_clusters" -> clustersOracle,
     // the star-contraction route must land on the SAME transitive closure
     "dedup_clusters_star" -> clustersOracle,

@@ -526,7 +526,70 @@ object TextQueries {
         (col("stat_micros") > 3841459L).cast(LongType).as("significant"))
   }
 
+  /** Quantile normalization of per-source quality scores onto the pooled
+    * distribution — the calibration step before a single global quality
+    * threshold can be fair across sources whose scorers drift (source A's
+    * "40" must mean the same percentile as source B's "40"). Exact and
+    * rank-based: each doc's within-source rank r of n_s (a SOURCE-sharded
+    * [[graft.ext.Prefix.runningSum]] — never a per-source window sort)
+    * maps to pooled rank ceil(r·N/n_s) in integers, and one equi-join
+    * against the pooled rank frame ([[graft.ext.Prefix.globalRank]])
+    * reads off the normalized score. The census reports the per-source
+    * shift mass — exact ints end to end.
+    */
+  private val quantileNormalize: Q = (s, d) => {
+    val scored = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        split(coalesce(normText(col("text")), lit("")), " ").as("toks"))
+      .select(col("doc_id"), col("source"),
+        expr("""cast(size(filter(toks, t -> t IN ('the','of','and','to','a','in'))) as bigint)
+                * 1000 div greatest(cast(size(toks) as bigint), 1)""").as("sc"))
+      .localCheckpoint(true) // sharded rank + pooled rank + sizes
+    val ord = Seq(col("sc").asc, col("doc_id").asc)
+    val ranked = graft.ext.Prefix
+      .runningSum(scored, col("source"), ord, lit(1L), "r")
+    val sizes = scored.groupBy("source").agg(count(lit(1)).cast(LongType).as("ns"))
+    val pooled = graft.ext.Prefix
+      .globalRank(scored, Seq(col("sc").asc, col("source").asc, col("doc_id").asc), "pr")
+      .select(col("pr"), col("sc").as("norm_sc"))
+    val n = scored.agg(count(lit(1)).cast(LongType).as("n"))
+    ranked.join(sizes, Seq("source")).crossJoin(broadcast(n))
+      .withColumn("pr", expr("(r * n + ns - 1) div ns"))
+      .join(pooled, Seq("pr"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(abs(col("norm_sc") - col("sc"))).cast(LongType).as("sum_abs_shift"),
+        max(abs(col("norm_sc") - col("sc"))).cast(LongType).as("max_shift"))
+      .withColumn("mean_shift_micros", expr("sum_abs_shift * 1000000 div n_docs"))
+  }
+
+  /** Quality-threshold sweep — the retained-mass curve a curation gate
+    * reads before picking its cutoff: for thresholds 0/20/40/60/80 on
+    * the integer density score, how many docs and how much token mass
+    * survive. One scan, thresholds exploded from a 5-element literal
+    * array (never five scans), integer micros shares against per-sweep
+    * totals carried by the same aggregate.
+    */
+  private val qualityThresholdSweep: Q = (s, d) => {
+    documents(s, d)
+      .select(
+        split(coalesce(normText(col("text")), lit("")), " ").as("toks"))
+      .select(
+        expr("""cast(size(filter(toks, t -> t IN ('the','of','and','to','a','in'))) as bigint)
+                * 1000 div greatest(cast(size(toks) as bigint), 1)""").as("sc"),
+        expr("cast(size(toks) as bigint)").as("ntok"))
+      .withColumn("thr", explode(array(lit(0L), lit(20L), lit(40L), lit(60L), lit(80L))))
+      .groupBy("thr")
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(when(col("sc") >= col("thr"), 1L).otherwise(0L)).cast(LongType).as("n_retained"),
+        sum(when(col("sc") >= col("thr"), col("ntok")).otherwise(0L))
+          .cast(LongType).as("tokens_retained"))
+      .withColumn("retain_micros", expr("n_retained * 1000000 div n_docs"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "quantile_normalize" -> quantileNormalize,
+    "quality_threshold_sweep" -> qualityThresholdSweep,
     "vocab_growth_curve" -> vocabGrowthCurve,
     "term_burstiness" -> termBurstiness,
     "mcnemar_test" -> mcnemarTest,
@@ -549,6 +612,40 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "quantile_normalize" ->
+      """WITH sc AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(coalesce(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''), ' '),
+        |      t -> t IN ('the','of','and','to','a','in'))) AS BIGINT) * 1000
+        |      // greatest(CAST(len(string_split(coalesce(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''), ' ')) AS BIGINT), 1) AS sc
+        |  FROM documents),
+        |rk AS (SELECT source, sc,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY sc, doc_id) AS BIGINT) AS r
+        |  FROM sc),
+        |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns FROM sc GROUP BY 1),
+        |pooled AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY sc, source, doc_id) AS BIGINT) AS pr,
+        |    sc AS norm_sc FROM sc),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sc),
+        |j AS (SELECT rk.source, rk.sc, pooled.norm_sc
+        |  FROM rk JOIN sz USING (source) CROSS JOIN nn
+        |  JOIN pooled ON pooled.pr = (rk.r * n + ns - 1) // ns)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(abs(norm_sc - sc)) AS BIGINT) AS sum_abs_shift,
+        |  CAST(MAX(abs(norm_sc - sc)) AS BIGINT) AS max_shift,
+        |  CAST(SUM(abs(norm_sc - sc)) AS BIGINT) * 1000000 // COUNT(*) AS mean_shift_micros
+        |FROM j GROUP BY source""".stripMargin,
+    "quality_threshold_sweep" ->
+      """WITH sc AS (SELECT
+        |    CAST(len(list_filter(toks, t -> t IN ('the','of','and','to','a','in'))) AS BIGINT) * 1000
+        |      // greatest(CAST(len(toks) AS BIGINT), 1) AS sc,
+        |    CAST(len(toks) AS BIGINT) AS ntok
+        |  FROM (SELECT string_split(coalesce(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''), ' ') AS toks
+        |        FROM documents)),
+        |th AS (SELECT CAST(unnest([0, 20, 40, 60, 80]) AS BIGINT) AS thr)
+        |SELECT thr, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN sc >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |  CAST(SUM(CASE WHEN sc >= thr THEN ntok ELSE 0 END) AS BIGINT) AS tokens_retained,
+        |  CAST(SUM(CASE WHEN sc >= thr THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // COUNT(*) AS retain_micros
+        |FROM sc CROSS JOIN th GROUP BY thr""".stripMargin,
     "vocab_growth_curve" ->
       """WITH rk AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS r
         |  FROM documents),

@@ -103,7 +103,9 @@ class DeterminismSpec extends SparkSpec {
     "runs_test",             // two Prefix ranks + rank-adjacency flips
     "mann_kendall_trend",    // bounded pair join + exact tie correction
     "cuped_adjustment",      // exact moments, pinned double renders
-    "ltv_cumulative")        // cohort-sharded Prefix running sum
+    "ltv_cumulative",        // cohort-sharded Prefix running sum
+    "dedup_keep_best",       // closure + native k=1 TopK argmax
+    "quantile_normalize")    // sharded + global Prefix ranks, rank join
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf

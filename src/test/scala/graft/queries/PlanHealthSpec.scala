@@ -64,7 +64,8 @@ class PlanHealthSpec extends SparkSpec {
     "acf_daily",            // 1-row totals/denominator frames crossed
     "runs_test",            // 1-row n/median/flips frames crossed
     "mann_kendall_trend",   // 1-row tie/n frames crossed
-    "cuped_adjustment")     // 1-row midpoint frame crossed
+    "cuped_adjustment",     // 1-row midpoint frame crossed
+    "quantile_normalize")   // 1-row pooled-total frame crossed
 
   /** Data-model columns with single-digit cardinality. A window
     * PARTITION BY drawn ONLY from these caps sort parallelism at the
