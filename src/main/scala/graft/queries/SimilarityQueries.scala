@@ -152,6 +152,57 @@ object SimilarityQueries {
     * the identical training iterations (integer-quantized centroid sums
     * make them bit-deterministic cross-engine).
     */
+  /** Recall@3 of the IVF index against the exact brute-force ground
+    * truth — the standard ANN quality metric, and the audit that closes
+    * the similarity ladder the way minhash_calibration closes LSH: the
+    * approximate structure is MEASURED against the exact answer it
+    * approximates, per query, instead of trusted. Both sides are the
+    * registered operators' own shapes (brute: exhaustive scoring +
+    * native bounded-heap top-3; IVF: trained centroids, 1-probe
+    * candidates, multi-probe queries); recall is membership-only, so the
+    * cosine doubles never reach the output — pure integer micros.
+    */
+  private val annRecallAudit: Q = (s, d) => {
+    val vec = normed(s, d).select(col("vec_id"), col("v"), col("nrm"))
+      .localCheckpoint(true) // brute side + IVF training + assignment
+    val q = vec.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = q
+      .join(vec.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn")),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .select("query_id", "neighbor_id", "cos")
+    val brute3 = org.apache.spark.sql.graftnative.TopK
+      .perKey(scored, Seq("query_id"), Seq(("cos", true), ("neighbor_id", false)), 3)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint(true) // query list + hit join
+    val n = vec.count()
+    val cent = graft.ext.IvfIndex.materialize(
+      s, graft.ext.IvfIndex.trainCentroids(vec, "vec_id", 64, n, iters = 2))
+    val asg = graft.ext.IvfIndex.assignCells(vec, "vec_id", cent, probes = 1)
+    val qa = graft.ext.IvfIndex
+      .assignCells(vec.filter(col("vec_id") < 10), "vec_id", cent,
+        probes = graft.ext.IvfIndex.DefaultProbes)
+      .select(col("vec_id").as("query_id"), col("cell"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    val ivf3 = qa
+      .join(asg.select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("v").as("cv2"), col("nrm").as("cn2")), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", Vectors.dot(col("qv"), col("cv2")) / (col("qn") * col("cn2")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("query_id", "neighbor_id")
+    val hits = brute3.join(ivf3, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).cast("long").as("n_hits"))
+    brute3.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        expr("n_hits * 1000000 div 3").as("recall_micros"))
+      .orderBy("query_id")
+  }
+
   private val ivfTopK: Q = (s, d) => {
     val vec = normed(s, d).select(col("vec_id"), col("v"), col("nrm"))
     val n = vec.count()
@@ -275,6 +326,7 @@ object SimilarityQueries {
 
   val queries: Map[String, Q] = Map(
     "knn_label_eval" -> knnLabelEval,
+    "ann_recall_audit" -> annRecallAudit,
     "sim_topk_brute" -> bruteTopK,
     "sim_topk_lsh" -> lshTopK,
     "sim_topk_lsh_multiprobe" -> lshMultiProbe,
@@ -333,6 +385,29 @@ object SimilarityQueries {
         |  SELECT query_id, neighbor_id, adc, cos,
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM rer)
         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "ann_recall_audit" ->
+      s"""WITH m0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM m0),
+        |${graft.ext.IvfIndex.oracleCtes(64, 2, graft.ext.IvfIndex.DefaultProbes)},
+        |ivfp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+        |  FROM qasg q JOIN asg c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |ivf3 AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        |  FROM ivfp) WHERE rk <= 3),
+        |brp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+        |  FROM m q JOIN m c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
+        |br3 AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        |  FROM brp) WHERE rk <= 3),
+        |hits AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |  FROM br3 JOIN ivf3 USING (query_id, neighbor_id) GROUP BY 1),
+        |ql AS (SELECT DISTINCT query_id FROM br3)
+        |SELECT ql.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(coalesce(n_hits, 0) * 1000000 // 3 AS BIGINT) AS recall_micros
+        |FROM ql LEFT JOIN hits USING (query_id) ORDER BY query_id""".stripMargin,
     "sim_topk_ivf" ->
       s"""WITH m0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |m AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM m0),

@@ -105,7 +105,8 @@ class DeterminismSpec extends SparkSpec {
     "cuped_adjustment",      // exact moments, pinned double renders
     "ltv_cumulative",        // cohort-sharded Prefix running sum
     "dedup_keep_best",       // closure + native k=1 TopK argmax
-    "quantile_normalize")    // sharded + global Prefix ranks, rank join
+    "quantile_normalize",    // sharded + global Prefix ranks, rank join
+    "ann_recall_audit")      // trained IVF vs brute TopK membership
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf

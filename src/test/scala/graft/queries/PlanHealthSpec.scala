@@ -23,6 +23,7 @@ class PlanHealthSpec extends SparkSpec {
     "sim_topk_brute",         // deliberate exact baseline: 10 fixed queries broadcast
     "knn_label_eval",         // same 10-query broadcast scoring as sim_topk_brute
     "sim_topk_ivf",           // bounded centroid model
+    "ann_recall_audit",       // same bounded centroid model + 10-query brute side
     "sim_topk_pq",            // bounded centroid model (subspace codebooks)
     "dedup_semantic",         // bounded centroid model (SemDeDup cells)
     "sketch_stats",           // scalar sketch subqueries
