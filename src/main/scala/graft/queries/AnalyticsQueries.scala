@@ -2176,7 +2176,53 @@ object AnalyticsQueries {
         expr("n_retained * 1000000 div n_active").as("retain_micros"))
   }
 
+  /** Kruskal–Wallis k-sample test — does quantity's distribution differ
+    * across the three return-flag populations: the k-group
+    * generalization of the Mann–Whitney machinery behind
+    * [[rocAucExact]], completing the nonparametric family (U → KW).
+    * Ranks are ONE [[Prefix.globalRank]] pass over the pooled rows on
+    * the TOTAL order (q, orderkey, linenumber) — the deterministic
+    * tie-break variant, as [[spearmanDaily]]: textbook midranks are
+    * fractional; on near-tie-free data they coincide and the convention
+    * is pinned in both engines. Per-group rank sums R_j and sizes n_j
+    * are exact int64/decimal38; H = 12·ΣR_j²/n_j / (N(N+1)) − 3(N+1)
+    * renders through ONE pinned double chain (the kappa pattern — exact
+    * integers in, identical IEEE bits out; an all-integer H needs
+    * Πn_j-scaled numerators that pass decimal38 near sf10). Verdict vs
+    * the baked χ²(2) critical constant 5.991465.
+    */
+  private val kruskalWallis: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val rows = lineitem(s, d)
+      .select(col("l_returnflag").as("g"), col("l_quantity").cast(LongType).as("q"),
+        col("l_orderkey"), col("l_linenumber"))
+    val ranked = Prefix.globalRank(rows,
+      Seq(col("q").asc, col("l_orderkey").asc, col("l_linenumber").asc), "r")
+    // the three flags are a data-model constant (like Benford's digit
+    // table); pivoting them into ONE row pins the Σ R²/n fold order —
+    // a double SUM over a group-by would re-associate under re-planning
+    val tot = ranked.agg(
+      count(lit(1)).cast(LongType).as("n"),
+      sum(when(col("g") === "A", 1L).otherwise(0L)).cast(LongType).as("na"),
+      sum(when(col("g") === "A", col("r")).otherwise(0L)).cast(LongType).as("ra"),
+      sum(when(col("g") === "N", 1L).otherwise(0L)).cast(LongType).as("nn"),
+      sum(when(col("g") === "N", col("r")).otherwise(0L)).cast(LongType).as("rn"),
+      sum(when(col("g") === "R", 1L).otherwise(0L)).cast(LongType).as("nr"),
+      sum(when(col("g") === "R", col("r")).otherwise(0L)).cast(LongType).as("rr"))
+    def term(rj: Column, nj: Column): Column =
+      (rj.cast(dec) * rj.cast(dec)).cast(DoubleType) / nj.cast(DoubleType)
+    val srq = term(col("ra"), col("na")) + term(col("rn"), col("nn")) +
+      term(col("rr"), col("nr"))
+    tot.select(col("n"), col("na"), col("nn"), col("nr"),
+      floor((lit(12.0) * srq /
+          (col("n").cast(DoubleType) * (col("n") + 1).cast(DoubleType)) -
+          lit(3.0) * (col("n") + 1).cast(DoubleType)) * lit(1e6))
+        .cast(LongType).as("h_micros"))
+      .withColumn("significant", (col("h_micros") > 5991465L).cast(LongType))
+  }
+
   def queries: Map[String, Q] = Map(
+    "kruskal_wallis" -> kruskalWallis,
     "ltv_cumulative" -> ltvCumulative,
     "resurrection_rate" -> resurrectionRate,
     "mann_kendall_trend" -> mannKendallTrend,
@@ -2242,6 +2288,28 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "kruskal_wallis" ->
+      """WITH rk AS (SELECT l_returnflag AS g,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY CAST(l_quantity AS BIGINT), l_orderkey, l_linenumber) AS BIGINT) AS r
+        |  FROM lineitem),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN g = 'A' THEN r ELSE 0 END) AS BIGINT) AS ra,
+        |    CAST(SUM(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+        |    CAST(SUM(CASE WHEN g = 'N' THEN r ELSE 0 END) AS BIGINT) AS rn,
+        |    CAST(SUM(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+        |    CAST(SUM(CASE WHEN g = 'R' THEN r ELSE 0 END) AS BIGINT) AS rr
+        |  FROM rk),
+        |h AS (SELECT n, na, nn, nr,
+        |    CAST(FLOOR((12.0 * (
+        |        CAST(CAST(ra AS HUGEINT) * ra AS DOUBLE) / CAST(na AS DOUBLE) +
+        |        CAST(CAST(rn AS HUGEINT) * rn AS DOUBLE) / CAST(nn AS DOUBLE) +
+        |        CAST(CAST(rr AS HUGEINT) * rr AS DOUBLE) / CAST(nr AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) -
+        |      3.0 * CAST(n + 1 AS DOUBLE)) * 1e6) AS BIGINT) AS h_micros
+        |  FROM t)
+        |SELECT n, na, nn, nr, h_micros,
+        |  CASE WHEN h_micros > 5991465 THEN 1 ELSE 0 END AS significant FROM h""".stripMargin,
     "ltv_cumulative" ->
       """WITH ev AS (SELECT user_id, event_type,
         |    (epoch_ms(ts) // 86400000) // 7 AS w,

@@ -106,7 +106,8 @@ class DeterminismSpec extends SparkSpec {
     "ltv_cumulative",        // cohort-sharded Prefix running sum
     "dedup_keep_best",       // closure + native k=1 TopK argmax
     "quantile_normalize",    // sharded + global Prefix ranks, rank join
-    "ann_recall_audit")      // trained IVF vs brute TopK membership
+    "ann_recall_audit",      // trained IVF vs brute TopK membership
+    "kruskal_wallis")        // pooled Prefix ranks, pinned-order H fold
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf
