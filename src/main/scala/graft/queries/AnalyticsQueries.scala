@@ -2221,7 +2221,96 @@ object AnalyticsQueries {
       .withColumn("significant", (col("h_micros") > 5991465L).cast(LongType))
   }
 
+  /** Zipf slope of the term rank–frequency law, TRANSCENDENTAL-FREE: both
+    * axes quantize to exact floor-log2 buckets (length(bin(x))−1 — the
+    * bit length, identical integers in both engines; a float log2 would
+    * put boundary values in different buckets per-ulp), then the
+    * [[olsTrendExact]] moment machinery fits the line: exact int64
+    * moments over the vocab frame, ONE pinned double division per
+    * coefficient. Natural text slopes ≈ −1; a far-off slope flags
+    * boilerplate or synthetic floods. Rank from one
+    * [[Prefix.globalRank]] pass on (count desc, term).
+    */
+  private val zipfSlopeBucketed: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val tc = TextStats.terms(documents(s, d), "doc_id", "text")
+      .groupBy("term").agg(count(lit(1)).cast(LongType).as("f"))
+    val xy = Prefix.globalRank(tc, Seq(col("f").desc, col("term").asc), "r")
+      .select((length(bin(col("r"))) - 1).cast(LongType).as("x"),
+        (length(bin(col("f"))) - 1).cast(LongType).as("y"))
+    val m = xy.agg(
+      count(lit(1)).cast(LongType).as("n"),
+      sum("x").cast(LongType).as("sx"),
+      sum((col("x") * col("x")).cast(dec)).cast(dec).as("sxx"),
+      sum("y").cast(LongType).as("sy"),
+      sum((col("x") * col("y")).cast(dec)).cast(dec).as("sxy"))
+    val sNum = m("n").cast(dec) * m("sxy") - m("sx").cast(dec) * m("sy").cast(dec)
+    val sDen = m("n").cast(dec) * m("sxx") - m("sx").cast(dec) * m("sx").cast(dec)
+    val iNum = m("sy").cast(dec) * m("sxx") - m("sx").cast(dec) * m("sxy")
+    m.select(m("n").as("n_terms"),
+      floor(sNum.cast(DoubleType) * 1e6 / sDen.cast(DoubleType))
+        .cast(LongType).as("slope_micros"),
+      floor(iNum.cast(DoubleType) * 1e6 / sDen.cast(DoubleType))
+        .cast(LongType).as("intercept_micros"))
+  }
+
+  /** U-shaped (position-based) multi-touch attribution — the third
+    * standard model beside [[attributionLastTouch]] and
+    * [[attributionLinear]]: 40 % of a purchase's revenue to the FIRST
+    * preceding touch, 40 % to the LAST, the remaining middle mass split
+    * across middle touches by type counts — all integer floors with
+    * every remainder pinned to the last touch, so Σ credits = Σ revenue
+    * EXACTLY per purchase (the conservation invariant the oracle
+    * replays). Single-touch purchases give that touch everything;
+    * two-touch purchases route the middle mass to the last touch (no
+    * middles exist); zero-touch purchases stay 'organic'. One
+    * user-partitioned window pass computes first/last/counts together.
+    */
+  private val attributionUshape: Q = (s, d) => {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val types = Seq("click", "view", "signup", "error")
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    var df = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .withColumn("first_t", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_t", last(touch, ignoreNulls = true).over(w))
+    for (t <- types)
+      df = df.withColumn(s"c_$t",
+        coalesce(sum(when(col("event_type") === t, 1L).otherwise(0L)).over(w), lit(0L)))
+    val p = df.filter(col("event_type") === "purchase")
+      .withColumn("n_touch", types.map(t => col(s"c_$t")).reduce(_ + _))
+      .localCheckpoint(true) // organic/single/multi branch reads
+    val multi = p.filter(col("n_touch") >= 2)
+      .withColumn("fcred", expr("cents * 4 div 10"))
+      .withColumn("lcred", expr("cents * 4 div 10"))
+      .withColumn("mtot", col("cents") - col("fcred") - col("lcred"))
+      .withColumn("nmid", col("n_touch") - 2)
+    def cmid(t: String) =
+      s"(c_$t - (case when first_t = '$t' then 1 else 0 end) - (case when last_t = '$t' then 1 else 0 end))"
+    val midFloor = types.map(t => s"case when nmid > 0 then mtot * ${cmid(t)} div nmid else 0 end")
+    val credits = p.filter(col("n_touch") === 0)
+      .select(lit("organic").as("channel"), col("cents").as("credit"))
+      .union(p.filter(col("n_touch") === 1)
+        .select(col("first_t").as("channel"), col("cents").as("credit")))
+      .union(multi.select(col("first_t").as("channel"), col("fcred").as("credit")))
+      .union(multi.select(col("last_t").as("channel"), col("lcred").as("credit")))
+      .union(types.zip(midFloor).map { case (t, f) =>
+        multi.select(lit(t).as("channel"), expr(f).as("credit"))
+      }.reduce(_ union _))
+      .union(multi.select(col("last_t").as("channel"),
+        (col("mtot") - expr(midFloor.mkString(" + "))).as("credit")))
+    credits.groupBy("channel")
+      .agg(sum("credit").cast(LongType).as("credit_cents"))
+      .filter(col("credit_cents") > 0)
+      .orderBy("channel")
+  }
+
   def queries: Map[String, Q] = Map(
+    "zipf_slope_bucketed" -> zipfSlopeBucketed,
+    "attribution_ushape" -> attributionUshape,
     "kruskal_wallis" -> kruskalWallis,
     "ltv_cumulative" -> ltvCumulative,
     "resurrection_rate" -> resurrectionRate,
@@ -2288,6 +2377,60 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "zipf_slope_bucketed" ->
+      s"""WITH tk AS (SELECT unnest(string_split(coalesce($normSql, ''), ' ')) AS term FROM documents),
+        |tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS f FROM tk
+        |       WHERE length(term) > 0 GROUP BY term),
+        |rk AS (SELECT f, CAST(ROW_NUMBER() OVER (ORDER BY f DESC, term) AS BIGINT) AS r FROM tc),
+        |xy AS (SELECT CAST(length(bin(r)) - 1 AS BIGINT) AS x,
+        |         CAST(length(bin(f)) - 1 AS BIGINT) AS y FROM rk),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    CAST(SUM(y) AS BIGINT) AS sy, SUM(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM xy)
+        |SELECT n AS n_terms,
+        |  CAST(FLOOR(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) * 1e6 /
+        |       CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) AS BIGINT) AS slope_micros,
+        |  CAST(FLOOR(CAST(CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS DOUBLE) * 1e6 /
+        |       CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) AS BIGINT) AS intercept_micros
+        |FROM m""".stripMargin,
+    "attribution_ushape" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM events),
+        |c AS (SELECT *,
+        |    FIRST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER wpre AS first_t,
+        |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER wpre AS last_t,
+        |    COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER wpre, 0) AS c_click,
+        |    COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER wpre, 0) AS c_view,
+        |    COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER wpre, 0) AS c_signup,
+        |    COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER wpre, 0) AS c_error
+        |  FROM e
+        |  WINDOW wpre AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT *, c_click + c_view + c_signup + c_error AS n_touch FROM c
+        |      WHERE event_type = 'purchase'),
+        |multi AS (SELECT *, cents * 4 // 10 AS fcred, cents * 4 // 10 AS lcred,
+        |    cents - 2 * (cents * 4 // 10) AS mtot, n_touch - 2 AS nmid
+        |  FROM p WHERE n_touch >= 2),
+        |credits AS (
+        |  SELECT 'organic' AS channel, cents AS credit FROM p WHERE n_touch = 0
+        |  UNION ALL SELECT first_t, cents FROM p WHERE n_touch = 1
+        |  UNION ALL SELECT first_t, fcred FROM multi
+        |  UNION ALL SELECT last_t, lcred FROM multi
+        |  UNION ALL SELECT 'click', CASE WHEN nmid > 0 THEN mtot * (c_click - (CASE WHEN first_t = 'click' THEN 1 ELSE 0 END) - (CASE WHEN last_t = 'click' THEN 1 ELSE 0 END)) // nmid ELSE 0 END FROM multi
+        |  UNION ALL SELECT 'view', CASE WHEN nmid > 0 THEN mtot * (c_view - (CASE WHEN first_t = 'view' THEN 1 ELSE 0 END) - (CASE WHEN last_t = 'view' THEN 1 ELSE 0 END)) // nmid ELSE 0 END FROM multi
+        |  UNION ALL SELECT 'signup', CASE WHEN nmid > 0 THEN mtot * (c_signup - (CASE WHEN first_t = 'signup' THEN 1 ELSE 0 END) - (CASE WHEN last_t = 'signup' THEN 1 ELSE 0 END)) // nmid ELSE 0 END FROM multi
+        |  UNION ALL SELECT 'error', CASE WHEN nmid > 0 THEN mtot * (c_error - (CASE WHEN first_t = 'error' THEN 1 ELSE 0 END) - (CASE WHEN last_t = 'error' THEN 1 ELSE 0 END)) // nmid ELSE 0 END FROM multi
+        |  UNION ALL SELECT last_t, mtot -
+        |    (CASE WHEN nmid > 0 THEN mtot * (c_click - (CASE WHEN first_t = 'click' THEN 1 ELSE 0 END) - (CASE WHEN last_t = 'click' THEN 1 ELSE 0 END)) // nmid ELSE 0 END
+        |     + CASE WHEN nmid > 0 THEN mtot * (c_view - (CASE WHEN first_t = 'view' THEN 1 ELSE 0 END) - (CASE WHEN last_t = 'view' THEN 1 ELSE 0 END)) // nmid ELSE 0 END
+        |     + CASE WHEN nmid > 0 THEN mtot * (c_signup - (CASE WHEN first_t = 'signup' THEN 1 ELSE 0 END) - (CASE WHEN last_t = 'signup' THEN 1 ELSE 0 END)) // nmid ELSE 0 END
+        |     + CASE WHEN nmid > 0 THEN mtot * (c_error - (CASE WHEN first_t = 'error' THEN 1 ELSE 0 END) - (CASE WHEN last_t = 'error' THEN 1 ELSE 0 END)) // nmid ELSE 0 END)
+        |  FROM multi)
+        |SELECT channel, CAST(SUM(credit) AS BIGINT) AS credit_cents
+        |FROM credits GROUP BY channel HAVING SUM(credit) > 0 ORDER BY channel""".stripMargin,
     "kruskal_wallis" ->
       """WITH rk AS (SELECT l_returnflag AS g,
         |    CAST(ROW_NUMBER() OVER (ORDER BY CAST(l_quantity AS BIGINT), l_orderkey, l_linenumber) AS BIGINT) AS r

@@ -107,7 +107,9 @@ class DeterminismSpec extends SparkSpec {
     "dedup_keep_best",       // closure + native k=1 TopK argmax
     "quantile_normalize",    // sharded + global Prefix ranks, rank join
     "ann_recall_audit",      // trained IVF vs brute TopK membership
-    "kruskal_wallis")        // pooled Prefix ranks, pinned-order H fold
+    "kruskal_wallis",        // pooled Prefix ranks, pinned-order H fold
+    "zipf_slope_bucketed",   // Prefix rank + bit-length buckets + OLS
+    "attribution_ushape")    // windowed first/last/counts, exact floors
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf
