@@ -2308,7 +2308,70 @@ object AnalyticsQueries {
       .orderBy("channel")
   }
 
+  /** Cliff's delta effect size between returned and kept quantity
+    * distributions — the magnitude companion to [[ksTwoSample]]'s
+    * verdict (a test says "different", δ says "by how much, robustly"):
+    * δ = (#{x>y} − #{x<y})/(n₁n₂), EXACT from the same aggregate-first
+    * machinery — one hash agg to the ≤50-value frame, one
+    * [[Prefix.runningSum]] CDF pass, then #{x>y} = Σ_v c₁(v)·C₂(<v) and
+    * #{x<y} symmetric, all decimal38; one integral division to micros
+    * (negative-safe, both engines truncate toward zero — probed).
+    */
+  private val cliffsDelta: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val f = lineitem(s, d)
+      .select(col("l_quantity").cast(LongType).as("q"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"))
+      .groupBy("q")
+      .agg(sum("r").cast(LongType).as("c1"),
+        (count(lit(1)) - sum("r")).cast(LongType).as("c2"))
+    val cum = Prefix.runningSum(f, lit(0L), Seq(col("q").asc), col("c2"), "cum2")
+    val tot = f.agg(sum("c1").cast(LongType).as("n1"), sum("c2").cast(LongType).as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .agg(
+        sum(col("c1").cast(dec) * (col("cum2") - col("c2")).cast(dec)).cast(dec).as("ngt"),
+        sum(col("c1").cast(dec) * (col("n2") - col("cum2")).cast(dec)).cast(dec).as("nlt"),
+        min("n1").as("n1"), min("n2").as("n2"))
+      .select(col("n1"), col("n2"),
+        expr("cast((ngt - nlt) * 1000000 div (cast(n1 as decimal(38,0)) * n2) as bigint)")
+          .as("delta_micros"))
+  }
+
+  /** Hodges–Lehmann shift estimator between the same two populations —
+    * the robust "how far apart are they" location statistic: the median
+    * of ALL pairwise differences x−y, computed WITHOUT materializing
+    * n₁·n₂ pairs: the ≤50-value frames cross to ≤2500 (diff, weight =
+    * c₁·c₂) rows at ANY data size, one weighted-median pick on a
+    * [[Prefix.runningSum]] of weights in (diff, v1) order — the
+    * [[weightedMedian]] machinery applied to a derived distribution.
+    * All integers; the lower weighted median convention pinned.
+    */
+  private val hodgesLehmann: Q = (s, d) => {
+    val f = lineitem(s, d)
+      .select(col("l_quantity").cast(LongType).as("q"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"))
+      .groupBy("q")
+      .agg(sum("r").cast(LongType).as("c1"),
+        (count(lit(1)) - sum("r")).cast(LongType).as("c2"))
+      .localCheckpoint(true) // both sides of the bounded cross
+    val pairs = f.filter(col("c1") > 0).select(col("q").as("v1"), col("c1"))
+      .join(f.filter(col("c2") > 0).select(col("q").as("v2"), col("c2")),
+        lit(true))
+      .select((col("v1") - col("v2")).as("d"), col("v1"),
+        (col("c1") * col("c2")).as("w"))
+    val cum = Prefix.runningSum(pairs, lit(0L),
+      Seq(col("d").asc, col("v1").asc), col("w"), "cw")
+    val tot = pairs.agg(sum("w").cast(LongType).as("wt"))
+    cum.crossJoin(broadcast(tot))
+      .agg(
+        min(when(col("cw") >= expr("(wt + 1) div 2"), col("d")))
+          .cast(LongType).as("hl_shift"),
+        min("wt").as("n_pairs"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "cliffs_delta" -> cliffsDelta,
+    "hodges_lehmann" -> hodgesLehmann,
     "zipf_slope_bucketed" -> zipfSlopeBucketed,
     "attribution_ushape" -> attributionUshape,
     "kruskal_wallis" -> kruskalWallis,
@@ -2377,6 +2440,33 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "cliffs_delta" ->
+      """WITH f AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT q, c1, c2,
+        |    CAST(SUM(c2) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2 FROM f),
+        |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM f),
+        |a AS (SELECT SUM(CAST(c1 AS HUGEINT) * (cum2 - c2)) AS ngt,
+        |        SUM(CAST(c1 AS HUGEINT) * (n2 - cum2)) AS nlt,
+        |        MIN(n1) AS n1, MIN(n2) AS n2
+        |      FROM c CROSS JOIN t)
+        |SELECT n1, n2,
+        |  CAST((ngt - nlt) * 1000000 // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS delta_micros
+        |FROM a""".stripMargin,
+    "hodges_lehmann" ->
+      """WITH f AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        |  FROM lineitem GROUP BY 1),
+        |pr AS (SELECT a.q - b.q AS d, a.q AS v1, CAST(a.c1 * b.c2 AS BIGINT) AS w
+        |  FROM f a CROSS JOIN f b WHERE a.c1 > 0 AND b.c2 > 0),
+        |c AS (SELECT d, CAST(SUM(w) OVER (ORDER BY d, v1 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw FROM pr),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS wt FROM pr)
+        |SELECT MIN(CASE WHEN cw >= (wt + 1) // 2 THEN d END) AS hl_shift,
+        |  MIN(wt) AS n_pairs
+        |FROM c CROSS JOIN t""".stripMargin,
     "zipf_slope_bucketed" ->
       s"""WITH tk AS (SELECT unnest(string_split(coalesce($normSql, ''), ' ')) AS term FROM documents),
         |tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS f FROM tk

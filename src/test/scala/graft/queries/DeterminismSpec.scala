@@ -109,7 +109,9 @@ class DeterminismSpec extends SparkSpec {
     "ann_recall_audit",      // trained IVF vs brute TopK membership
     "kruskal_wallis",        // pooled Prefix ranks, pinned-order H fold
     "zipf_slope_bucketed",   // Prefix rank + bit-length buckets + OLS
-    "attribution_ushape")    // windowed first/last/counts, exact floors
+    "attribution_ushape",    // windowed first/last/counts, exact floors
+    "cliffs_delta",          // Prefix CDF pass + decimal38 pair counts
+    "hodges_lehmann")        // bounded value cross + weighted median pick
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf

@@ -66,7 +66,9 @@ class PlanHealthSpec extends SparkSpec {
     "runs_test",            // 1-row n/median/flips frames crossed
     "mann_kendall_trend",   // 1-row tie/n frames crossed
     "cuped_adjustment",     // 1-row midpoint frame crossed
-    "quantile_normalize")   // 1-row pooled-total frame crossed
+    "quantile_normalize",   // 1-row pooled-total frame crossed
+    "cliffs_delta",         // 1-row totals frame crossed
+    "hodges_lehmann")       // <=50x<=50 value-grain cross + 1-row total
 
   /** Data-model columns with single-digit cardinality. A window
     * PARTITION BY drawn ONLY from these caps sort parallelism at the
