@@ -2369,7 +2369,44 @@ object AnalyticsQueries {
         min("wt").as("n_pairs"))
   }
 
+  /** Wilcoxon signed-rank test on the PAIRED day vs day−7 revenue series
+    * — "is this week systematically different from last week", the
+    * paired complement of [[ksTwoSample]]/[[kruskalWallis]] (unpaired)
+    * and the nonparametric sibling of [[seasonalNaiveBacktest]]'s MAE.
+    * Pairs from one calendar self-join on the bounded day frame; zero
+    * differences dropped (the standard Wilcoxon practice, pinned);
+    * |d| ranks from ONE [[Prefix.globalRank]] pass with the (|d|, day)
+    * deterministic tie-break convention; W⁺ exact, and z² cross-
+    * multiplies to 3(4W−n(n+1))²/(2n(n+1)(2n+1)) — one decimal38
+    * integral division to micros, baked χ²(1) verdict.
+    */
+  private val wilcoxonSignedRank: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val daily = events(s, d)
+      .select(
+        floor(unix_millis(col("ts")) / lit(86400000.0)).cast(LongType).as("day"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .groupBy("day").agg(sum("cents").cast(LongType).as("rev"))
+      .localCheckpoint(true) // both sides of the lag join
+    val diffs = daily.select((col("day") + 7).as("day"), col("rev").as("prev"))
+      .join(daily, Seq("day"))
+      .select(col("day"), (col("rev") - col("prev")).as("dd"))
+      .filter(col("dd") =!= 0)
+    val ranked = Prefix.globalRank(diffs,
+      Seq(abs(col("dd")).asc, col("day").asc), "r")
+    ranked.agg(
+        count(lit(1)).cast(LongType).as("n"),
+        sum(when(col("dd") > 0, col("r")).otherwise(0L)).cast(LongType).as("wplus"))
+      .select(col("n"), col("wplus"),
+        expr("""case when n = 0 then 0L else
+                cast(3 as decimal(38,0)) * (4 * wplus - n * (n + 1)) * (4 * wplus - n * (n + 1))
+                * 1000000 div (cast(2 as decimal(38,0)) * n * (n + 1) * (2 * n + 1)) end""")
+          .as("z2_micros"))
+      .withColumn("significant", (col("z2_micros") > 3841459L).cast(LongType))
+  }
+
   def queries: Map[String, Q] = Map(
+    "wilcoxon_signed_rank" -> wilcoxonSignedRank,
     "cliffs_delta" -> cliffsDelta,
     "hodges_lehmann" -> hodgesLehmann,
     "zipf_slope_bucketed" -> zipfSlopeBucketed,
@@ -2440,6 +2477,24 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "wilcoxon_signed_rank" ->
+      """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1),
+        |df AS (SELECT b.day, b.rev - a.rev AS dd
+        |  FROM daily a JOIN daily b ON a.day + 7 = b.day WHERE b.rev - a.rev <> 0),
+        |rk AS (SELECT dd, CAST(ROW_NUMBER() OVER (ORDER BY abs(dd), day) AS BIGINT) AS r FROM df),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN dd > 0 THEN r ELSE 0 END) AS BIGINT) AS wplus FROM rk)
+        |SELECT n, wplus,
+        |  CASE WHEN n = 0 THEN 0 ELSE
+        |    CAST(CAST(3 AS HUGEINT) * (4 * wplus - n * (n + 1)) * (4 * wplus - n * (n + 1))
+        |      * 1000000 // (CAST(2 AS HUGEINT) * n * (n + 1) * (2 * n + 1)) AS BIGINT) END AS z2_micros,
+        |  CASE WHEN (CASE WHEN n = 0 THEN 0 ELSE
+        |    CAST(CAST(3 AS HUGEINT) * (4 * wplus - n * (n + 1)) * (4 * wplus - n * (n + 1))
+        |      * 1000000 // (CAST(2 AS HUGEINT) * n * (n + 1) * (2 * n + 1)) AS BIGINT) END) > 3841459
+        |    THEN 1 ELSE 0 END AS significant
+        |FROM a""".stripMargin,
     "cliffs_delta" ->
       """WITH f AS (SELECT CAST(l_quantity AS BIGINT) AS q,
         |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c1,

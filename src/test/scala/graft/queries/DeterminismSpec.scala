@@ -111,7 +111,8 @@ class DeterminismSpec extends SparkSpec {
     "zipf_slope_bucketed",   // Prefix rank + bit-length buckets + OLS
     "attribution_ushape",    // windowed first/last/counts, exact floors
     "cliffs_delta",          // Prefix CDF pass + decimal38 pair counts
-    "hodges_lehmann")        // bounded value cross + weighted median pick
+    "hodges_lehmann",        // bounded value cross + weighted median pick
+    "wilcoxon_signed_rank")  // lag join + Prefix |d| ranks, exact z2
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf
