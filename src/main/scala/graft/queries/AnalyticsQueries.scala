@@ -2405,7 +2405,61 @@ object AnalyticsQueries {
       .withColumn("significant", (col("z2_micros") > 3841459L).cast(LongType))
   }
 
+  /** The 20 baked 1e6/log2(i+1) nDCG position discounts — the Benford
+    * pattern: fixed table constants on both engines instead of a
+    * query-time transcendental.
+    */
+  private val ndcgDiscounts: Seq[Long] = Seq(1000000L, 630929L, 500000L,
+    430676L, 386852L, 356207L, 333333L, 315464L, 301029L, 289064L, 278942L,
+    270238L, 262649L, 255958L, 250000L, 244650L, 239812L, 235408L, 231378L,
+    227670L)
+
+  /** nDCG@20 of the [[bm25TopK]] ranking against the graded relevance
+    * "how many of the query's terms the doc contains" (1–3) — the
+    * standard ranking-quality metric, TRANSCENDENTAL-FREE because the
+    * twenty 1/log2(i+1) discounts are BAKED integer constants (the
+    * Benford move). DCG folds gain·discount over the ranked 20; IDCG
+    * re-ranks the same 20 by (relevance desc, doc_id); everything after
+    * the BM25 cut runs on a 20-row frame, ranks via
+    * [[Prefix.globalRank]], one integral division to micros.
+    */
+  private val ndcgBm25: Q = (s, d) => {
+    val docs = documents(s, d)
+    val tok = docs.select(col("doc_id"),
+      size(split(coalesce(TextStats.normText(col("text")), lit("")), " "))
+        .cast(LongType).as("dl"))
+    val stats = tok.agg(count(lit(1)).cast(LongType).as("n_docs"),
+      sum(col("dl")).cast(LongType).as("t_tok"))
+    val top = TextStats.tfDf(docs, "doc_id", "text")
+      .filter(col("term").isin("dup", "vector", "merge"))
+      .join(tok, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("sat",
+        expr("(22 * tf * t_tok * 1000000) div (10 * tf * t_tok + 3 * t_tok + 9 * dl * n_docs)"))
+      .withColumn("contrib",
+        expr("(sat * (2 * n_docs - 2 * df + 1)) div (2 * df + 1)"))
+      .groupBy("doc_id")
+      .agg(sum(col("contrib")).cast(LongType).as("score_micros"),
+        count(lit(1)).cast(LongType).as("rel"))
+      .orderBy(desc("score_micros"), asc("doc_id"))
+      .limit(20)
+      .localCheckpoint(true) // two rank passes over the 20-row frame
+    val disc = ndcgDiscounts.zipWithIndex
+      .map { case (v, i) => s"when ${i + 1} then ${v}L" }
+      .mkString("case i ", " ", " else 0L end")
+    val dcg = Prefix.globalRank(top, Seq(desc("score_micros"), asc("doc_id")), "i")
+      .select((col("rel") * expr(disc)).as("g"))
+      .agg(sum("g").cast(LongType).as("dcg"))
+    val idcg = Prefix.globalRank(top, Seq(desc("rel"), asc("doc_id")), "i")
+      .select((col("rel") * expr(disc)).as("g"))
+      .agg(sum("g").cast(LongType).as("idcg"))
+    dcg.crossJoin(broadcast(idcg))
+      .select(col("dcg"), col("idcg"),
+        expr("dcg * 1000000 div idcg").as("ndcg_micros"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "ndcg_bm25" -> ndcgBm25,
     "wilcoxon_signed_rank" -> wilcoxonSignedRank,
     "cliffs_delta" -> cliffsDelta,
     "hodges_lehmann" -> hodgesLehmann,
@@ -2477,6 +2531,34 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "ndcg_bm25" -> {
+      val discSql = ndcgDiscounts.zipWithIndex
+        .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }
+        .mkString("CASE i ", " ", " ELSE 0 END")
+      s"""WITH n AS (SELECT doc_id, coalesce($normSql, '') AS t FROM documents),
+        |tokd AS (SELECT doc_id, CAST(len(string_split(t, ' ')) AS BIGINT) AS dl FROM n),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS t_tok FROM tokd),
+        |tk AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM n),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tk
+        |       WHERE length(term) > 0 GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |q AS (SELECT tf.doc_id, tf.tf, dfq.df, tokd.dl, st.n_docs, st.t_tok
+        |      FROM tf JOIN dfq USING (term) JOIN tokd USING (doc_id) CROSS JOIN st
+        |      WHERE tf.term IN ('dup', 'vector', 'merge')),
+        |c AS (SELECT doc_id,
+        |        ((22 * tf * t_tok * 1000000) // (10 * tf * t_tok + 3 * t_tok + 9 * dl * n_docs))
+        |          * (2 * n_docs - 2 * df + 1) // (2 * df + 1) AS contrib
+        |      FROM q),
+        |top AS (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score_micros,
+        |        CAST(COUNT(*) AS BIGINT) AS rel
+        |      FROM c GROUP BY doc_id ORDER BY score_micros DESC, doc_id LIMIT 20),
+        |dcg AS (SELECT CAST(SUM(rel * ($discSql)) AS BIGINT) AS dcg FROM
+        |  (SELECT rel, CAST(ROW_NUMBER() OVER (ORDER BY score_micros DESC, doc_id) AS BIGINT) AS i FROM top)),
+        |idcg AS (SELECT CAST(SUM(rel * ($discSql)) AS BIGINT) AS idcg FROM
+        |  (SELECT rel, CAST(ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS BIGINT) AS i FROM top))
+        |SELECT dcg, idcg, dcg * 1000000 // idcg AS ndcg_micros
+        |FROM dcg CROSS JOIN idcg""".stripMargin
+    },
     "wilcoxon_signed_rank" ->
       """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
         |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev

@@ -112,7 +112,8 @@ class DeterminismSpec extends SparkSpec {
     "attribution_ushape",    // windowed first/last/counts, exact floors
     "cliffs_delta",          // Prefix CDF pass + decimal38 pair counts
     "hodges_lehmann",        // bounded value cross + weighted median pick
-    "wilcoxon_signed_rank")  // lag join + Prefix |d| ranks, exact z2
+    "wilcoxon_signed_rank",  // lag join + Prefix |d| ranks, exact z2
+    "ndcg_bm25")             // TakeOrdered cut + two 20-row rank passes
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf

@@ -68,7 +68,8 @@ class PlanHealthSpec extends SparkSpec {
     "cuped_adjustment",     // 1-row midpoint frame crossed
     "quantile_normalize",   // 1-row pooled-total frame crossed
     "cliffs_delta",         // 1-row totals frame crossed
-    "hodges_lehmann")       // <=50x<=50 value-grain cross + 1-row total
+    "hodges_lehmann",       // <=50x<=50 value-grain cross + 1-row total
+    "ndcg_bm25")            // 1-row stats + 1-row idcg frames crossed
 
   /** Data-model columns with single-digit cardinality. A window
     * PARTITION BY drawn ONLY from these caps sort parallelism at the
