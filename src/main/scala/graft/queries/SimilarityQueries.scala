@@ -53,6 +53,44 @@ object SimilarityQueries {
       .orderBy("query_id")
   }
 
+  /** Mean reciprocal rank of the first SAME-LABEL neighbor in each
+    * query's exact top-5 — the retrieval-eval complement of
+    * [[knnLabelEval]] (majority vote asks "is the neighborhood right on
+    * balance"; MRR asks "how high does the first right answer sit").
+    * Reciprocals are exact integers (1e6 div rank — no transcendental,
+    * no baked table needed); rank re-derived by a window over the
+    * BOUNDED 5-row-per-query TopK result (the bruteTopK precedent);
+    * queries with no same-label neighbor in the top-5 report rank 0 /
+    * rr 0 rather than vanishing.
+    */
+  private val mrrKnn: Q = (s, d) => {
+    val base = normed(s, d)
+    val lab = embeddings(s, d).select(col("vec_id"), col("label"))
+    val q = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = q
+      .join(base.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn")),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .select("query_id", "neighbor_id", "cos")
+    val top5 = org.apache.spark.sql.graftnative.TopK
+      .perKey(scored, Seq("query_id"), Seq(("cos", true), ("neighbor_id", false)), 5)
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    val firstHit = top5
+      .withColumn("rk", row_number().over(w))
+      .join(lab.select(col("vec_id").as("neighbor_id"), col("label").as("nl")), Seq("neighbor_id"))
+      .join(lab.select(col("vec_id").as("query_id"), col("label").as("ql")), Seq("query_id"))
+      .filter(col("nl") === col("ql"))
+      .groupBy("query_id").agg(min("rk").cast("long").as("first_rank"))
+    q.select("query_id")
+      .join(firstHit, Seq("query_id"), "left")
+      .na.fill(0L, Seq("first_rank"))
+      .select(col("query_id"), col("first_rank"),
+        expr("case when first_rank = 0 then 0L else 1000000 div first_rank end")
+          .as("rr_micros"))
+      .orderBy("query_id")
+  }
+
   private val bruteTopK: Q = (s, d) => {
     val base = normed(s, d)
     val q = base.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -326,6 +364,7 @@ object SimilarityQueries {
 
   val queries: Map[String, Q] = Map(
     "knn_label_eval" -> knnLabelEval,
+    "mrr_knn" -> mrrKnn,
     "ann_recall_audit" -> annRecallAudit,
     "sim_topk_brute" -> bruteTopK,
     "sim_topk_lsh" -> lshTopK,
@@ -385,6 +424,21 @@ object SimilarityQueries {
         |  SELECT query_id, neighbor_id, adc, cos,
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM rer)
         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "mrr_knn" ->
+      """WITH n AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |m AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),
+        |p AS (SELECT q.vec_id AS query_id, q.label AS ql, c.vec_id AS neighbor_id, c.label AS nl,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+        |  FROM m q JOIN m c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
+        |r AS (SELECT query_id, ql, nl,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM p),
+        |fh AS (SELECT query_id, CAST(MIN(rk) AS BIGINT) AS first_rank
+        |  FROM r WHERE rk <= 5 AND nl = ql GROUP BY 1),
+        |ql AS (SELECT DISTINCT vec_id AS query_id FROM m WHERE vec_id < 10)
+        |SELECT ql.query_id, CAST(coalesce(first_rank, 0) AS BIGINT) AS first_rank,
+        |  CASE WHEN coalesce(first_rank, 0) = 0 THEN 0
+        |       ELSE 1000000 // first_rank END AS rr_micros
+        |FROM ql LEFT JOIN fh USING (query_id) ORDER BY query_id""".stripMargin,
     "ann_recall_audit" ->
       s"""WITH m0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |m AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM m0),

@@ -587,7 +587,33 @@ object TextQueries {
       .withColumn("retain_micros", expr("n_retained * 1000000 div n_docs"))
   }
 
+  /** Brier score of the density scorer read as a probability of
+    * `lang = 'en'` — the PROPER scoring rule that punishes both
+    * miscalibration and indiscrimination, complementing
+    * [[rocAucExact]] (pure ranking) and [[classifierPrf]] (thresholded):
+    * prediction = permille density clamped to [0, 1000] scaled to
+    * micros, label ∈ {0, 1e6}, and the mean squared error is EXACT —
+    * per-doc (pred−t)² ≤ 1e12 summed in decimal38 (good past 1e25
+    * docs), one integral division renders the e-12-scaled mean. The
+    * all-zero predictor would score ~en-share·1e12; the audit reports
+    * where this scorer actually lands.
+    */
+  private val brierScore: Q = (s, d) => {
+    documents(s, d)
+      .select(col("lang"),
+        split(coalesce(normText(col("text")), lit("")), " ").as("toks"))
+      .select(
+        expr("""least(cast(size(filter(toks, tk -> tk IN ('the','of','and','to','a','in'))) as bigint)
+                * 1000 div greatest(cast(size(toks) as bigint), 1), 1000) * 1000""").as("pred"),
+        when(col("lang") === "en", 1000000L).otherwise(0L).as("t"))
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum(((col("pred") - col("t")) * (col("pred") - col("t")))
+          .cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).as("ss"))
+      .select(col("n"), expr("ss div n").as("brier_e12"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "brier_score" -> brierScore,
     "quantile_normalize" -> quantileNormalize,
     "quality_threshold_sweep" -> qualityThresholdSweep,
     "vocab_growth_curve" -> vocabGrowthCurve,
@@ -612,6 +638,17 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "brier_score" ->
+      """WITH sc AS (SELECT
+        |    least(CAST(len(list_filter(toks, tk -> tk IN ('the','of','and','to','a','in'))) AS BIGINT)
+        |      * 1000 // greatest(CAST(len(toks) AS BIGINT), 1), 1000) * 1000 AS pred,
+        |    CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS t
+        |  FROM (SELECT lang,
+        |          string_split(coalesce(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''), ' ') AS toks
+        |        FROM documents))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(pred - t AS HUGEINT) * (pred - t)) // COUNT(*) AS BIGINT) AS brier_e12
+        |FROM sc""".stripMargin,
     "quantile_normalize" ->
       """WITH sc AS (SELECT doc_id, source,
         |    CAST(len(list_filter(string_split(coalesce(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''), ' '),

@@ -113,7 +113,8 @@ class DeterminismSpec extends SparkSpec {
     "cliffs_delta",          // Prefix CDF pass + decimal38 pair counts
     "hodges_lehmann",        // bounded value cross + weighted median pick
     "wilcoxon_signed_rank",  // lag join + Prefix |d| ranks, exact z2
-    "ndcg_bm25")             // TakeOrdered cut + two 20-row rank passes
+    "ndcg_bm25",             // TakeOrdered cut + two 20-row rank passes
+    "mrr_knn")               // TopK cut + bounded rank + label joins
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf

@@ -24,6 +24,7 @@ class PlanHealthSpec extends SparkSpec {
     "knn_label_eval",         // same 10-query broadcast scoring as sim_topk_brute
     "sim_topk_ivf",           // bounded centroid model
     "ann_recall_audit",       // same bounded centroid model + 10-query brute side
+    "mrr_knn",                // 10-query broadcast scoring, as sim_topk_brute
     "sim_topk_pq",            // bounded centroid model (subspace codebooks)
     "dedup_semantic",         // bounded centroid model (SemDeDup cells)
     "sketch_stats",           // scalar sketch subqueries
