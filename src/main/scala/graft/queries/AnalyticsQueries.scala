@@ -2458,7 +2458,36 @@ object AnalyticsQueries {
         expr("dcg * 1000000 div idcg").as("ndcg_micros"))
   }
 
+  /** Exact 7-day rolling user reach per day — the deduplicated-audience
+    * metric a DAU chart can't give (Σ DAU double-counts returners).
+    * Exact WITHOUT a sliding-window distinct (which Spark can't
+    * incrementalize): each distinct (user, day) pair is exploded to the
+    * ≤7 window days it serves, the pair set deduplicated once, and
+    * reach is a plain count per window day — a 7× row factor on the
+    * DAY-GRAIN frame, not the event table, then hash aggs all the way.
+    * Reported only for days that exist in the data (semi-join), with
+    * the DAU/reach ratio in micros (1e6 = everyone new every day).
+    */
+  private val reach7d: Q = (s, d) => {
+    val ud = events(s, d)
+      .select(col("user_id"),
+        floor(unix_millis(col("ts")) / lit(86400000.0)).cast(LongType).as("day"))
+      .distinct()
+      .localCheckpoint(true) // window explosion + DAU + real-day list
+    val reach = ud
+      .withColumn("k", explode(sequence(lit(0L), lit(6L))))
+      .select(col("user_id"), (col("day") + col("k")).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).cast(LongType).as("reach_7d"))
+      .join(ud.select("day").distinct(), Seq("day"), "left_semi")
+    reach
+      .join(ud.groupBy("day").agg(count(lit(1)).cast(LongType).as("dau")), Seq("day"))
+      .select(col("day"), col("dau"), col("reach_7d"),
+        expr("dau * 1000000 div reach_7d").as("dau_share_micros"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "reach_7d" -> reach7d,
     "ndcg_bm25" -> ndcgBm25,
     "wilcoxon_signed_rank" -> wilcoxonSignedRank,
     "cliffs_delta" -> cliffsDelta,
@@ -2531,6 +2560,15 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "reach_7d" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |win AS (SELECT DISTINCT user_id, day + k AS day
+        |  FROM ud, (SELECT unnest(generate_series(0, 6)) AS k)),
+        |rc AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS reach_7d FROM win
+        |       WHERE day IN (SELECT day FROM ud) GROUP BY 1),
+        |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1)
+        |SELECT day, dau, reach_7d, dau * 1000000 // reach_7d AS dau_share_micros
+        |FROM rc JOIN dau USING (day)""".stripMargin,
     "ndcg_bm25" -> {
       val discSql = ndcgDiscounts.zipWithIndex
         .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }

@@ -114,7 +114,8 @@ class DeterminismSpec extends SparkSpec {
     "hodges_lehmann",        // bounded value cross + weighted median pick
     "wilcoxon_signed_rank",  // lag join + Prefix |d| ranks, exact z2
     "ndcg_bm25",             // TakeOrdered cut + two 20-row rank passes
-    "mrr_knn")               // TopK cut + bounded rank + label joins
+    "mrr_knn",               // TopK cut + bounded rank + label joins
+    "reach_7d")              // window-day explosion + distinct + aggs
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf
