@@ -2486,7 +2486,35 @@ object AnalyticsQueries {
         expr("dau * 1000000 div reach_7d").as("dau_share_micros"))
   }
 
+  /** k-anonymity / l-diversity release-gate audit over the customer
+    * table — before a dataset ships, every quasi-identifier group
+    * (nation, market segment) must hold ≥k rows (k-anonymity: no one is
+    * re-identifiable by the QI tuple) and ≥l distinct sensitive values
+    * (l-diversity: knowing the group must not reveal the sensitive
+    * attribute — here the account-balance sign+magnitude bucket). One
+    * hash agg to the ≤|nation|·|segment| group frame, then a census:
+    * minimum k, minimum l, and the row mass in groups failing k<5 /
+    * l<3 — the numbers a privacy review asks for, all exact counts.
+    */
+  private val kAnonymityAudit: Q = (s, d) => {
+    val grp = customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        // sensitive attribute bucketed: sign + thousands magnitude
+        (floor(dec2(col("c_acctbal")) / 1000).cast(LongType)).as("bal_k"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        countDistinct("bal_k").cast(LongType).as("l"))
+    grp.agg(
+      count(lit(1)).cast(LongType).as("n_groups"),
+      sum("n").cast(LongType).as("n_rows"),
+      min("n").cast(LongType).as("k_min"),
+      min("l").cast(LongType).as("l_min"),
+      sum(when(col("n") < 5, col("n")).otherwise(0L)).cast(LongType).as("rows_below_k5"),
+      sum(when(col("l") < 3, col("n")).otherwise(0L)).cast(LongType).as("rows_below_l3"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "k_anonymity_audit" -> kAnonymityAudit,
     "reach_7d" -> reach7d,
     "ndcg_bm25" -> ndcgBm25,
     "wilcoxon_signed_rank" -> wilcoxonSignedRank,
@@ -2560,6 +2588,16 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "k_anonymity_audit" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT CAST(FLOOR(CAST(c_acctbal AS DECIMAL(12,2)) / 1000) AS BIGINT)) AS BIGINT) AS l
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups, CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST(MIN(n) AS BIGINT) AS k_min, CAST(MIN(l) AS BIGINT) AS l_min,
+        |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_below_k5,
+        |  CAST(SUM(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT) AS rows_below_l3
+        |FROM g""".stripMargin,
     "reach_7d" ->
       """WITH ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
         |win AS (SELECT DISTINCT user_id, day + k AS day
