@@ -35,6 +35,16 @@ import org.apache.spark.sql.functions._
   * duplicate mass and the rank pick inside it is decided by tiebreak
   * columns — still bounded by the Prefix range-partitioning, never by one
   * task.
+  *
+  * Precision contract: the total order is evaluated on the NATIVE column
+  * type (the double cast is used only for bucket placement, where the
+  * cast's monotonicity keeps bucket boundaries order-consistent), so
+  * int64 values past 2^53 or decimals finer than double spacing still
+  * pick the exact row_number element. The OUTPUT column is the double
+  * projection of the picked value — exact for the cents/ms/micros
+  * domains the queries use; a caller whose values themselves exceed
+  * double precision should re-join the picked (group, rank) back to the
+  * native column instead of reading `out` directly.
   */
 object Quantile {
 
@@ -52,8 +62,11 @@ object Quantile {
       groupOut: String,
       out: String,
       k: Int = 1024): DataFrame = {
+    // __xn carries the NATIVE value for ordering; __x is the double
+    // projection used for bucketing (monotone, so buckets respect the
+    // native order) and for the output rendering
     val base = df.select(
-      groupCol.as("__g") +: x.cast("double").as("__x") +:
+      groupCol.as("__g") +: x.as("__xn") +: x.cast("double").as("__x") +:
         tiebreaks.zipWithIndex.map { case (c, i) => c.as(s"__t$i") }: _*)
     // |groups|-row frame consumed by the bucket join AND the target
     // lookup: an eager localCheckpoint runs its scan ONCE instead of per
@@ -99,7 +112,7 @@ object Quantile {
       .localCheckpoint(true)
     val tiebreakCols = tiebreaks.indices.map(i => col(s"__t$i"))
     Prefix
-      .runningSum(cand, col("__g"), col("__x") +: tiebreakCols, lit(1L), "__rn")
+      .runningSum(cand, col("__g"), col("__xn") +: tiebreakCols, lit(1L), "__rn")
       .filter(col("__rn") === col("__r") - col("__before"))
       .select(col("__g").as(groupOut), col("__x").as(out))
   }
@@ -121,8 +134,9 @@ object Quantile {
       groupOut: String,
       out: String,
       k: Int = 1024): DataFrame = {
+    // same native-order / double-bucket split as rankPick
     val base = df.select(
-      groupCol.as("__g") +: x.cast("double").as("__x") +:
+      groupCol.as("__g") +: x.as("__xn") +: x.cast("double").as("__x") +:
         tiebreaks.zipWithIndex.map { case (c, i) => c.as(s"__t$i") }: _*)
     // |groups|-row frame referenced once PER LABEL in `targets` plus the
     // bucket join — checkpoint eagerly so its scan runs once, not 1+|labels|×
@@ -171,7 +185,7 @@ object Quantile {
     val ranked = Prefix.runningSum(
       cand,
       struct(col("__g"), col("__idx")),
-      col("__x") +: tiebreaks.indices.map(i => col(s"__t$i")),
+      col("__xn") +: tiebreaks.indices.map(i => col(s"__t$i")),
       lit(1L),
       "__rn")
     ranked

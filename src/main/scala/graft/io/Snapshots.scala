@@ -565,6 +565,12 @@ object Snapshots {
     * readable (time travel is untouched) until [[vacuum]] reaps their
     * data. The min/max collect is ONE planning-time row, same class as
     * the pruned-file list. Numeric (long-castable) columns only.
+    *
+    * Requires a non-empty table with at least one non-null value in
+    * every z column (fails fast with a named message otherwise — the
+    * min/max anchor is undefined). Rows with a NULL in any z column get
+    * a null z-value and cluster together at the null end of the range
+    * order; they are kept in the rewrite, never dropped.
     */
   def optimizeZorder(
       spark: SparkSession,
@@ -579,6 +585,12 @@ object Snapshots {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c).cast("long")).as(s"lo_$c"), max(col(c).cast("long")).as(s"hi_$c")))
     val mm = cur.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cols.zipWithIndex.foreach { case (c, j) =>
+      require(
+        !mm.isNullAt(2 * j) && !mm.isNullAt(2 * j + 1),
+        s"optimizeZorder($dir): z column '$c' has no non-null values " +
+          "(empty table or all-null column) — min/max anchor undefined")
+    }
     val qcols = cols.zipWithIndex.map { case (c, j) =>
       Compaction.quantize(col(c).cast("long"), mm.getLong(2 * j), mm.getLong(2 * j + 1), bits)
     }

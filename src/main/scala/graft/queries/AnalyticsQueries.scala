@@ -881,11 +881,16 @@ object AnalyticsQueries {
     *   (p̂₁−p̂₂)² > z²·p̂(1−p̂)(1/n₁+1/n₂)
     *   ⇔ 10000·(c₁n₂−c₂n₁)²·n > 38416·c(n−c)·n₁·n₂
     *
-    * (common factor n₁n₂ cancelled first — without it the left side hits
-    * 1e42 and overflows even decimal(38)). Evaluated in decimal(38,0) /
-    * HUGEINT: with users ≤ ~3e7 the largest term is ~1e38·ε — headroom
-    * through ~sf30, documented; past that, divide both sides by n once
-    * more. The verdict bit is exact — no float z-table, no sqrt.
+    * The left side alone reaches 1e4·n⁵/16 under extreme arm imbalance
+    * (1.5e40 at n=3e7 — past decimal(38)), so BOTH sides are divided by
+    * n₁n₂ exactly via quotient+remainder: with d²=q·n₁n₂+r (0≤r<n₁n₂),
+    * L1=1e4·n·q, L2=1e4·n·r, B'=38416·c(n−c), the inequality is
+    * L1·n₁n₂+L2 > B'·n₁n₂ ⇔ L1>B' ∨ L2>(B'−L1)·n₁n₂ — and the second
+    * branch is only evaluated when L1≤B' (lazy CASE), where every term
+    * is ≤2401·n⁴ < 1e38 for n ≤ 4.5e8 users under ANY imbalance (the
+    * old form's worst case overflowed at ~1.1e7). Evaluated in
+    * decimal(38,0) / HUGEINT; the verdict bit is exact — no float
+    * z-table, no sqrt.
     */
   private val abTestProportions: Q = (s, d) => {
     val dec = DecimalType(38, 0)
@@ -906,13 +911,24 @@ object AnalyticsQueries {
     val b = arms.filter(col("arm") === 1).select(col("n").as("n2"), col("c").as("c2"))
     a.crossJoin(broadcast(b))
       .withColumn("diff", col("c1") * col("n2") - col("c2") * col("n1"))
+      .withColumn("d2", col("diff").cast(dec) * col("diff").cast(dec))
+      .withColumn("nn", (col("n1") * col("n2")).cast(dec))
+      // IntegralDivide on decimals returns BIGINT: q = d² div n₁n₂
+      .withColumn("q", expr("d2 div nn"))
+      .withColumn("r", col("d2") - col("q").cast(dec) * col("nn"))
+      .withColumn("l1",
+        lit(10000).cast(dec) * (col("n1") + col("n2")).cast(dec) * col("q").cast(dec))
+      .withColumn("l2",
+        lit(10000).cast(dec) * (col("n1") + col("n2")).cast(dec) * col("r"))
+      .withColumn("bp",
+        lit(38416).cast(dec) * (col("c1") + col("c2")).cast(dec) *
+          (col("n1") + col("n2") - col("c1") - col("c2")).cast(dec))
       .withColumn(
         "significant",
-        (col("diff").cast(dec) * col("diff").cast(dec) * lit(10000).cast(dec) *
-          (col("n1") + col("n2")).cast(dec) >
-          lit(38416).cast(dec) * (col("c1") + col("c2")).cast(dec) *
-            (col("n1") + col("n2") - col("c1") - col("c2")).cast(dec) *
-            col("n1").cast(dec) * col("n2").cast(dec)).cast(LongType))
+        // CASE is lazy: (bp−l1)·nn is only computed when l1 ≤ bp, where
+        // it is bounded by 2401·n⁴ — no overflow path exists
+        when(col("l1") > col("bp"), lit(1L))
+          .otherwise((col("l2") > (col("bp") - col("l1")) * col("nn")).cast(LongType)))
       .select(col("n1"), col("c1"), col("n2"), col("c2"), col("significant"))
   }
 
@@ -3355,15 +3371,18 @@ object AnalyticsQueries {
         |arms AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS c
         |         FROM u GROUP BY arm),
         |a AS (SELECT n AS n1, c AS c1 FROM arms WHERE arm = 0),
-        |b AS (SELECT n AS n2, c AS c2 FROM arms WHERE arm = 1)
+        |b AS (SELECT n AS n2, c AS c2 FROM arms WHERE arm = 1),
+        |t AS (SELECT n1, c1, n2, c2,
+        |    CAST(c1 * n2 - c2 * n1 AS HUGEINT) * CAST(c1 * n2 - c2 * n1 AS HUGEINT) AS d2,
+        |    CAST(n1 AS HUGEINT) * CAST(n2 AS HUGEINT) AS nn,
+        |    38416 * CAST(c1 + c2 AS HUGEINT) * CAST(n1 + n2 - c1 - c2 AS HUGEINT) AS bp
+        |  FROM a CROSS JOIN b),
+        |qr AS (SELECT *, 10000 * CAST(n1 + n2 AS HUGEINT) * (d2 // nn) AS l1,
+        |    10000 * CAST(n1 + n2 AS HUGEINT) * (d2 % nn) AS l2 FROM t)
         |SELECT n1, c1, n2, c2,
-        |  CAST(CASE WHEN
-        |    CAST(c1 * n2 - c2 * n1 AS HUGEINT) * CAST(c1 * n2 - c2 * n1 AS HUGEINT)
-        |      * 10000 * CAST(n1 + n2 AS HUGEINT)
-        |    > 38416 * CAST(c1 + c2 AS HUGEINT) * CAST(n1 + n2 - c1 - c2 AS HUGEINT)
-        |      * CAST(n1 AS HUGEINT) * CAST(n2 AS HUGEINT)
-        |  THEN 1 ELSE 0 END AS BIGINT) AS significant
-        |FROM a CROSS JOIN b""".stripMargin,
+        |  CAST(CASE WHEN l1 > bp THEN 1
+        |       WHEN l2 > (bp - l1) * nn THEN 1 ELSE 0 END AS BIGINT) AS significant
+        |FROM qr""".stripMargin,
     "gini_split_scores" ->
       """WITH cc AS (SELECT c_mktsegment AS seg, o_orderpriority AS cls,
         |    CAST(COUNT(*) AS BIGINT) AS c

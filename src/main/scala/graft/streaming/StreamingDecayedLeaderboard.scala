@@ -58,14 +58,28 @@ object StreamingDecayedLeaderboard {
     * leaderboard at horizon week `w`: weight 2^(8−(w−week)) for weeks
     * within 8 of the horizon, 0 beyond — the same integer weights as the
     * batch query, top-10 on the total (score desc, part asc) order.
+    *
+    * Horizon contract: `w` must be ≥ every kept week of every latest
+    * snapshot. State pruning drops weeks more than 8 behind a key's OWN
+    * max week; at any horizon ≥ that max the dropped weeks weigh 0, so
+    * "all kept weeks ≤ w" is exactly the condition under which the fold
+    * is exact. A smaller w would silently UNDERSTATE scores (pruned
+    * weeks could carry weight again) — so the fold raises at execution
+    * (assert_true) instead of returning a wrong leaderboard.
     */
   def scoresAt(changelog: DataFrame, w: Long): DataFrame = {
     val latest = changelog.groupBy("part").agg(max("version").as("version"))
     changelog.join(latest, Seq("part", "version"))
       .withColumn("dw", lit(w) - col("week"))
+      // the guard lives INSIDE the consumed weight expression — a
+      // standalone asserted-then-dropped column would be pruned by
+      // Catalyst and never execute
       .withColumn("wt",
-        when(col("dw").between(0, 8),
-          expr("shiftleft(1L, cast(8 - dw as int))")).otherwise(0L))
+        when(col("dw") < 0,
+          raise_error(concat(lit(s"scoresAt(w=$w): snapshot week "), col("week"),
+            lit(" exceeds the horizon - pruned state would understate this score"))))
+          .when(col("dw").between(0, 8),
+            expr("shiftleft(1L, cast(8 - dw as int))")).otherwise(0L))
       .groupBy("part")
       .agg(sum((col("wt") * col("cnt")).cast(LongType)).cast(LongType).as("score"))
       .filter(col("score") > 0)
