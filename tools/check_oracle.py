@@ -14,21 +14,33 @@ import duckdb, pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+def connect(sfdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    return con
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     # Optional 3rd arg: comma-separated query-name filter (mirrors
     # graft.Verify's filter arg) for fast single-query iteration.
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     if only:
         oracle = {k: v for k, v in oracle.items() if k in only}
     n_ok = 0
     results = {}
     for name in sorted(oracle):
-        results[name] = check_one(con, oracle, outdir, name)
+        # Fresh connection PER QUERY: the heavy recursive-CTE oracles
+        # (graph/CC family) OOM'd a shared connection at sf1 once
+        # (hits_2iter, round 6) — view creation is milliseconds, so
+        # isolation is effectively free and the full sf1 gate passes in
+        # one invocation with no manual rerun.
+        con = connect(sfdir)
+        try:
+            results[name] = check_one(con, oracle, outdir, name)
+        finally:
+            con.close()
         if results[name] == "OK":
             n_ok += 1
         # Incremental + flushed so a truncated/killed run still shows
