@@ -452,4 +452,86 @@ object Dedup {
       .reduce(_ + _)
     toks.groupBy(idCol).agg(votes.head, votes.tail: _*).select(col(idCol), sh.as("simhash"))
   }
+
+  /** X2 — exact cross-document repeated-substring removal (the Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better"
+    * substring-level pass, reference arXiv:2107.06499 §4): delete every
+    * token covered by a token window of length `k` whose normalized text
+    * occurs in ≥ 2 DISTINCT documents, and reassemble the surviving
+    * tokens in order — the layer between doc-level dedup (exact/MinHash/
+    * SimHash) and fixed-grid line dedup ([[graft.queries.DedupQueries]]
+    * `dedup_lines`), catching repeated spans at ANY offset. A maximal
+    * repeated span of length L ≥ k is exactly a maximal run of L−k+1
+    * consecutive duplicated k-gram starts, so covering each duplicated
+    * start's k tokens and unioning reproduces the suffix-array answer
+    * without a suffix array.
+    *
+    * Distributed shape (all linear, no pair enumeration anywhere):
+    *   1. sliding k-grams (doc, pos, gram) — O(tokens) rows;
+    *   2. candidate HOT HASHES: count ≥ 2 on xxhash64(gram) — the df
+    *      pass shuffles 8-byte keys, not ~k·word strings (engine-internal
+    *      hash: the oracle checks the final rewrite, not this step);
+    *   3. exact verify: only hash-candidate occurrences carry their gram
+    *      STRING into a countDistinct(doc) ≥ 2 — a hash collision can
+    *      only ADD a candidate to this exact stage, never flip a result;
+    *   4. covered = explode each duplicated start into its k token
+    *      indices, distinct — bounded by k × duplicated-gram occurrences
+    *      (the duplicated mass only, not the corpus);
+    *   5. anti-join token rows on (doc, index), per-doc array_sort
+    *      reassembly exactly like `dedup_lines`.
+    *
+    * Returns one row per input doc: (idCol, n_tok, n_dropped, cleaned) —
+    * cleaned is "" for a fully-covered doc (never null), so callers can
+    * hash it directly. Docs shorter than k tokens pass through whole
+    * (Spark's `sequence(0, negative)` would generate a DESCENDING range,
+    * so the gram builder filters n ≥ k explicitly).
+    */
+  def repeatedSubstringRewrite(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("__id"), split(TextStats.normText(col(textCol)), " ").as("toks"))
+      .withColumn("__n", size(col("toks")).cast(LongType))
+    val grams = toks
+      .filter(col("__n") >= k)
+      .select(
+        col("__id"),
+        posexplode(expr(
+          s"transform(sequence(0, size(toks) - $k), p -> array_join(slice(toks, p + 1, $k), ' '))")))
+      .select(col("__id"), col("pos").as("__p"), col("col").as("__gram"))
+      .withColumn("__gh", xxhash64(col("__gram")))
+    // candidate hashes: any hash seen twice (same doc or not) — a strict
+    // superset of the duplicated grams, filtered exactly in step 3
+    val hot = grams.groupBy("__gh").agg(count(lit(1)).as("__c")).filter(col("__c") >= 2)
+      .select("__gh")
+    val cand = grams.join(hot, Seq("__gh"), "left_semi")
+    val dup = cand.groupBy("__gram")
+      .agg(countDistinct("__id").as("__df"))
+      .filter(col("__df") >= 2)
+      .select("__gram")
+    val starts = cand.join(dup, Seq("__gram"), "left_semi").select("__id", "__p")
+    val covered = starts
+      .select(col("__id"), explode(expr(s"sequence(__p, __p + ${k - 1})")).as("__ti"))
+      .distinct()
+    val tokenRows = toks
+      .select(col("__id"), posexplode(col("toks")))
+      .select(col("__id"), col("pos").as("__ti"), col("col").as("__w"))
+    val kept = tokenRows.join(covered, Seq("__id", "__ti"), "left_anti")
+    val reasm = kept
+      .groupBy("__id")
+      .agg(
+        count(lit(1)).as("__n_kept"),
+        array_join(
+          expr("transform(array_sort(collect_list(struct(__ti, __w))), x -> x.__w)"),
+          " ").as("__cleaned"))
+    toks
+      .join(reasm, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        col("__n").as("n_tok"),
+        (col("__n") - coalesce(col("__n_kept"), lit(0L))).cast(LongType).as("n_dropped"),
+        coalesce(col("__cleaned"), lit("")).as("cleaned"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -444,7 +444,76 @@ object DedupQueries {
         "sum_signed_err")
   }
 
+  /** Planted spans for `dedup_substrings`, inserted at DOC-VARYING token
+    * offsets so nothing aligns to any fixed grid (the case `dedup_lines`'
+    * 8-token segments cannot catch). Three families, mutually exclusive
+    * by doc_id % 6:
+    *   A (%6=0): exactly K=12 tokens — the boundary case; duplicated
+    *     across ~n/6 docs, MUST be removed (one duplicated 12-gram per
+    *     occurrence, covering exactly the span);
+    *   B (%6=2): 11 tokens — one BELOW the window; repeated across docs
+    *     but no 12-gram fits inside it, MUST survive (the off-by-one
+    *     witness: a k−1 window or a slice off-by-one removes it → red).
+    *     Bracketed by per-doc UNIQUE guard tokens ('uq'||doc_id): without
+    *     them, a 12-gram straddling the span plus ONE natural neighbor
+    *     word duplicates whenever two planted docs happen to share that
+    *     neighbor — near-certain on this ~30-word vocabulary (measured:
+    *     83/83 family-B docs extended-and-removed unguarded), which is
+    *     correct Lee-et-al. semantics but kills the witness;
+    *   C (%6=4): 20 tokens — a maximal span LONGER than the window,
+    *     covered by the union of 9 overlapping duplicated 12-grams
+    *     (exercises the coverage-union step, not just single grams).
+    * Offsets doc_id % {17, 13, 11} clamp to the doc length.
+    */
+  private val SpanA =
+    "shared disclaimer clause governs usage herein revocable license terms apply strictly worldwide"
+  private val SpanB =
+    "nearmiss notice sits just below removal threshold by exactly one token"
+  private val SpanC =
+    "standard boilerplate footer generated automatically please retain attribution and visit our " +
+      "archive for complete revision history including prior amendments today"
+
+  private def substringCorpus(s: SparkSession, d: String): DataFrame = {
+    def insertAt(span: String, offMod: Int, guard: Boolean = false): Column = {
+      val off = least(col("doc_id") % offMod, size(col("toks")).cast(LongType))
+      val spanArr =
+        if (guard) {
+          val g = array(concat(lit("uq"), col("doc_id")))
+          concat(g, split(lit(span), " "), g)
+        } else split(lit(span), " ")
+      array_join(
+        concat(
+          slice(col("toks"), lit(1), off),
+          spanArr,
+          slice(col("toks"), off + 1, size(col("toks")).cast(LongType) - off)),
+        " ")
+    }
+    documents(s, d)
+      .select(col("doc_id"), TextStats.normText(col("text")).as("t"))
+      .withColumn("toks", split(col("t"), " "))
+      .withColumn(
+        "txt",
+        when(col("doc_id") % 6 === 0, insertAt(SpanA, 17))
+          .when(col("doc_id") % 6 === 2, insertAt(SpanB, 13, guard = true))
+          .when(col("doc_id") % 6 === 4, insertAt(SpanC, 11))
+          .otherwise(col("t")))
+      .select(col("doc_id"), col("txt"))
+  }
+
+  /** Exact repeated-substring (suffix-style) dedup — see
+    * [[Dedup.repeatedSubstringRewrite]]. Output carries md5(cleaned) so
+    * the reassembled text is hash-checked, like `dedup_lines`.
+    */
+  private val substringDedup: Q = (s, d) =>
+    Dedup
+      .repeatedSubstringRewrite(substringCorpus(s, d), "doc_id", "txt", 12)
+      .select(
+        col("doc_id"), col("n_tok"), col("n_dropped"),
+        md5(col("cleaned")).as("cleaned_md5"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "dedup_substrings" -> substringDedup,
     "minhash_calibration" -> minhashCalibration,
     "dedup_pipeline_e2e" -> pipelineE2e,
     "dedup_keep_best" -> keepBest,
@@ -707,6 +776,46 @@ object DedupQueries {
     "dedup_clusters" -> clustersOracle,
     // the star-contraction route must land on the SAME transitive closure
     "dedup_clusters_star" -> clustersOracle,
+    // ground-truth formulation: plain sliding 12-grams grouped by their
+    // TEXT (no hash prefilter — the engine's xxhash64 candidate stage is
+    // an internal optimization the oracle deliberately does not mirror)
+    "dedup_substrings" ->
+      s"""WITH base AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+        |tk0 AS (SELECT doc_id, t, string_split(t, ' ') AS tk,
+        |    CAST(len(string_split(t, ' ')) AS BIGINT) AS n0 FROM base),
+        |ins AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 0 THEN array_to_string(list_concat(list_concat(
+        |        tk[1:least(doc_id % 17, n0)], string_split('$SpanA', ' ')),
+        |        tk[least(doc_id % 17, n0) + 1:]), ' ')
+        |      WHEN doc_id % 6 = 2 THEN array_to_string(list_concat(list_concat(
+        |        tk[1:least(doc_id % 13, n0)],
+        |        string_split('uq' || doc_id || ' $SpanB uq' || doc_id, ' ')),
+        |        tk[least(doc_id % 13, n0) + 1:]), ' ')
+        |      WHEN doc_id % 6 = 4 THEN array_to_string(list_concat(list_concat(
+        |        tk[1:least(doc_id % 11, n0)], string_split('$SpanC', ' ')),
+        |        tk[least(doc_id % 11, n0) + 1:]), ' ')
+        |      ELSE t END AS txt
+        |  FROM tk0),
+        |tok AS (SELECT doc_id, string_split(txt, ' ') AS toks FROM ins),
+        |grams AS (SELECT doc_id, p, array_to_string(toks[p + 1:p + 12], ' ') AS gram
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 11)) AS p
+        |        FROM tok WHERE len(toks) >= 12)),
+        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+        |starts AS (SELECT doc_id, p FROM grams JOIN dup USING (gram)),
+        |cov AS (SELECT DISTINCT doc_id, ti
+        |  FROM (SELECT doc_id, unnest(range(p, p + 12)) AS ti FROM starts)),
+        |tokrow AS (SELECT doc_id, ti, toks[CAST(ti + 1 AS INT)] AS w
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS ti FROM tok)),
+        |kept AS (SELECT k.doc_id, k.ti, k.w FROM tokrow k
+        |  ANTI JOIN cov c ON k.doc_id = c.doc_id AND k.ti = c.ti),
+        |reasm AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(w, ' ' ORDER BY ti) AS cleaned
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tok,
+        |  CAST(len(t.toks) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped,
+        |  md5(COALESCE(r.cleaned, '')) AS cleaned_md5
+        |FROM tok t LEFT JOIN reasm r ON t.doc_id = r.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "dedup_lines" ->
       """WITH corpus AS (SELECT doc_id,
         |    CASE WHEN doc_id % 5 = 0 THEN 'copyright header all terms of use apply here ' || text

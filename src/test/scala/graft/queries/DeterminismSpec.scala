@@ -115,7 +115,8 @@ class DeterminismSpec extends SparkSpec {
     "wilcoxon_signed_rank",  // lag join + Prefix |d| ranks, exact z2
     "ndcg_bm25",             // TakeOrdered cut + two 20-row rank passes
     "mrr_knn",               // TopK cut + bounded rank + label joins
-    "reach_7d")              // window-day explosion + distinct + aggs
+    "reach_7d",              // window-day explosion + distinct + aggs
+    "dedup_substrings")      // hash-candidate + exact-gram df + coverage anti-join
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf

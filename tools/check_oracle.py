@@ -16,6 +16,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def connect(sfdir):
     con = duckdb.connect()
+    # The heavy recursive-CTE oracles (hits_2iter class) exceed DuckDB's
+    # default in-memory budget at sf1 when Spark/sbt JVMs hold most of the
+    # box — give DuckDB a spill directory so they complete instead of
+    # raising Out of Memory, and a fixed limit so the gate's behavior
+    # doesn't depend on what else is running.
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
+    con.sql("SET memory_limit='24GB'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     return con
