@@ -148,6 +148,47 @@ object Dedup {
       .select("id_a", "id_b", "common", "jaccard")
   }
 
+  /** X2 — shingle-containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|)
+    * in integer micros (one floor division — exact in both engines). The
+    * asymmetric companion to [[jaccardPairs]]: a short document quoted or
+    * truncated from a long one has containment ≈ 1 while its Jaccard is
+    * only |short|/|long| — the subset/quotation duplicates every corpus
+    * audit after Lee et al. looks for and symmetric Jaccard structurally
+    * under-scores. Candidate generation and dfCap semantics are identical
+    * to [[jaccardPairs]] (equi-join on the shingle key, document-frequency
+    * cap on candidate generation ONLY — per-doc set sizes in the
+    * denominator still count every shingle), so the scale shape is the
+    * same accepted <= dfCap · |distinct shingles| join bound.
+    */
+  def containmentPairs(
+      shingles: DataFrame,
+      idCol: String,
+      minContainMicros: Long,
+      dfCap: Int = 256): DataFrame = {
+    val counts = shingles.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val kept = shingles.join(
+      shingles
+        .groupBy("shingle")
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= dfCap)
+        .select("shingle"),
+      Seq("shingle"))
+    val a = kept.select(col(idCol).as("id_a"), col("shingle"))
+    val b = kept.select(col(idCol).as("id_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast(LongType).as("common"))
+      .join(counts.select(col(idCol).as("id_a"), col("n_sh").as("na")), Seq("id_a"))
+      .join(counts.select(col(idCol).as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
+      .withColumn("contain_micros",
+        expr("common * 1000000 div least(na, nb)"))
+      .filter(col("contain_micros") >= minContainMicros)
+      .select(col("id_a"), col("id_b"), col("common"),
+        col("na").cast(LongType).as("na"), col("nb").cast(LongType).as("nb"),
+        col("contain_micros"))
+  }
+
   /** Duplicate clusters from a near-dup pair list: connected components by
     * iterative min-label propagation. Each node's label converges to the
     * smallest id reachable through the undirected pair graph — the

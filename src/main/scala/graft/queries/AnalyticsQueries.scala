@@ -2197,7 +2197,7 @@ object AnalyticsQueries {
     * generalization of the Mann–Whitney machinery behind
     * [[rocAucExact]], completing the nonparametric family (U → KW).
     * Ranks are ONE [[Prefix.globalRank]] pass over the pooled rows on
-    * the TOTAL order (q, orderkey, linenumber) — the deterministic
+    * the TOTAL order (q, orderkey, linenumber, g) — the deterministic
     * tie-break variant, as [[spearmanDaily]]: textbook midranks are
     * fractional; on near-tie-free data they coincide and the convention
     * is pinned in both engines. Per-group rank sums R_j and sizes n_j
@@ -2212,8 +2212,15 @@ object AnalyticsQueries {
     val rows = lineitem(s, d)
       .select(col("l_returnflag").as("g"), col("l_quantity").cast(LongType).as("q"),
         col("l_orderkey"), col("l_linenumber"))
+    // The sort key ENDS in g: the fixture's lineitem (deliberately, per
+    // dq_expectations) contains duplicate (orderkey, linenumber) pairs,
+    // so (q, ok, ln) alone is NOT total — engines may permute tied rows
+    // ACROSS flags and shift the per-group rank sums (caught at the sf1
+    // gate, round 7: h_micros off by 2e-6). With g last, any remaining
+    // tie class is single-flag, making every R_j permutation-invariant.
     val ranked = Prefix.globalRank(rows,
-      Seq(col("q").asc, col("l_orderkey").asc, col("l_linenumber").asc), "r")
+      Seq(col("q").asc, col("l_orderkey").asc, col("l_linenumber").asc,
+        col("g").asc), "r")
     // the three flags are a data-model constant (like Benford's digit
     // table); pivoting them into ONE row pins the Σ R²/n fold order —
     // a double SUM over a group-by would re-associate under re-planning
@@ -2235,6 +2242,159 @@ object AnalyticsQueries {
           lit(3.0) * (col("n") + 1).cast(DoubleType)) * lit(1e6))
         .cast(LongType).as("h_micros"))
       .withColumn("significant", (col("h_micros") > 5991465L).cast(LongType))
+  }
+
+  /** One-way ANOVA F-test for mean quantity across the three return-flag
+    * populations — the parametric sibling of [[kruskalWallis]] (means vs
+    * rank distributions), completing the k-sample pair the way
+    * [[wilcoxonSignedRank]] pairs with the t-family. Everything upstream
+    * of the render is exact: per-group counts and sums are int64, Σx² and
+    * the squared sums bridge decimal38 (S² ≈ 2.3e20 at sf100 — past
+    * int64, far under the 1e38 ceiling). The F statistic itself renders
+    * through ONE pinned double chain in the written order (the kappa /
+    * kruskal pattern — exact integers in, identical IEEE bits out; an
+    * all-integer F needs Πn_j-scaled numerators that blow decimal38 by
+    * sf10). Verdict vs the baked F(2, ∞) 5 % critical value 2.995732 —
+    * at N in the millions the finite-df correction is below the micro
+    * rendering grain, the same df→∞ convention [[kruskalWallis]]' χ²
+    * constant already pins.
+    */
+  private val anovaOneway: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val m = lineitem(s, d)
+      .select(col("l_returnflag").as("g"), col("l_quantity").cast(LongType).as("q"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n"),
+        sum("q").cast(LongType).as("sx"),
+        sum((col("q") * col("q")).cast(dec)).cast(dec).as("sxx"),
+        sum(when(col("g") === "A", 1L).otherwise(0L)).cast(LongType).as("na"),
+        sum(when(col("g") === "A", col("q")).otherwise(0L)).cast(LongType).as("sa"),
+        sum(when(col("g") === "N", 1L).otherwise(0L)).cast(LongType).as("nn"),
+        sum(when(col("g") === "N", col("q")).otherwise(0L)).cast(LongType).as("sn"),
+        sum(when(col("g") === "R", 1L).otherwise(0L)).cast(LongType).as("nr"),
+        sum(when(col("g") === "R", col("q")).otherwise(0L)).cast(LongType).as("sr"))
+    def term(sj: Column, nj: Column): Column =
+      (sj.cast(dec) * sj.cast(dec)).cast(DoubleType) / nj.cast(DoubleType)
+    val corr = term(col("sx"), col("n"))
+    val ssb = term(col("sa"), col("na")) + term(col("sn"), col("nn")) +
+      term(col("sr"), col("nr")) - corr
+    val ssw = (col("sxx").cast(DoubleType) - corr) - ssb
+    m.select(col("n"), col("na"), col("nn"), col("nr"),
+        floor(ssb / lit(2.0) * (col("n") - 3).cast(DoubleType) / ssw * lit(1e6))
+          .cast(LongType).as("f_micros"))
+      .withColumn("significant", (col("f_micros") > 2995732L).cast(LongType))
+  }
+
+  /** Kendall τ-a between daily revenue and daily event volume — the
+    * pair-concordance companion to [[spearmanDaily]] (τ weighs each
+    * discordant pair once; ρ weighs by rank displacement, so they
+    * disagree exactly when a few large swaps vs many small ones matter).
+    * Concordant / discordant / tie counts are EXACT integers from the
+    * one bounded pairwise pass: the day frame is capped by the calendar
+    * (the [[theilSenSlope]] / [[hodgesLehmann]] bounded-cross argument —
+    * ≤730² pairs at ANY corpus size), after one hash agg collapses the
+    * fact table to day grain. τ renders as one integral decimal38
+    * division in micros (both engines truncate toward zero — the
+    * negative-safe convention [[spearmanDaily]] probed).
+    */
+  private val kendallTauDaily: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val daily = events(s, d)
+      .select(
+        floor(unix_millis(col("ts")) / lit(86400000.0)).cast(LongType).as("day"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .groupBy("day").agg(sum("cents").cast(LongType).as("rev"),
+        count(lit(1)).cast(LongType).as("cnt"))
+      .localCheckpoint(true) // both sides of the bounded day-grain cross
+    val b = daily.select(col("day").as("day_b"), col("rev").as("rev_b"),
+      col("cnt").as("cnt_b"))
+    daily.join(b, col("day") < col("day_b"))
+      .select(
+        ((col("rev") - col("rev_b")).cast(dec) *
+          (col("cnt") - col("cnt_b")).cast(dec)).as("prod"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_pairs"),
+        sum(when(col("prod") > 0, 1L).otherwise(0L)).cast(LongType).as("concordant"),
+        sum(when(col("prod") < 0, 1L).otherwise(0L)).cast(LongType).as("discordant"),
+        sum(when(col("prod") === 0, 1L).otherwise(0L)).cast(LongType).as("ties"))
+      .withColumn("tau_micros",
+        expr("cast((cast(concordant as decimal(38,0)) - discordant) * 1000000" +
+          " div n_pairs as bigint)"))
+  }
+
+  /** Association rules over the co-purchase baskets — top-20 DIRECTED
+    * rules a→b by lift: conf(a→b) = n_ab/d_a, lift = n_ab·N/(d_a·d_b),
+    * both in integer micros (N = basket count; lift > 1e6 ⟺ b is more
+    * likely given a than baseline — the measure [[itemItemJaccard]]'s
+    * symmetric overlap cannot express, and the confidence asymmetry is
+    * the point: a niche part implying a popular one ≠ the reverse).
+    * Same linear-in-SF pair volume as [[basketPairs]]; both directions
+    * come from ONE undirected pair agg exploded twice, degrees one hash
+    * agg joined twice, N one broadcast 1-row frame. Min support
+    * n_ab ≥ 2, the [[itemItemJaccard]] guard. Lift products bridge
+    * decimal38 (n_ab·N·1e6 ≈ 1e21 at sf100 — past int64, nowhere near
+    * 1e38). Deterministic total order (lift, conf, a, b).
+    */
+  private val associationRules: Q = (s, d) => {
+    val items = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .localCheckpoint(true) // pair self-join + degrees + basket count
+    val nBaskets = items.agg(countDistinct("ok").cast(LongType).as("n_baskets"))
+    val b = items.select(col("ok"), col("pk").as("pk2"))
+    val und = items.join(b, Seq("ok"))
+      .filter(col("pk") < col("pk2"))
+      .groupBy(col("pk").as("x"), col("pk2").as("y"))
+      .agg(count(lit(1)).cast(LongType).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    val directed = und.select(col("x").as("a"), col("y").as("b_"), col("n_ab"))
+      .unionAll(und.select(col("y").as("a"), col("x").as("b_"), col("n_ab")))
+    val deg = items.groupBy("pk").agg(count(lit(1)).cast(LongType).as("dv"))
+    directed
+      .join(deg.select(col("pk").as("a"), col("dv").as("da")), Seq("a"))
+      .join(deg.select(col("pk").as("b_"), col("dv").as("db")), Seq("b_"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("a"), col("b_").as("b"), col("n_ab"),
+        expr("n_ab * 1000000 div da").as("conf_micros"),
+        expr("cast(cast(n_ab as decimal(38,0)) * n_baskets * 1000000" +
+          " div (cast(da as decimal(38,0)) * db) as bigint)").as("lift_micros"))
+      .orderBy(desc("lift_micros"), desc("conf_micros"), asc("a"), asc("b"))
+      .limit(20)
+  }
+
+  /** Calibration (reliability) bins of the density scorer read as a
+    * probability of `lang = 'en'` — the diagnosis [[TextQueries]]'
+    * brier_score summarizes into one number: per predicted-probability
+    * decile, how far the observed positive rate sits from the mean
+    * prediction, plus each bin's exact contribution to expected
+    * calibration error (ECE = Σ n_b·|gap_b| / N — emitted as the exact
+    * integer numerator mass per bin so the oracle replays it without a
+    * second pass). All integer micros: prediction is the clamped
+    * permille density ×1000, bin = pred div 100000 clamped to 9, per-bin
+    * means one floor division each. One corpus scan, one ≤10-row hash
+    * agg — no second pass (N, if a reader wants ECE itself, is Σ n_bin
+    * over the emitted rows).
+    */
+  private val calibrationBins: Q = (s, d) => {
+    documents(s, d)
+      .select(col("lang"),
+        split(coalesce(TextStats.normText(col("text")), lit("")), " ").as("toks"))
+      .select(
+        expr("""least(cast(size(filter(toks, tk -> tk IN ('the','of','and','to','a','in'))) as bigint)
+                * 1000 div greatest(cast(size(toks) as bigint), 1), 1000) * 1000""").as("pred"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .withColumn("bin", least(expr("pred div 100000"), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).cast(LongType).as("n_bin"),
+        sum("pred").cast(LongType).as("sum_pred"),
+        sum("pos").cast(LongType).as("n_pos"))
+      .select(col("bin"), col("n_bin"), col("n_pos"),
+        expr("sum_pred div n_bin").as("mean_pred_micros"),
+        expr("n_pos * 1000000 div n_bin").as("obs_micros"))
+      .withColumn("gap_micros",
+        abs(col("mean_pred_micros") - col("obs_micros")))
+      .withColumn("ece_mass", col("n_bin") * col("gap_micros"))
+      .orderBy("bin")
   }
 
   /** Zipf slope of the term rank–frequency law, TRANSCENDENTAL-FREE: both
@@ -2539,6 +2699,10 @@ object AnalyticsQueries {
     "zipf_slope_bucketed" -> zipfSlopeBucketed,
     "attribution_ushape" -> attributionUshape,
     "kruskal_wallis" -> kruskalWallis,
+    "anova_oneway" -> anovaOneway,
+    "kendall_tau_daily" -> kendallTauDaily,
+    "association_rules" -> associationRules,
+    "calibration_bins" -> calibrationBins,
     "ltv_cumulative" -> ltvCumulative,
     "resurrection_rate" -> resurrectionRate,
     "mann_kendall_trend" -> mannKendallTrend,
@@ -2750,9 +2914,88 @@ object AnalyticsQueries {
         |  FROM multi)
         |SELECT channel, CAST(SUM(credit) AS BIGINT) AS credit_cents
         |FROM credits GROUP BY channel HAVING SUM(credit) > 0 ORDER BY channel""".stripMargin,
+    "anova_oneway" ->
+      """WITH m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+        |    SUM(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS sa,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS sn,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS sr
+        |  FROM lineitem),
+        |t AS (SELECT n, na, nn, nr,
+        |    CAST(CAST(sa AS HUGEINT) * sa AS DOUBLE) / CAST(na AS DOUBLE) AS ta,
+        |    CAST(CAST(sn AS HUGEINT) * sn AS DOUBLE) / CAST(nn AS DOUBLE) AS tn,
+        |    CAST(CAST(sr AS HUGEINT) * sr AS DOUBLE) / CAST(nr AS DOUBLE) AS tr,
+        |    CAST(CAST(sx AS HUGEINT) * sx AS DOUBLE) / CAST(n AS DOUBLE) AS corr,
+        |    CAST(sxx AS DOUBLE) AS sxxd
+        |  FROM m),
+        |f AS (SELECT n, na, nn, nr,
+        |    ((ta + tn) + tr) - corr AS ssb,
+        |    (sxxd - corr) - (((ta + tn) + tr) - corr) AS ssw
+        |  FROM t),
+        |r AS (SELECT n, na, nn, nr,
+        |    CAST(FLOOR(((ssb / 2.0) * CAST(n - 3 AS DOUBLE)) / ssw * 1e6) AS BIGINT) AS f_micros
+        |  FROM f)
+        |SELECT n, na, nn, nr, f_micros,
+        |  CASE WHEN f_micros > 2995732 THEN 1 ELSE 0 END AS significant FROM r""".stripMargin,
+    "kendall_tau_daily" ->
+      """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT CAST(a.rev - b.rev AS HUGEINT) * (a.cnt - b.cnt) AS prod
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |    CAST(SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+        |    CAST(SUM(CASE WHEN prod = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties
+        |  FROM p)
+        |SELECT n_pairs, concordant, discordant, ties,
+        |  CAST((CAST(concordant AS HUGEINT) - discordant) * 1000000 // n_pairs AS BIGINT) AS tau_micros
+        |FROM agg""".stripMargin,
+    "association_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |nb AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_baskets FROM items),
+        |und AS (SELECT i.pk AS x, j.pk AS y, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM items i JOIN items j ON i.ok = j.ok AND i.pk < j.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |dir AS (SELECT x AS a, y AS b, n_ab FROM und
+        |  UNION ALL SELECT y AS a, x AS b, n_ab FROM und),
+        |deg AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS dv FROM items GROUP BY 1)
+        |SELECT dir.a, dir.b, n_ab,
+        |  CAST(n_ab * 1000000 // da.dv AS BIGINT) AS conf_micros,
+        |  CAST(CAST(n_ab AS HUGEINT) * n_baskets * 1000000
+        |    // (CAST(da.dv AS HUGEINT) * db.dv) AS BIGINT) AS lift_micros
+        |FROM dir JOIN deg da ON da.pk = dir.a JOIN deg db ON db.pk = dir.b
+        |  CROSS JOIN nb
+        |ORDER BY lift_micros DESC, conf_micros DESC, a, b LIMIT 20""".stripMargin,
+    "calibration_bins" ->
+      """WITH sc AS (SELECT
+        |    least(CAST(len(list_filter(toks, tk -> tk IN ('the','of','and','to','a','in'))) AS BIGINT)
+        |      * 1000 // greatest(CAST(len(toks) AS BIGINT), 1), 1000) * 1000 AS pred,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM (SELECT lang,
+        |          string_split(coalesce(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''), ' ') AS toks
+        |        FROM documents)),
+        |b AS (SELECT CAST(least(pred // 100000, 9) AS BIGINT) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n_bin,
+        |    CAST(SUM(pred) AS BIGINT) AS sum_pred,
+        |    CAST(SUM(pos) AS BIGINT) AS n_pos
+        |  FROM sc GROUP BY 1),
+        |r AS (SELECT bin, n_bin, n_pos,
+        |    CAST(sum_pred // n_bin AS BIGINT) AS mean_pred_micros,
+        |    CAST(n_pos * 1000000 // n_bin AS BIGINT) AS obs_micros
+        |  FROM b)
+        |SELECT bin, n_bin, n_pos, mean_pred_micros, obs_micros,
+        |  abs(mean_pred_micros - obs_micros) AS gap_micros,
+        |  n_bin * abs(mean_pred_micros - obs_micros) AS ece_mass
+        |FROM r ORDER BY bin""".stripMargin,
     "kruskal_wallis" ->
       """WITH rk AS (SELECT l_returnflag AS g,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY CAST(l_quantity AS BIGINT), l_orderkey, l_linenumber) AS BIGINT) AS r
+        |    CAST(ROW_NUMBER() OVER (ORDER BY CAST(l_quantity AS BIGINT), l_orderkey, l_linenumber, l_returnflag) AS BIGINT) AS r
         |  FROM lineitem),
         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,

@@ -124,6 +124,20 @@ object DedupQueries {
     Dedup.lshCandidates(sig, "doc_id", 16, 2, portable = true).orderBy("id_a", "id_b")
   }
 
+  /** Containment >= 0.9 pairs on the SAME corpus + shingles as
+    * [[ngramJaccard]]: the planted truncation variants (the 60 %-prefix
+    * and drop-first-word docs in [[nearDupCorpus]]) are exactly the
+    * subset-duplicate class containment exists for — every shingle of the
+    * derived doc is a shingle of its original, so they score 1e6 here
+    * while symmetric Jaccard only clears 0.5 when the overlap is mutual.
+    */
+  private val containment: Q = (s, d) => {
+    val sh = Dedup.wordShingles(nearDupCorpus(s, d), "doc_id", "t", 5)
+    Dedup
+      .containmentPairs(sh, "doc_id", 900000L, ShingleDfCap)
+      .orderBy("id_a", "id_b")
+  }
+
   /** 60-bit md5-vote SimHash, 4 bands x 15 bits, Hamming <= 3 (pigeonhole:
     * <= 3 differing bits cannot touch all 4 bands, so banding loses
     * nothing at this threshold). 60 bits matters on this corpus: its
@@ -522,6 +536,7 @@ object DedupQueries {
     "dedup_exact" -> exact,
     "dedup_incremental" -> incrementalDedup,
     "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_containment" -> containment,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
     "dedup_embedding" -> embeddingNearDup,
@@ -744,6 +759,20 @@ object DedupQueries {
         |  JOIN counts ca ON ca.doc_id = id_a
         |  JOIN counts cb ON cb.doc_id = id_b
         |WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH $corpusSql,
+        |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS common
+        |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, common,
+        |  CAST(ca.n_sh AS BIGINT) AS na, CAST(cb.n_sh AS BIGINT) AS nb,
+        |  CAST(common * 1000000 // LEAST(ca.n_sh, cb.n_sh) AS BIGINT) AS contain_micros
+        |FROM pairs
+        |  JOIN counts ca ON ca.doc_id = id_a
+        |  JOIN counts cb ON cb.doc_id = id_b
+        |WHERE common * 1000000 // LEAST(ca.n_sh, cb.n_sh) >= 900000
         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_keep_best" ->
       s"""WITH RECURSIVE $corpusSql,

@@ -30,6 +30,31 @@ class DedupSpec extends SparkSpec {
     assert(!byName.contains((1L, 4L)))
   }
 
+  test("containment: subset doc scores 1e6 where jaccard stays low") {
+    // doc 6 is a strict 4-token prefix of doc 5: every one of its two
+    // 3-shingles is a shingle of 5, so containment is exactly 1e6 while
+    // jaccard is 2/8 = 0.25 — the quotation/truncation class symmetric
+    // jaccard misses at any threshold above 0.25.
+    val subset = Seq(
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (6L, "alpha beta gamma delta"),
+      (7L, "unrelated words entirely different from anything else here")
+    ).toDF("doc_id", "t")
+    val sh = Dedup.wordShingles(subset, "doc_id", "t", 3)
+    val got = Dedup.containmentPairs(sh, "doc_id", 900000L)
+      .select("id_a", "id_b", "common", "na", "nb", "contain_micros").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got.keySet == Set((5L, 6L)))
+    assert(got((5L, 6L)) == ((2L, 8L, 2L, 1000000L)))
+    val jac = Dedup.jaccardPairs(sh, "doc_id", 0.0)
+      .filter(col("id_a") === 5L && col("id_b") === 6L)
+      .select("jaccard").collect().head.getDouble(0)
+    assert(jac == 0.25)
+    // asymmetry guard: the threshold keeps genuinely-unrelated docs out
+    assert(!got.contains((5L, 7L)) && !got.contains((6L, 7L)))
+  }
+
   test("minhash+LSH candidates include the exact and near dup pairs") {
     val sh = Dedup.wordShingles(docs, "doc_id", "t", 3)
     val cand = Dedup.lshCandidates(Dedup.minhashSignature(sh, "doc_id", 32), "doc_id", 32, 4)

@@ -116,7 +116,12 @@ class DeterminismSpec extends SparkSpec {
     "ndcg_bm25",             // TakeOrdered cut + two 20-row rank passes
     "mrr_knn",               // TopK cut + bounded rank + label joins
     "reach_7d",              // window-day explosion + distinct + aggs
-    "dedup_substrings")      // hash-candidate + exact-gram df + coverage anti-join
+    "dedup_substrings",      // hash-candidate + exact-gram df + coverage anti-join
+    "anova_oneway",          // one agg row, pinned-order F chain
+    "kendall_tau_daily",     // bounded day cross, exact pair counts
+    "association_rules",     // directed lift/conf + total-order cut
+    "calibration_bins",      // <=10-bin agg, integer floors
+    "dedup_containment")     // shingle equi-join + min-side floor div
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf

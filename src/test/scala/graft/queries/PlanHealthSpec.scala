@@ -70,7 +70,9 @@ class PlanHealthSpec extends SparkSpec {
     "quantile_normalize",   // 1-row pooled-total frame crossed
     "cliffs_delta",         // 1-row totals frame crossed
     "hodges_lehmann",       // <=50x<=50 value-grain cross + 1-row total
-    "ndcg_bm25")            // 1-row stats + 1-row idcg frames crossed
+    "ndcg_bm25",            // 1-row stats + 1-row idcg frames crossed
+    "kendall_tau_daily",    // calendar-bounded day-grain pair join (theil_sen class)
+    "association_rules")    // 1-row basket-count frame crossed
 
   /** Data-model columns with single-digit cardinality. A window
     * PARTITION BY drawn ONLY from these caps sort parallelism at the
