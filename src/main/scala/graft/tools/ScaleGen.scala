@@ -67,6 +67,27 @@ object ScaleGen {
   def generate(spark: SparkSession, inDir: String, outDir: String, copies: Int): Unit = {
     def in(name: String): DataFrame = spark.read.parquet(s"$inDir/$name.parquet")
 
+    // COMPOSITION GUARD. Running ScaleGen on its own output silently
+    // corrupts the scale-up in two ways (caught in round 7 when a
+    // two-level sf10 profiled 23x faster than the round-6 one-level sf10):
+    // (1) keys: replica r2 of a level-1 replica r1 lands on r1+r2 — the
+    // SAME key as (r1', r2') with r1'+r2' = r1+r2, so orders/parts merge
+    // across replicas and distinct-(order, part) baskets DEDUPE instead
+    // of scaling; (2) embeddings: the rotation composes additively too,
+    // so same-sum replica pairs carry IDENTICAL vectors — duplicate mass,
+    // not scale. Always generate a target SF in ONE level from the base
+    // driver dir (copies=100 for sf10, 1000 for sf100).
+    val maxKey = Seq(
+      "customer" -> "c_custkey", "orders" -> "o_orderkey",
+      "lineitem" -> "l_orderkey", "part" -> "p_partkey",
+      "documents" -> "doc_id", "embeddings" -> "vec_id")
+      .map { case (t, k) =>
+        in(t).agg(max(col(k).cast("long"))).head().getLong(0) }
+      .max
+    require(maxKey < Stride,
+      s"input $inDir max key $maxKey >= stride $Stride — this is ScaleGen " +
+        "output; re-run one-level from the base driver dir (see scaladoc)")
+
     // one row per (input row, replica id) — a single distributed pass
     def replicate(df: DataFrame): DataFrame =
       df.withColumn("__r", explode(expr(s"sequence(0, ${copies - 1})")))

@@ -19,10 +19,14 @@ def connect(sfdir):
     # The heavy recursive-CTE oracles (hits_2iter class) exceed DuckDB's
     # default in-memory budget at sf1 when Spark/sbt JVMs hold most of the
     # box — give DuckDB a spill directory so they complete instead of
-    # raising Out of Memory, and a fixed limit so the gate's behavior
-    # doesn't depend on what else is running.
+    # raising Out of Memory. The limit is env-tunable with a HIGH default:
+    # round 7 measured hits_2iter at sf1 spilling past 77 GB of /tmp under
+    # a 24 GB limit (disk-full, gate red) while completing in-memory-mostly
+    # under 100 GB — for these oracles RAM is strictly cheaper than spill,
+    # so only cap below the default when the box is genuinely shared.
     con.sql("SET temp_directory='/tmp/duckdb_spill'")
-    con.sql("SET memory_limit='24GB'")
+    import os
+    con.sql(f"SET memory_limit='{os.environ.get('ORACLE_MEM', '100GB')}'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     return con
