@@ -2259,11 +2259,19 @@ object AnalyticsQueries {
     * rendering grain, the same df→∞ convention [[kruskalWallis]]' χ²
     * constant already pins.
     */
-  private val anovaOneway: Q = (s, d) => {
+  private val anovaOneway: Q = (s, d) =>
+    anovaFold(lineitem(s, d)
+      .select(col("l_returnflag").as("g"), col("l_quantity").cast(LongType).as("q")))
+
+  /** The one-way-ANOVA F fold over a (g ∈ {A, N, R}, q: long) frame —
+    * shared by [[anovaOneway]] (on raw values) and
+    * [[leveneBrownForsythe]] (on |x − group median| deviations): one
+    * hash aggregate to the exact moment row, the pinned double F chain,
+    * the baked F(2, ∞) verdict.
+    */
+  private def anovaFold(rows: DataFrame): DataFrame = {
     val dec = DecimalType(38, 0)
-    val m = lineitem(s, d)
-      .select(col("l_returnflag").as("g"), col("l_quantity").cast(LongType).as("q"))
-      .agg(
+    val m = rows.agg(
         count(lit(1)).cast(LongType).as("n"),
         sum("q").cast(LongType).as("sx"),
         sum((col("q") * col("q")).cast(dec)).cast(dec).as("sxx"),
@@ -2283,6 +2291,71 @@ object AnalyticsQueries {
         floor(ssb / lit(2.0) * (col("n") - 3).cast(DoubleType) / ssw * lit(1e6))
           .cast(LongType).as("f_micros"))
       .withColumn("significant", (col("f_micros") > 2995732L).cast(LongType))
+  }
+
+  /** Brown–Forsythe (median-based Levene) test for equal VARIANCES
+    * across the return-flag populations — the dispersion companion to
+    * [[anovaOneway]]'s mean test, and the standard pre-check before
+    * trusting pooled-variance inference. z = |x − median_g| with each
+    * group's EXACT lower median from one [[Quantile.rankPicks]]
+    * histogram pass (the outlier_mad machinery — never a per-group
+    * sort), then the SAME [[anovaFold]] F chain on z. Medians and z are
+    * integers, so the whole fold keeps the anova exactness story; the
+    * 3-row median frame broadcasts back onto the scan.
+    */
+  private val leveneBrownForsythe: Q = (s, d) => {
+    val b = lineitem(s, d).select(
+      col("l_returnflag").as("g"),
+      col("l_quantity").cast(LongType).as("q"),
+      col("l_orderkey"), col("l_linenumber"))
+    val med = Quantile.rankPicks(
+        b, col("g"), col("q"), Seq(col("l_orderkey"), col("l_linenumber")),
+        Seq("med" -> ((n: Column) => idiv(n + 1, 2))),
+        "g", "m")
+      .select(col("g"), col("m").cast(LongType).as("m"))
+    anovaFold(
+      b.join(broadcast(med), Seq("g"))
+        .select(col("g"), abs(col("q") - col("m")).as("q")))
+  }
+
+  /** Cochran–Armitage trend test — is the return rate MONOTONE in order
+    * priority (dose 1-URGENT … 5-LOW read off the priority prefix
+    * digit)? The ordered-alternative sibling of [[chi2Independence]]:
+    * χ² asks "any association", Armitage asks "a directional one",
+    * which is the question a triage or dose-response review actually
+    * has. All moments exact int64/decimal38 from ONE lineitem⋈orders
+    * pass (numerator N·Σwr − R·Σw ≈ 5e18 at sf100 — bridges decimal38;
+    * its square would not, so z² renders through the pinned double
+    * chain with num/den carried exactly to the last step). Verdict vs
+    * the baked χ²(1) 5 % critical value 3.841459. Lines whose order is
+    * missing (the fixture plants orphans — see orphan_audit) are
+    * excluded by the inner join, documented here and mirrored exactly.
+    */
+  private val trendTestArmitage: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val m = lineitem(s, d)
+      .select(col("l_orderkey"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"))
+      .join(
+        orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+          substring(col("o_orderpriority"), 1, 1).cast(LongType).as("w")),
+        Seq("l_orderkey"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n"),
+        sum("r").cast(LongType).as("rr"),
+        sum("w").cast(LongType).as("sw"),
+        sum((col("w") * col("w")).cast(dec)).cast(dec).as("sww"),
+        sum((col("w") * col("r")).cast(dec)).cast(dec).as("swr"))
+    val num = m("n").cast(dec) * m("swr") - m("rr").cast(dec) * m("sw").cast(dec)
+    val den = (m("rr").cast(dec) * (m("n") - m("rr")).cast(dec)).cast(dec) *
+      (m("n").cast(dec) * m("sww") - m("sw").cast(dec) * m("sw").cast(dec))
+    m.select(m("n").as("n_lines"), m("rr").as("n_returned"),
+        m("sw").cast(LongType).as("sum_dose"),
+        floor(
+          num.cast(DoubleType) * num.cast(DoubleType) * m("n").cast(DoubleType) /
+            den.cast(DoubleType) * lit(1e6))
+          .cast(LongType).as("z2_micros"))
+      .withColumn("significant", (col("z2_micros") > 3841459L).cast(LongType))
   }
 
   /** Kendall τ-a between daily revenue and daily event volume — the
@@ -2700,6 +2773,8 @@ object AnalyticsQueries {
     "attribution_ushape" -> attributionUshape,
     "kruskal_wallis" -> kruskalWallis,
     "anova_oneway" -> anovaOneway,
+    "levene_brown_forsythe" -> leveneBrownForsythe,
+    "trend_test_armitage" -> trendTestArmitage,
     "kendall_tau_daily" -> kendallTauDaily,
     "association_rules" -> associationRules,
     "calibration_bins" -> calibrationBins,
@@ -2941,6 +3016,58 @@ object AnalyticsQueries {
         |  FROM f)
         |SELECT n, na, nn, nr, f_micros,
         |  CASE WHEN f_micros > 2995732 THEN 1 ELSE 0 END AS significant FROM r""".stripMargin,
+    "levene_brown_forsythe" ->
+      """WITH b AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+        |rk AS (SELECT g, q, ROW_NUMBER() OVER (PARTITION BY g ORDER BY q) AS rn,
+        |        COUNT(*) OVER (PARTITION BY g) AS cnt FROM b),
+        |med AS (SELECT g, CAST(q AS BIGINT) AS m FROM rk WHERE rn = (cnt + 1) // 2),
+        |z AS (SELECT b.g, abs(b.q - med.m) AS q FROM b JOIN med USING (g)),
+        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(q) AS BIGINT) AS sx,
+        |    SUM(CAST(q AS HUGEINT) * q) AS sxx,
+        |    CAST(SUM(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN g = 'A' THEN q ELSE 0 END) AS BIGINT) AS sa,
+        |    CAST(SUM(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+        |    CAST(SUM(CASE WHEN g = 'N' THEN q ELSE 0 END) AS BIGINT) AS sn,
+        |    CAST(SUM(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+        |    CAST(SUM(CASE WHEN g = 'R' THEN q ELSE 0 END) AS BIGINT) AS sr
+        |  FROM z),
+        |t AS (SELECT n, na, nn, nr,
+        |    CAST(CAST(sa AS HUGEINT) * sa AS DOUBLE) / CAST(na AS DOUBLE) AS ta,
+        |    CAST(CAST(sn AS HUGEINT) * sn AS DOUBLE) / CAST(nn AS DOUBLE) AS tn,
+        |    CAST(CAST(sr AS HUGEINT) * sr AS DOUBLE) / CAST(nr AS DOUBLE) AS tr,
+        |    CAST(CAST(sx AS HUGEINT) * sx AS DOUBLE) / CAST(n AS DOUBLE) AS corr,
+        |    CAST(sxx AS DOUBLE) AS sxxd
+        |  FROM mm),
+        |f AS (SELECT n, na, nn, nr,
+        |    ((ta + tn) + tr) - corr AS ssb,
+        |    (sxxd - corr) - (((ta + tn) + tr) - corr) AS ssw
+        |  FROM t),
+        |r AS (SELECT n, na, nn, nr,
+        |    CAST(FLOOR(((ssb / 2.0) * CAST(n - 3 AS DOUBLE)) / ssw * 1e6) AS BIGINT) AS f_micros
+        |  FROM f)
+        |SELECT n, na, nn, nr, f_micros,
+        |  CASE WHEN f_micros > 2995732 THEN 1 ELSE 0 END AS significant FROM r""".stripMargin,
+    "trend_test_armitage" ->
+      """WITH j AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r,
+        |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(r) AS BIGINT) AS rr,
+        |    CAST(SUM(w) AS BIGINT) AS sw,
+        |    SUM(CAST(w AS HUGEINT) * w) AS sww,
+        |    SUM(CAST(w AS HUGEINT) * r) AS swr
+        |  FROM j),
+        |c AS (SELECT n, rr, sw,
+        |    CAST(n AS HUGEINT) * swr - CAST(rr AS HUGEINT) * sw AS num,
+        |    (CAST(rr AS HUGEINT) * (n - rr)) *
+        |      (CAST(n AS HUGEINT) * sww - CAST(sw AS HUGEINT) * sw) AS den
+        |  FROM m),
+        |z AS (SELECT n, rr, sw,
+        |    CAST(FLOOR(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) * CAST(n AS DOUBLE)
+        |      / CAST(den AS DOUBLE) * 1e6) AS BIGINT) AS z2_micros
+        |  FROM c)
+        |SELECT n AS n_lines, rr AS n_returned, CAST(sw AS BIGINT) AS sum_dose, z2_micros,
+        |  CASE WHEN z2_micros > 3841459 THEN 1 ELSE 0 END AS significant FROM z""".stripMargin,
     "kendall_tau_daily" ->
       """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
         |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev,

@@ -612,7 +612,45 @@ object TextQueries {
       .select(col("n"), expr("ss div n").as("brier_e12"))
   }
 
+  /** N-gram novelty census — the curation signal SlimPajama-style
+    * pipelines rank sources by: per document, the share of its distinct
+    * 8-gram shingles whose FIRST occurrence (minimum doc_id — ingestion
+    * order in this corpus) is this document. Boilerplate-heavy or
+    * templated docs score near 0, genuinely fresh text near 1e6; the
+    * output is the bounded decile census of that per-doc score plus the
+    * corpus gram totals per decile. Scale shape: one shingle explode
+    * (linear in corpus tokens), one min hash agg keyed by gram, one
+    * equi-join back, one per-doc agg, one ≤10-row census — no window,
+    * no self-join; the gram→min(doc) frame is the same key-join bound
+    * every dedup lane rides. Docs shorter than 8 tokens carry no
+    * shingles and are absent by construction (documented; they have no
+    * novelty to measure).
+    */
+  private val ngramNovelty: Q = (s, d) => {
+    val docs = documents(s, d).select(
+      col("doc_id"),
+      coalesce(TextStats.normText(col("text")), lit("")).as("t"))
+    val sh = graft.ext.Dedup.wordShingles(docs, "doc_id", "t", 8)
+    val firstDoc = sh.groupBy("shingle")
+      .agg(min("doc_id").cast(LongType).as("first_doc"))
+    sh.join(firstDoc, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast(LongType).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .cast(LongType).as("n_novel"))
+      .withColumn("novelty_micros", expr("n_novel * 1000000 div n_grams"))
+      .withColumn("decile", least(expr("novelty_micros div 100000"), lit(9L)))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).cast(LongType).as("n_docs"),
+        sum("n_grams").cast(LongType).as("sum_grams"),
+        sum("n_novel").cast(LongType).as("sum_novel"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ngram_novelty" -> ngramNovelty,
     "brier_score" -> brierScore,
     "quantile_normalize" -> quantileNormalize,
     "quality_threshold_sweep" -> qualityThresholdSweep,
@@ -638,6 +676,26 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "ngram_novelty" ->
+      """WITH base AS (SELECT doc_id,
+        |    string_split(coalesce(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''), ' ') AS toks
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 7),
+        |    i -> array_to_string(toks[i:i+7], ' '))) AS shingle
+        |  FROM base WHERE len(toks) >= 8)),
+        |fd AS (SELECT shingle, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM sh GROUP BY 1),
+        |per AS (SELECT sh.doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |    CAST(SUM(CASE WHEN sh.doc_id = fd.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |  FROM sh JOIN fd USING (shingle) GROUP BY 1),
+        |sc AS (SELECT n_grams, n_novel,
+        |    CAST(least((n_novel * 1000000 // n_grams) // 100000, 9) AS BIGINT) AS decile
+        |  FROM per)
+        |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_grams) AS BIGINT) AS sum_grams,
+        |  CAST(SUM(n_novel) AS BIGINT) AS sum_novel
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "brier_score" ->
       """WITH sc AS (SELECT
         |    least(CAST(len(list_filter(toks, tk -> tk IN ('the','of','and','to','a','in'))) AS BIGINT)
