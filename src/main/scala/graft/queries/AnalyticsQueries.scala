@@ -2762,7 +2762,248 @@ object AnalyticsQueries {
       sum(when(col("l") < 3, col("n")).otherwise(0L)).cast(LongType).as("rows_below_l3"))
   }
 
+  /** Dominant spectral direction of the embedding corpus (the first
+    * principal direction of the UNCENTERED second-moment matrix XᵀX) by
+    * two exact integer power-iteration steps — the anisotropy / drift
+    * diagnostic behind "did this embedding batch collapse onto one axis".
+    * No linear-algebra library and no float accumulation: components
+    * quantize to micros (q = ⌊x·10⁶⌋, |x| < 1 ⇒ |q| ≤ 10⁶), iteration 1 is
+    * v₁ = Σᵢ qᵢ(qᵢ·1) — the per-row dot against the all-ones start vector
+    * rides IN the projection (`aggregate(q)`), so the only shuffle is a
+    * 64-group hash agg with map-side combine; iteration 2 re-scales v₁ by
+    * an exact integral division (w = v₁ div (n·10⁴), keeping
+    * qᵀw ≤ 64·10⁶·6.4e9 ≈ 4.1e17 inside int64) and repeats with w carried
+    * as ONE broadcast 64-element array consumed by `zip_with` — again no
+    * corpus-keyed shuffle, no explode-join. v₂ magnitudes stay ≤ n·4.1e23
+    * in decimal(38,0) (headroom to a trillion vectors). Both iterates
+    * render relative to their own max |component| in millis through one
+    * pinned double multiply+divide per dim (the [[embeddingCentroidDrift]]
+    * render convention); convergence shows as v1_rel vs v2_rel agreement.
+    * Two corpus passes total, each a projection + 64-group agg — the
+    * 100 TB shape for any Krylov-style iterate.
+    */
+  private val embeddingPowerIteration: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val qArr = expr(
+      "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0D) as bigint))")
+    val emb = embeddings(s, d).select(qArr.as("q"))
+    val v1 = emb
+      .select(col("q"), expr("aggregate(q, cast(0 as bigint), (acc, x) -> acc + x)").as("dot0"))
+      .select(posexplode(col("q")).as(Seq("dim", "qv")), col("dot0"))
+      .groupBy("dim")
+      .agg(sum(col("qv").cast(dec) * col("dot0").cast(dec)).cast(dec).as("v1"))
+      .localCheckpoint(true) // consumed by the w array, the join and max|v1|
+    val n = emb.agg(count(lit(1)).cast(LongType).as("nn"))
+    val warr = v1.crossJoin(broadcast(n))
+      .select(col("dim"),
+        expr("cast(v1 div (cast(nn as decimal(38,0)) * 10000) as bigint)").as("w"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, w))), s -> s.w)").as("w"))
+    val v2 = emb.crossJoin(broadcast(warr))
+      .select(col("q"),
+        expr("aggregate(zip_with(q, w, (x, wv) -> x * wv), cast(0 as bigint), (acc, pv) -> acc + pv)")
+          .as("dot1"))
+      .select(posexplode(col("q")).as(Seq("dim", "qv")), col("dot1"))
+      .groupBy("dim")
+      .agg(sum(col("qv").cast(dec) * col("dot1").cast(dec)).cast(dec).as("v2"))
+      .localCheckpoint(true) // consumed by the join and max|v2|
+    val m1 = v1.agg(max(abs(col("v1"))).as("m1"))
+    val m2 = v2.agg(max(abs(col("v2"))).as("m2"))
+    v1.join(v2, Seq("dim"))
+      .crossJoin(broadcast(m1)).crossJoin(broadcast(m2))
+      // all-zero corpus guard: a zero max renders every milli as 0 via the
+      // unit denominator instead of dividing by zero
+      .withColumn("d1", when(col("m1") === lit(0).cast(dec), lit(1).cast(dec)).otherwise(col("m1")))
+      .withColumn("d2", when(col("m2") === lit(0).cast(dec), lit(1).cast(dec)).otherwise(col("m2")))
+      .select(col("dim").cast(LongType).as("dim"),
+        floor(col("v1").cast(DoubleType) * lit(1000.0) / col("d1").cast(DoubleType))
+          .cast(LongType).as("v1_rel_milli"),
+        floor(col("v2").cast(DoubleType) * lit(1000.0) / col("d2").cast(DoubleType))
+          .cast(LongType).as("v2_rel_milli"))
+  }
+
+  /** Benjamini–Hochberg FDR control over a 34-test release-gate family —
+    * the multiple-comparisons layer every fleet of per-group audits needs
+    * before paging anyone (25 independent tests at α=0.05 fire ~1.3 false
+    * alarms per run; BH bounds the EXPECTED false-discovery share at α).
+    * Family: 9 one-sample Benford leading-digit conformance tests on
+    * order totalprice cents (z² = (k−Np_d)²/(Np_d(1−p_d)), baked-literal
+    * p_d = log₁₀(1+1/d)) + 25 two-proportion return-rate contrasts
+    * nation-vs-rest (z² = (k₁n₂−k₂n₁)²·N/(n₁n₂K(N−K)), numerator and
+    * denominator EXACT in decimal(38,0) — den ≤ 1.1e37 at sf1000 — with
+    * one pinned double render, the [[trendTestArmitage]] chain). The
+    * fixture witnesses BOTH branches structurally: uniform synthetic
+    * prices violate Benford at every digit (z² ≥ 20 at sf0.001) while the
+    * nation contrasts are true nulls, so the step-up walks the
+    * interleaved tail every run. All 34 statistics are floored to micros
+    * BEFORE ranking and threshold comparison (integer order, integer
+    * compare — the contract is "BH at micros precision"); thresholds are
+    * 34 baked chi²₁ quantiles chi2inv(1−0.05·i/34). i* = max{i : z²⁽ⁱ⁾ ≥
+    * T(i)} and every rank ≤ i* rejects — including ranks individually
+    * below their own threshold (the step-up sweep; BhSpec witnesses that
+    * branch on a crafted frame, since null fixtures cannot). A consumed
+    * raise_error guards m = 34 exactly: a digit or nation missing from
+    * the data would silently misalign the baked threshold ladder.
+    */
+  private val bhFdrTests: Q = (s, d) => {
+    import s.implicits._
+    val dec = DecimalType(38, 0)
+    // --- Benford branch (one-sample, baked p_d literals)
+    val pmap = Seq(
+      1L -> 0.3010299956639812, 2L -> 0.17609125905568124,
+      3L -> 0.12493873660829992, 4L -> 0.09691001300805642,
+      5L -> 0.07918124604762482, 6L -> 0.06694678963061322,
+      7L -> 0.05799194697768673, 8L -> 0.05115252244738129,
+      9L -> 0.04575749056067514).toDF("dig", "p")
+    val digc = orders(s, d)
+      .select(substring((dec2(col("o_totalprice")) * 100).cast(LongType)
+        .cast(StringType), 1, 1).cast(LongType).as("dig"))
+      .groupBy("dig").agg(count(lit(1)).cast(LongType).as("k"))
+    val ntot = digc.agg(sum("k").cast(LongType).as("nn"))
+    val kd = col("k").cast(DoubleType)
+    val nd = col("nn").cast(DoubleType)
+    val bf = broadcast(pmap).join(digc, Seq("dig"))
+      .crossJoin(broadcast(ntot))
+      .select(concat(lit("benford:"), col("dig")).as("test_id"),
+        floor((kd - nd * col("p")) * (kd - nd * col("p")) /
+          (nd * col("p") * (lit(1) - col("p"))) * lit(1000000.0))
+          .cast(LongType).as("z2_micros"))
+    // --- nation branch (two-proportion vs rest, exact num/den)
+    val pern = lineitem(s, d)
+      .select(col("l_orderkey"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"))
+      .join(orders(s, d).select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+        Seq("l_orderkey"))
+      .join(customer(s, d).select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        Seq("o_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).cast(LongType).as("n1"), sum("r").cast(LongType).as("k1"))
+    val tots = pern.agg(sum("n1").cast(LongType).as("bigN"), sum("k1").cast(LongType).as("bigK"))
+    val num = col("k1").cast(dec) * (col("bigN") - col("n1")).cast(dec) -
+      (col("bigK") - col("k1")).cast(dec) * col("n1").cast(dec)
+    val den = (col("n1").cast(dec) * (col("bigN") - col("n1")).cast(dec)) *
+      (col("bigK").cast(dec) * (col("bigN") - col("bigK")).cast(dec))
+    val nat = pern
+      .join(broadcast(nation(s, d).select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+        Seq("c_nationkey"))
+      .crossJoin(broadcast(tots))
+      .select(concat(lit("nation:"), col("n_name")).as("test_id"),
+        floor(num.cast(DoubleType) * num.cast(DoubleType) * col("bigN").cast(DoubleType) /
+          den.cast(DoubleType) * lit(1000000.0)).cast(LongType).as("z2_micros"))
+    // --- BH step-up over the 34-row family
+    val thresholds = Seq(
+      10115107L, 8843604L, 8106054L, 7585993L, 7184661L, 6858201L, 6583277L,
+      6345988L, 6137384L, 5951366L, 5783589L, 5630851L, 5490721L, 5361315L,
+      5241139L, 5128990L, 5023886L, 4925013L, 4831693L, 4743348L, 4659490L,
+      4579696L, 4503602L, 4430889L, 4361278L, 4294524L, 4230408L, 4168737L,
+      4109337L, 4052053L, 3996744L, 3943284L, 3891557L, 3841458L)
+    bhStepUp(bf.unionByName(nat), thresholds, 34)
+  }
+
+  /** The BH step-up core, factored so BhSpec can witness the sweep branch
+    * a null fixture cannot: rank the family by z2_micros desc (test_id
+    * tiebreak), pair rank i with the baked threshold T(i), i* = max{i :
+    * z²⁽ⁱ⁾ ≥ T(i)}, reject every rank ≤ i* — INCLUDING a rank whose own
+    * comparison fails when some later rank passes (the property that
+    * distinguishes step-up from per-rank acceptance). A family-size
+    * mismatch raises inside the consumed threshold expression (an
+    * asserted-then-dropped column would be pruned by Catalyst).
+    */
+  private[queries] def bhStepUp(
+      fam: DataFrame, thresholds: Seq[Long], expectM: Int): DataFrame = {
+    val ranked = Prefix.globalRank(
+      fam, Seq(col("z2_micros").desc, col("test_id").asc), "t_rank")
+      .localCheckpoint(true) // the family branches feed istar AND the output
+    val m = ranked.agg(count(lit(1)).cast(LongType).as("fam_m"))
+    val withT = ranked.crossJoin(broadcast(m))
+      .withColumn("thresh_micros",
+        when(col("fam_m") === expectM.toLong,
+          element_at(array(thresholds.map(lit): _*), col("t_rank").cast(IntegerType)))
+          .otherwise(raise_error(concat(
+            lit("bh_fdr_tests: family size "), col("fam_m"),
+            lit(s" != $expectM — baked threshold ladder misaligned")))))
+    val istar = withT
+      .agg(coalesce(max(when(col("z2_micros") >= col("thresh_micros"), col("t_rank"))), lit(0L))
+        .as("istar"))
+    withT.crossJoin(broadcast(istar))
+      .select(col("test_id"), col("z2_micros"), col("t_rank"), col("thresh_micros"),
+        (col("t_rank") <= col("istar")).cast(LongType).as("rejected"))
+  }
+
+  /** Exact permutation test for the early-half vs late-half difference in
+    * mean daily revenue — the assumption-free sibling of
+    * [[bootstrapCiMean]] (no normality, no variance formula: the null
+    * distribution IS the data relabeled). Units are DAYS (the frame is
+    * calendar-bounded at any corpus size); the observed split is the
+    * calendar midpoint, and each of B=200 deterministic permutations
+    * reassigns arm labels by ranking days on [[graft.ext.Dedup.portableHash64]]
+    * (b:day) — rank ≤ n₁ joins arm 1, so every permutation preserves the
+    * observed arm sizes exactly (a hash-parity Bernoulli split would
+    * not). No RNG anywhere: reproducible across retries, replayable by
+    * the oracle. The window partitions by b (200 partitions — never a
+    * low-cardinality global sort); the mean difference renders as ONE
+    * negative-safe integral division to micros per arm pair, exact
+    * decimal(38,0) cross-multiplication before it. p uses the add-one
+    * convention p = (1+#{|diff_b| ≥ |diff_obs|})/(B+1) — the unbiased
+    * estimate under the null that includes the identity relabeling. The
+    * uniform fixture is a TRUE null (halves differ ~1%), so the expected
+    * output is a mid-range p — the branch a correct permutation test
+    * must witness on signal-free data; the z²/statistic surface is what
+    * the oracle hash pins.
+    */
+  private val permutationTestHalves: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val daily = events(s, d)
+      .select(
+        floor(unix_millis(col("ts")) / lit(86400000.0)).cast(LongType).as("day"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .groupBy("day").agg(sum("cents").cast(LongType).as("rev"))
+      .localCheckpoint(true) // observed split + 200 permutations + bounds
+    val bounds = daily.agg(
+      min("day").as("lo"), max("day").as("hi"),
+      count(lit(1)).cast(LongType).as("n_days"))
+      .withColumn("mid", expr("(lo + hi + 1) div 2"))
+    val obs = daily.crossJoin(broadcast(bounds))
+      .groupBy("n_days", "mid")
+      .agg(
+        sum(when(col("day") < col("mid"), col("rev"))).cast(LongType).as("s1"),
+        sum(when(col("day") < col("mid"), 1L).otherwise(0L)).cast(LongType).as("n1"),
+        sum(when(col("day") >= col("mid"), col("rev"))).cast(LongType).as("s2"),
+        sum(when(col("day") >= col("mid"), 1L).otherwise(0L)).cast(LongType).as("n2"))
+      .withColumn("obs_diff_micros",
+        expr("cast((cast(s1 as decimal(38,0)) * n2 - cast(s2 as decimal(38,0)) * n1) " +
+          "* 1000000 div (cast(n1 as decimal(38,0)) * n2) as bigint)"))
+      .localCheckpoint(true) // feeds the permutation compare and the output row
+    val perm = daily
+      .withColumn("b", explode(sequence(lit(1L), lit(200L))))
+      .withColumn("h", graft.ext.Dedup.portableHash64(
+        concat(col("b").cast(StringType), lit(":"), col("day").cast(StringType))))
+      .withColumn("prk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("b")
+          .orderBy(col("h").asc, col("day").asc)))
+    val diffs = perm
+      .crossJoin(broadcast(obs.select(col("n1").as("o1"), col("n2").as("o2"))))
+      .groupBy("b")
+      .agg(
+        sum(when(col("prk") <= col("o1"), col("rev")).otherwise(0L)).cast(LongType).as("s1"),
+        sum(when(col("prk") > col("o1"), col("rev")).otherwise(0L)).cast(LongType).as("s2"),
+        min("o1").as("n1"), min("o2").as("n2"))
+      .withColumn("d_micros",
+        expr("cast((cast(s1 as decimal(38,0)) * n2 - cast(s2 as decimal(38,0)) * n1) " +
+          "* 1000000 div (cast(n1 as decimal(38,0)) * n2) as bigint)"))
+    val tail = diffs
+      .crossJoin(broadcast(obs.select(col("obs_diff_micros").as("od"))))
+      .agg(sum(when(abs(col("d_micros")) >= abs(col("od")), 1L).otherwise(0L))
+        .cast(LongType).as("n_ge"))
+    obs.crossJoin(broadcast(tail))
+      .select(col("n_days"), col("n1"), col("n2"), lit(200L).as("b_reps"),
+        col("obs_diff_micros"), col("n_ge"),
+        expr("(1 + n_ge) * 1000 div 201").as("p_milli"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "embedding_power_iteration" -> embeddingPowerIteration,
+    "bh_fdr_tests" -> bhFdrTests,
+    "permutation_test_halves" -> permutationTestHalves,
     "k_anonymity_audit" -> kAnonymityAudit,
     "reach_7d" -> reach7d,
     "ndcg_bm25" -> ndcgBm25,
@@ -2843,6 +3084,103 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "embedding_power_iteration" ->
+      """WITH qq AS (SELECT vec_id, p.pos AS dim,
+        |    CAST(floor(CAST(embedding[p.pos + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+        |  FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS pos) p),
+        |d0 AS (SELECT vec_id, CAST(SUM(q) AS BIGINT) AS dot0 FROM qq GROUP BY vec_id),
+        |v1 AS (SELECT dim, SUM(CAST(q AS HUGEINT) * dot0) AS v1
+        |  FROM qq JOIN d0 USING (vec_id) GROUP BY dim),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM embeddings),
+        |w AS (SELECT dim, CAST(v1 // (CAST(nn AS HUGEINT) * 10000) AS BIGINT) AS w
+        |  FROM v1 CROSS JOIN nn),
+        |d1 AS (SELECT vec_id, CAST(SUM(q * w.w) AS BIGINT) AS dot1
+        |  FROM qq JOIN w USING (dim) GROUP BY vec_id),
+        |v2 AS (SELECT dim, SUM(CAST(q AS HUGEINT) * dot1) AS v2
+        |  FROM qq JOIN d1 USING (vec_id) GROUP BY dim),
+        |m AS (SELECT (SELECT MAX(abs(v1)) FROM v1) AS m1, (SELECT MAX(abs(v2)) FROM v2) AS m2),
+        |g AS (SELECT CASE WHEN m1 = 0 THEN 1 ELSE m1 END AS d1g,
+        |             CASE WHEN m2 = 0 THEN 1 ELSE m2 END AS d2g FROM m)
+        |SELECT CAST(v1.dim AS BIGINT) AS dim,
+        |  CAST(floor(CAST(v1 AS DOUBLE) * 1000.0 / CAST(d1g AS DOUBLE)) AS BIGINT) AS v1_rel_milli,
+        |  CAST(floor(CAST(v2 AS DOUBLE) * 1000.0 / CAST(d2g AS DOUBLE)) AS BIGINT) AS v2_rel_milli
+        |FROM v1 JOIN v2 USING (dim) CROSS JOIN g""".stripMargin,
+    "bh_fdr_tests" ->
+      """WITH dg AS (SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS BIGINT) AS dig FROM orders),
+        |dc AS (SELECT dig, CAST(COUNT(*) AS BIGINT) AS k FROM dg GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(k) AS BIGINT) AS nn FROM dc),
+        |bp(dig, p) AS (VALUES
+        |  (1, 0.3010299956639812), (2, 0.17609125905568124), (3, 0.12493873660829992),
+        |  (4, 0.09691001300805642), (5, 0.07918124604762482), (6, 0.06694678963061322),
+        |  (7, 0.05799194697768673), (8, 0.05115252244738129), (9, 0.04575749056067514)),
+        |bf AS (SELECT 'benford:' || CAST(dig AS VARCHAR) AS test_id,
+        |    CAST(floor((CAST(k AS DOUBLE) - CAST(nn AS DOUBLE) * p)
+        |      * (CAST(k AS DOUBLE) - CAST(nn AS DOUBLE) * p)
+        |      / (CAST(nn AS DOUBLE) * p * (1 - p)) * 1000000.0) AS BIGINT) AS z2_micros
+        |  FROM bp JOIN dc USING (dig) CROSS JOIN nt),
+        |bs AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS k1
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n1) AS BIGINT) AS bigN, CAST(SUM(k1) AS BIGINT) AS bigK FROM bs),
+        |nr AS (SELECT 'nation:' || n_name AS test_id,
+        |    CAST(k1 AS HUGEINT) * (bigN - n1) - CAST(bigK - k1 AS HUGEINT) * n1 AS num,
+        |    (CAST(n1 AS HUGEINT) * (bigN - n1)) * (CAST(bigK AS HUGEINT) * (bigN - bigK)) AS den,
+        |    bigN
+        |  FROM bs JOIN nation ON c_nationkey = n_nationkey CROSS JOIN tt),
+        |na AS (SELECT test_id,
+        |    CAST(floor(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) * CAST(bigN AS DOUBLE)
+        |      / CAST(den AS DOUBLE) * 1000000.0) AS BIGINT) AS z2_micros FROM nr),
+        |fam AS (SELECT * FROM bf UNION ALL SELECT * FROM na),
+        |rk AS (SELECT test_id, z2_micros,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY z2_micros DESC, test_id) AS BIGINT) AS t_rank FROM fam),
+        |th(i, t) AS (VALUES
+        |  (1, 10115107), (2, 8843604), (3, 8106054), (4, 7585993), (5, 7184661),
+        |  (6, 6858201), (7, 6583277), (8, 6345988), (9, 6137384), (10, 5951366),
+        |  (11, 5783589), (12, 5630851), (13, 5490721), (14, 5361315), (15, 5241139),
+        |  (16, 5128990), (17, 5023886), (18, 4925013), (19, 4831693), (20, 4743348),
+        |  (21, 4659490), (22, 4579696), (23, 4503602), (24, 4430889), (25, 4361278),
+        |  (26, 4294524), (27, 4230408), (28, 4168737), (29, 4109337), (30, 4052053),
+        |  (31, 3996744), (32, 3943284), (33, 3891557), (34, 3841458)),
+        |j AS (SELECT rk.test_id, rk.z2_micros, rk.t_rank, CAST(t AS BIGINT) AS thresh_micros
+        |  FROM rk JOIN th ON t_rank = i),
+        |st AS (SELECT COALESCE(MAX(CASE WHEN z2_micros >= thresh_micros THEN t_rank END), 0) AS istar
+        |  FROM j)
+        |SELECT test_id, z2_micros, t_rank, thresh_micros,
+        |  CAST(CASE WHEN t_rank <= istar THEN 1 ELSE 0 END AS BIGINT) AS rejected
+        |FROM j CROSS JOIN st""".stripMargin,
+    "permutation_test_halves" ->
+      """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    (MIN(day) + MAX(day) + 1) // 2 AS mid FROM daily),
+        |obs AS (SELECT n_days, mid,
+        |    CAST(SUM(CASE WHEN day < mid THEN rev END) AS BIGINT) AS s1,
+        |    CAST(SUM(CASE WHEN day < mid THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN day >= mid THEN rev END) AS BIGINT) AS s2,
+        |    CAST(SUM(CASE WHEN day >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM daily CROSS JOIN b GROUP BY 1, 2),
+        |obsd AS (SELECT *, CAST((CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1)
+        |    * 1000000 // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS obs_diff_micros FROM obs),
+        |perm AS (SELECT bb.b, day, rev,
+        |    ROW_NUMBER() OVER (PARTITION BY bb.b ORDER BY
+        |      CAST('0x' || substr(md5(CAST(bb.b AS VARCHAR) || ':' || CAST(day AS VARCHAR)), 1, 15)
+        |        AS BIGINT) ASC, day ASC) AS prk
+        |  FROM daily CROSS JOIN (SELECT unnest(generate_series(1, 200)) AS b) bb),
+        |diffs AS (SELECT b,
+        |    CAST(SUM(CASE WHEN prk <= o.n1 THEN rev ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(SUM(CASE WHEN prk > o.n1 THEN rev ELSE 0 END) AS BIGINT) AS s2,
+        |    MIN(o.n1) AS n1, MIN(o.n2) AS n2
+        |  FROM perm CROSS JOIN (SELECT n1, n2 FROM obsd) o GROUP BY b),
+        |dm AS (SELECT b, CAST((CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1)
+        |    * 1000000 // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS d_micros FROM diffs),
+        |tail AS (SELECT CAST(SUM(CASE WHEN abs(d_micros) >= (SELECT abs(obs_diff_micros) FROM obsd)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_ge FROM dm)
+        |SELECT n_days, n1, n2, CAST(200 AS BIGINT) AS b_reps, obs_diff_micros, n_ge,
+        |  CAST((1 + n_ge) * 1000 // 201 AS BIGINT) AS p_milli
+        |FROM obsd CROSS JOIN tail""".stripMargin,
     "k_anonymity_audit" ->
       """WITH g AS (SELECT c_nationkey, c_mktsegment,
         |    CAST(COUNT(*) AS BIGINT) AS n,

@@ -121,7 +121,13 @@ class DeterminismSpec extends SparkSpec {
     "kendall_tau_daily",     // bounded day cross, exact pair counts
     "association_rules",     // directed lift/conf + total-order cut
     "calibration_bins",      // <=10-bin agg, integer floors
-    "dedup_containment")     // shingle equi-join + min-side floor div
+    "dedup_containment",     // shingle equi-join + min-side floor div
+    "ngram_novelty",         // shingle min-agg first-seen + decile census
+    "levene_brown_forsythe", // rankPicks medians + shared F fold
+    "trend_test_armitage",   // exact moments, pinned-double z2
+    "embedding_power_iteration", // two integer Krylov steps, 64-group aggs
+    "bh_fdr_tests",          // 34-test family, micros rank + baked ladder
+    "permutation_test_halves") // hash-ranked relabels, exact arm sums
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf

@@ -43,6 +43,9 @@ class PlanHealthSpec extends SparkSpec {
     "backlog_timeline",     // 1-row peak/peak-day/census frames crossed
     "rfm_scores",           // 1-row max-ts/user-count frames crossed per rank pass
     "ab_test_proportions",  // two 1-row arm frames crossed
+    "embedding_power_iteration", // 1-row count + 1-row w-array + 1-row max frames crossed
+    "bh_fdr_tests",         // 1-row family-size/istar frames crossed with the 34-row family
+    "permutation_test_halves", // 1-row bounds/observed/tail frames crossed with the day grid
     "max_drawdown",         // 1-row worst/argmax/census frames crossed
     "term_lift_pairs",      // 1-row corpus-doc-count frame crossed
     "bm25_topk",            // 1-row corpus-stats frame (N, total tokens)
