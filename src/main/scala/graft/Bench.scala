@@ -17,9 +17,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // Shuffle-partition override for scale gating: the driver default
+    // (= cpus) is right at sf0.1, but a ×100 ScaleGen decade grows the
+    // per-partition aggregation working set ×100 at fixed partitions —
+    // on a real cluster partitions scale with data, so the decade gate
+    // measures with SPARK_GRAFT_SHUFFLE_PARTS ∝ data to keep the
+    // per-partition working set comparable across decades.
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -98,7 +105,7 @@ object Bench {
     // never drift apart on a future edit
     val head = s"""{"metric":"total","value":${f(total)},"unit":"sec""""
     val tail =
-      s""""sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$cpus,"action":"noop_write",""" +
+      s""""sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$parts,"action":"noop_write",""" +
         s""""reps":$reps,"agg":"min","failed":${failed.mkString("[", ",", "]")}}"""
     // every individual sample goes to the FILE artifact only (stdout
     // stays one compact driver-parsable line): with round-robin reps an

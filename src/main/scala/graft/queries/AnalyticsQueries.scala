@@ -2762,6 +2762,278 @@ object AnalyticsQueries {
       sum(when(col("l") < 3, col("n")).otherwise(0L)).cast(LongType).as("rows_below_l3"))
   }
 
+  /** Cramér's V association strength between return flag and line
+    * status — the EFFECT-SIZE companion [[chi2Independence]] (a test)
+    * lacks: χ² grows with n on any non-zero dependence, V ∈ [0,1] does
+    * not, so V is the number a profiling report can threshold. Same
+    * defined contract as chi2: per-cell contributions
+    * (o·n − r·c)²·10⁶/(r·c·n) floored to micros and summed (the pinned
+    * integer surface), then V = √(χ²/(n·min(r−1,c−1))) through one
+    * correctly-rounded sqrt — the one transcendental-free root the house
+    * rules allow (+,−,·,/,√ are all IEEE-exact). One hash agg to the
+    * ≤6-cell frame; marginals and the census ride the checkpointed cells.
+    */
+  private val cramersV: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val obs = lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).cast(LongType).as("o"))
+      .localCheckpoint(true) // marginals + cell pass
+    val rt = obs.groupBy("l_returnflag").agg(sum("o").cast(LongType).as("r"))
+    val ct = obs.groupBy("l_linestatus").agg(sum("o").cast(LongType).as("c"))
+    val nt = obs.agg(sum("o").cast(LongType).as("n"),
+      countDistinct("l_returnflag").cast(LongType).as("nr"),
+      countDistinct("l_linestatus").cast(LongType).as("nc"))
+    obs.join(rt, Seq("l_returnflag")).join(ct, Seq("l_linestatus"))
+      .crossJoin(broadcast(nt))
+      .select(col("n"), col("nr"), col("nc"),
+        floor(
+          (col("o").cast(dec) * col("n").cast(dec) -
+            col("r").cast(dec) * col("c").cast(dec)).cast(DoubleType) *
+            (col("o").cast(dec) * col("n").cast(dec) -
+              col("r").cast(dec) * col("c").cast(dec)).cast(DoubleType) * lit(1e6) /
+            ((col("r").cast(dec) * col("c").cast(dec)).cast(DoubleType) *
+              col("n").cast(DoubleType)))
+          .cast(LongType).as("contrib"))
+      .groupBy()
+      .agg(min("n").as("n_total"),
+        least(min("nr") - 1, min("nc") - 1).cast(LongType).as("min_df"),
+        sum("contrib").cast(LongType).as("chi2_micros"))
+      .withColumn("v_micros",
+        floor(sqrt(col("chi2_micros").cast(DoubleType) / lit(1000000.0) /
+          (col("n_total").cast(DoubleType) * col("min_df").cast(DoubleType))) * lit(1000000.0))
+          .cast(LongType))
+  }
+
+  /** Pairwise Pearson correlation census over the four numeric lineitem
+    * measures (quantity, extended-price cents, discount %, tax %) — the
+    * profiling matrix [[RelationalQueries]]'s single-pair corr_qty_price
+    * samples: every pair from ONE full-relation aggregation (4 sums, 4
+    * sums of squares, 6 cross-moments, all exact in int64/decimal38 —
+    * n·Σxy ≤ ~2e26 at sf100 against the 1e38 ceiling), assembled into 6
+    * rows by unioned projections of the single checkpointed 1-row moment
+    * frame. Signed squared correlation sign(sNum)·sNum²·10⁶/(Sxx·Syy)
+    * avoids sqrt-of-rational drift: sNum² would cross decimal38, so the
+    * square lives in the pinned double render (the [[olsTrendExact]] r²
+    * convention).
+    */
+  private val corrMatrix: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val base = lineitem(s, d).select(
+      col("l_quantity").cast(LongType).as("qty"),
+      (dec2(col("l_extendedprice")) * 100).cast(LongType).as("price"),
+      (rate2(col("l_discount")) * 100).cast(LongType).as("disc"),
+      (rate2(col("l_tax")) * 100).cast(LongType).as("tax"))
+    val cols = Seq("qty", "price", "disc", "tax")
+    val m = base.agg(
+      count(lit(1)).cast(LongType).as("n"),
+      cols.flatMap(x => Seq(
+        sum(col(x)).cast(LongType).as(s"s_$x"),
+        sum(col(x).cast(dec) * col(x).cast(dec)).cast(dec).as(s"ss_$x"))) ++
+        cols.combinations(2).toSeq.map { case Seq(x, y) =>
+          sum(col(x).cast(dec) * col(y).cast(dec)).cast(dec).as(s"sp_${x}_$y") }: _*)
+      .localCheckpoint(true) // six pair projections below
+    val pairs = cols.combinations(2).toSeq.map { case Seq(x, y) =>
+      val sNum = (col("n").cast(dec) * col(s"sp_${x}_$y") -
+        col(s"s_$x").cast(dec) * col(s"s_$y").cast(dec)).cast(dec)
+      val sxx = (col("n").cast(dec) * col(s"ss_$x") -
+        col(s"s_$x").cast(dec) * col(s"s_$x").cast(dec)).cast(dec)
+      val syy = (col("n").cast(dec) * col(s"ss_$y") -
+        col(s"s_$y").cast(dec) * col(s"s_$y").cast(dec)).cast(dec)
+      m.select(lit(x).as("x_col"), lit(y).as("y_col"), col("n"),
+        (when(sNum < 0, lit(-1L)).otherwise(lit(1L)) *
+          floor(sNum.cast(DoubleType) * sNum.cast(DoubleType) * lit(1000000.0) /
+            (sxx.cast(DoubleType) * syy.cast(DoubleType))).cast(LongType))
+          .as("r2_signed_micros"))
+    }
+    pairs.reduce(_ unionByName _)
+  }
+
+  /** Yuen's trimmed-means t-test between returned and kept quantity
+    * populations — the ROBUST location test completing the two-sample
+    * family ([[ksTwoSample]] tests shape, [[cliffsDelta]] reports
+    * dominance, Yuen tests trimmed means without the outlier fragility
+    * of Student's t): 20 % trimmed means with winsorized variances,
+    * t² = (m̄t₁−m̄t₂)² / (d₁+d₂), dⱼ = SSWⱼ/(nⱼhⱼ(hⱼ−1)). Everything
+    * derives from the same ≤50-row weighted value frame as cliffs: two
+    * [[Prefix.runningSum]] CDF passes, trim counts gⱼ = nⱼ div 5, and
+    * the tie-aware per-value kept-copy count max(0, min(cum, n−g) −
+    * max(cum−c, g)) — count-based trimming cuts INSIDE a tie class
+    * exactly, the convention a rank-based trim must pin. Winsorization
+    * adds g copies of each fence value (rank g+1 and rank n−g picks,
+    * conditional-min over the CDF); trimmed/winsorized moments stay
+    * exact in decimal(38,0) (SSW ≤ ~9e22 at sf1000), ONE pinned double
+    * chain renders t². Trimmed means also emit exactly in micros
+    * (integral division). The uniform fixture is a true null; the
+    * statistic itself is the oracle-pinned surface.
+    */
+  private val yuenTrimmedT: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val f = lineitem(s, d)
+      .select(col("l_quantity").cast(LongType).as("q"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"))
+      .groupBy("q")
+      .agg(sum("r").cast(LongType).as("c1"),
+        (count(lit(1)) - sum("r")).cast(LongType).as("c2"))
+    val cum = Prefix.runningSum(
+      Prefix.runningSum(f, lit(0L), Seq(col("q").asc), col("c1"), "cum1"),
+      lit(0L), Seq(col("q").asc), col("c2"), "cum2")
+    val tot = f.agg(sum("c1").cast(LongType).as("n1"), sum("c2").cast(LongType).as("n2"))
+      .selectExpr("n1", "n2", "n1 div 5 as g1", "n2 div 5 as g2")
+    def kept(cumC: String, cC: String, n: String, g: String) =
+      greatest(lit(0L),
+        least(col(cumC), col(n) - col(g)) - greatest(col(cumC) - col(cC), col(g)))
+    val m = cum.crossJoin(broadcast(tot))
+      .withColumn("k1", kept("cum1", "c1", "n1", "g1"))
+      .withColumn("k2", kept("cum2", "c2", "n2", "g2"))
+      .agg(
+        min("n1").as("n1"), min("n2").as("n2"), min("g1").as("g1"), min("g2").as("g2"),
+        sum((col("q") * col("k1")).cast(dec)).cast(dec).as("ts1"),
+        sum((col("q") * col("q") * col("k1")).cast(dec)).cast(dec).as("tss1"),
+        sum((col("q") * col("k2")).cast(dec)).cast(dec).as("ts2"),
+        sum((col("q") * col("q") * col("k2")).cast(dec)).cast(dec).as("tss2"),
+        min(when(col("cum1") >= col("g1") + 1, col("q"))).cast(LongType).as("vlo1"),
+        min(when(col("cum1") >= col("n1") - col("g1"), col("q"))).cast(LongType).as("vhi1"),
+        min(when(col("cum2") >= col("g2") + 1, col("q"))).cast(LongType).as("vlo2"),
+        min(when(col("cum2") >= col("n2") - col("g2"), col("q"))).cast(LongType).as("vhi2"))
+      .withColumn("h1", col("n1") - lit(2) * col("g1"))
+      .withColumn("h2", col("n2") - lit(2) * col("g2"))
+      .withColumn("ws1",
+        (col("ts1") + col("g1").cast(dec) * (col("vlo1") + col("vhi1")).cast(dec)).cast(dec))
+      .withColumn("ws2",
+        (col("ts2") + col("g2").cast(dec) * (col("vlo2") + col("vhi2")).cast(dec)).cast(dec))
+      .withColumn("wss1",
+        (col("tss1") + col("g1").cast(dec) *
+          (col("vlo1") * col("vlo1") + col("vhi1") * col("vhi1")).cast(dec)).cast(dec))
+      .withColumn("wss2",
+        (col("tss2") + col("g2").cast(dec) *
+          (col("vlo2") * col("vlo2") + col("vhi2") * col("vhi2")).cast(dec)).cast(dec))
+      .withColumn("ssw1", (col("n1").cast(dec) * col("wss1") - col("ws1") * col("ws1")).cast(dec))
+      .withColumn("ssw2", (col("n2").cast(dec) * col("wss2") - col("ws2") * col("ws2")).cast(dec))
+    val mt1 = col("ts1").cast(DoubleType) / col("h1").cast(DoubleType)
+    val mt2 = col("ts2").cast(DoubleType) / col("h2").cast(DoubleType)
+    val d1 = col("ssw1").cast(DoubleType) /
+      (col("n1").cast(DoubleType) * col("h1").cast(DoubleType) *
+        (col("h1") - 1).cast(DoubleType))
+    val d2 = col("ssw2").cast(DoubleType) /
+      (col("n2").cast(DoubleType) * col("h2").cast(DoubleType) *
+        (col("h2") - 1).cast(DoubleType))
+    m.select(
+      col("n1"), col("n2"), col("g1"), col("g2"), col("h1"), col("h2"),
+      expr("cast(ts1 * 1000000 div h1 as bigint)").as("mt1_micros"),
+      expr("cast(ts2 * 1000000 div h2 as bigint)").as("mt2_micros"),
+      floor((mt1 - mt2) * (mt1 - mt2) / (d1 + d2) * lit(1000000.0))
+        .cast(LongType).as("t2_micros"))
+      .withColumn("significant", (col("t2_micros") > 3841459L).cast(LongType))
+  }
+
+  /** Segmented (broken-stick) trend at the CUSUM change-point — the
+    * follow-up question [[changepointCusum]] leaves open: the CUSUM peak
+    * NAMES a day, but did the trend actually change there, and by how
+    * much? Reuses the cusum argmax convention bit-for-bit (min day whose
+    * |running deviation sum| equals the max), then fits one exact-moment
+    * OLS per side (pre = day ≤ cp_day, post = after) — the
+    * [[olsTrendExact]] chain applied twice, both sides reduced in ONE
+    * grouped agg over the calendar-bounded day frame. Slopes render via
+    * the pinned sNum·10⁶/sDen double division; the shift is the exact
+    * long difference of the two floored micros. A side degenerate to <2
+    * days (change-point at the calendar edge) renders NULL slopes by
+    * convention (sDen = 0), mirrored in the oracle.
+    */
+  private val segmentedTrend: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val daily = events(s, d)
+      .select(
+        floor(unix_millis(col("ts")) / lit(86400000.0)).cast(LongType).as("day"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .groupBy("day").agg(sum("cents").cast(LongType).as("rev"))
+      .localCheckpoint(true) // cusum branch + per-side OLS branch
+    val stats = daily.agg(count(lit(1)).cast(LongType).as("n_days"),
+      sum("rev").cast(LongType).as("tot"))
+    val dev = daily.crossJoin(broadcast(stats))
+      .withColumn("dev", col("rev") * col("n_days") - col("tot"))
+      .select("day", "dev")
+    val cum = Prefix.runningSum(dev, lit(0L), Seq(col("day")), col("dev"), "c")
+      .localCheckpoint(true) // peak census + argmin-day branches
+    val peak = cum.agg(max(abs(col("c"))).as("max_abs"))
+    val cp = cum.join(broadcast(peak), abs(col("c")) === col("max_abs"))
+      .agg(min("day").cast(LongType).as("cp_day"))
+    val sides = daily.crossJoin(broadcast(cp))
+      .withColumn("pre", (col("day") <= col("cp_day")).cast(LongType))
+      .groupBy("pre")
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum("day").cast(LongType).as("sx"),
+        sum(col("day").cast(dec) * col("day").cast(dec)).cast(dec).as("sxx"),
+        sum("rev").cast(LongType).as("sy"),
+        sum(col("day").cast(dec) * col("rev").cast(dec)).cast(dec).as("sxy"),
+        min("cp_day").as("cp_day"))
+      .withColumn("snum",
+        (col("n").cast(dec) * col("sxy") - col("sx").cast(dec) * col("sy").cast(dec)).cast(dec))
+      .withColumn("sden",
+        (col("n").cast(dec) * col("sxx") - col("sx").cast(dec) * col("sx").cast(dec)).cast(dec))
+      .withColumn("slope_micros",
+        when(col("sden") === lit(0).cast(dec), lit(null).cast(LongType))
+          .otherwise(floor(col("snum").cast(DoubleType) * lit(1e6) / col("sden").cast(DoubleType))
+            .cast(LongType)))
+    sides.groupBy()
+      .agg(
+        min("cp_day").cast(LongType).as("cp_day"),
+        min(when(col("pre") === 1L, col("n"))).cast(LongType).as("n_pre"),
+        min(when(col("pre") === 0L, col("n"))).cast(LongType).as("n_post"),
+        min(when(col("pre") === 1L, col("slope_micros"))).cast(LongType).as("slope_pre_micros"),
+        min(when(col("pre") === 0L, col("slope_micros"))).cast(LongType).as("slope_post_micros"))
+      .withColumn("slope_shift_micros",
+        (col("slope_post_micros") - col("slope_pre_micros")).cast(LongType))
+  }
+
+  /** Lagged cross-correlation between daily revenue and daily event
+    * volume — the LEAD/LAG structure [[acfDaily]] (one series) and
+    * [[spearmanDaily]]/[[kendallTauDaily]] (lag 0 only) cannot see: does
+    * volume lead revenue, or trail it? Same machinery as acf: exact
+    * n-scaled integer deviations (dv = x·n − S, mean-centering without
+    * division) on the calendar-bounded day frame, one equi-join per lag
+    * k ∈ {−7,−1,0,+1,+7} (positive k = volume SHIFTED FORWARD k days,
+    * i.e. "does today's volume correlate with revenue k days LATER").
+    * The render keeps the SIGN (the part of CCF that answers the lead
+    * question) while avoiding sqrt: signed squared correlation
+    * sign(num)·num²·10⁶/(Σdv_r²·Σdv_v²) — numerator and both norms are
+    * exact decimal(38,0) (dv ~ n_days·daily_cents keeps each norm
+    * ≤ ~7.5e24 at sf100: n_days is CALENDAR-bounded, only the per-day
+    * mass scales), the division is ONE pinned double chain, the
+    * [[sourceProfileCosine]] convention.
+    */
+  private val xcorrDaily: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val daily = events(s, d)
+      .select(
+        floor(unix_millis(col("ts")) / lit(86400000.0)).cast(LongType).as("day"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .groupBy("day").agg(sum("cents").cast(LongType).as("rev"),
+        count(lit(1)).cast(LongType).as("vol"))
+      .localCheckpoint(true) // totals + deviation frame + five lag joins
+    val tot = daily.agg(count(lit(1)).cast(LongType).as("n"),
+      sum("rev").cast(LongType).as("sr"), sum("vol").cast(LongType).as("sv"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .select(col("day"),
+        (col("n").cast(dec) * col("rev").cast(dec) - col("sr").cast(dec)).cast(dec).as("dr"),
+        (col("n").cast(dec) * col("vol").cast(dec) - col("sv").cast(dec)).cast(dec).as("dv"))
+      .localCheckpoint(true) // norms + both sides of each lag join
+    val norms = dev.agg(sum(col("dr") * col("dr")).cast(dec).as("nr"),
+      sum(col("dv") * col("dv")).cast(dec).as("nv"))
+    val lagged = dev
+      .withColumn("lag", explode(array(Seq(-7L, -1L, 0L, 1L, 7L).map(lit): _*)))
+      .select(col("lag"), (col("day") + col("lag")).as("day"), col("dv").as("dvs"))
+      .join(dev.select(col("day"), col("dr")), Seq("day"))
+      .groupBy("lag")
+      .agg(count(lit(1)).cast(LongType).as("n_pairs"),
+        sum(col("dvs") * col("dr")).cast(dec).as("num"))
+    lagged.crossJoin(broadcast(norms))
+      .select(col("lag"), col("n_pairs"),
+        (when(col("num") < 0, lit(-1L)).otherwise(lit(1L)) *
+          floor(col("num").cast(DoubleType) * col("num").cast(DoubleType) * lit(1000000.0) /
+            (col("nr").cast(DoubleType) * col("nv").cast(DoubleType))).cast(LongType))
+          .as("ccf2_signed_micros"))
+  }
+
   /** Dominant spectral direction of the embedding corpus (the first
     * principal direction of the UNCENTERED second-moment matrix XᵀX) by
     * two exact integer power-iteration steps — the anisotropy / drift
@@ -3001,6 +3273,11 @@ object AnalyticsQueries {
   }
 
   def queries: Map[String, Q] = Map(
+    "cramers_v" -> cramersV,
+    "corr_matrix" -> corrMatrix,
+    "yuen_trimmed_t" -> yuenTrimmedT,
+    "segmented_trend" -> segmentedTrend,
+    "xcorr_daily" -> xcorrDaily,
     "embedding_power_iteration" -> embeddingPowerIteration,
     "bh_fdr_tests" -> bhFdrTests,
     "permutation_test_halves" -> permutationTestHalves,
@@ -3084,6 +3361,173 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "cramers_v" ->
+      """WITH obs AS (SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM lineitem GROUP BY 1, 2),
+        |rt AS (SELECT l_returnflag, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+        |ct AS (SELECT l_linestatus, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS nr,
+        |    CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS nc FROM obs),
+        |cells AS (SELECT n, nr, nc,
+        |    CAST(floor(
+        |      CAST(CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c AS DOUBLE) *
+        |      CAST(CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c AS DOUBLE) * 1000000.0 /
+        |      (CAST(CAST(r AS HUGEINT) * c AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT) AS contrib
+        |  FROM obs JOIN rt USING (l_returnflag) JOIN ct USING (l_linestatus) CROSS JOIN nt),
+        |agg AS (SELECT MIN(n) AS n_total,
+        |    CAST(LEAST(MIN(nr) - 1, MIN(nc) - 1) AS BIGINT) AS min_df,
+        |    CAST(SUM(contrib) AS BIGINT) AS chi2_micros FROM cells)
+        |SELECT n_total, min_df, chi2_micros,
+        |  CAST(floor(sqrt(CAST(chi2_micros AS DOUBLE) / 1000000.0 /
+        |    (CAST(n_total AS DOUBLE) * CAST(min_df AS DOUBLE))) * 1000000.0) AS BIGINT) AS v_micros
+        |FROM agg""".stripMargin,
+    "corr_matrix" ->
+      """WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price,
+        |    CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS disc,
+        |    CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT) AS tax
+        |  FROM lineitem),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(qty) AS BIGINT) AS s_qty, SUM(CAST(qty AS HUGEINT) * qty) AS ss_qty,
+        |    CAST(SUM(price) AS BIGINT) AS s_price, SUM(CAST(price AS HUGEINT) * price) AS ss_price,
+        |    CAST(SUM(disc) AS BIGINT) AS s_disc, SUM(CAST(disc AS HUGEINT) * disc) AS ss_disc,
+        |    CAST(SUM(tax) AS BIGINT) AS s_tax, SUM(CAST(tax AS HUGEINT) * tax) AS ss_tax,
+        |    SUM(CAST(qty AS HUGEINT) * price) AS sp_qty_price,
+        |    SUM(CAST(qty AS HUGEINT) * disc) AS sp_qty_disc,
+        |    SUM(CAST(qty AS HUGEINT) * tax) AS sp_qty_tax,
+        |    SUM(CAST(price AS HUGEINT) * disc) AS sp_price_disc,
+        |    SUM(CAST(price AS HUGEINT) * tax) AS sp_price_tax,
+        |    SUM(CAST(disc AS HUGEINT) * tax) AS sp_disc_tax
+        |  FROM b),
+        |p(x_col, y_col) AS (VALUES ('qty','price'), ('qty','disc'), ('qty','tax'),
+        |  ('price','disc'), ('price','tax'), ('disc','tax')),
+        |e AS (SELECT x_col, y_col, n,
+        |    CAST(n AS HUGEINT) * (CASE x_col || '_' || y_col
+        |      WHEN 'qty_price' THEN sp_qty_price WHEN 'qty_disc' THEN sp_qty_disc
+        |      WHEN 'qty_tax' THEN sp_qty_tax WHEN 'price_disc' THEN sp_price_disc
+        |      WHEN 'price_tax' THEN sp_price_tax ELSE sp_disc_tax END) -
+        |      CAST(CASE x_col WHEN 'qty' THEN s_qty WHEN 'price' THEN s_price
+        |        WHEN 'disc' THEN s_disc ELSE s_tax END AS HUGEINT) *
+        |      (CASE y_col WHEN 'qty' THEN s_qty WHEN 'price' THEN s_price
+        |        WHEN 'disc' THEN s_disc ELSE s_tax END) AS snum,
+        |    CAST(n AS HUGEINT) * (CASE x_col WHEN 'qty' THEN ss_qty WHEN 'price' THEN ss_price
+        |      WHEN 'disc' THEN ss_disc ELSE ss_tax END) -
+        |      CAST(CASE x_col WHEN 'qty' THEN s_qty WHEN 'price' THEN s_price
+        |        WHEN 'disc' THEN s_disc ELSE s_tax END AS HUGEINT) *
+        |      (CASE x_col WHEN 'qty' THEN s_qty WHEN 'price' THEN s_price
+        |        WHEN 'disc' THEN s_disc ELSE s_tax END) AS sxx,
+        |    CAST(n AS HUGEINT) * (CASE y_col WHEN 'qty' THEN ss_qty WHEN 'price' THEN ss_price
+        |      WHEN 'disc' THEN ss_disc ELSE ss_tax END) -
+        |      CAST(CASE y_col WHEN 'qty' THEN s_qty WHEN 'price' THEN s_price
+        |        WHEN 'disc' THEN s_disc ELSE s_tax END AS HUGEINT) *
+        |      (CASE y_col WHEN 'qty' THEN s_qty WHEN 'price' THEN s_price
+        |        WHEN 'disc' THEN s_disc ELSE s_tax END) AS syy
+        |  FROM p CROSS JOIN m)
+        |SELECT x_col, y_col, n,
+        |  (CASE WHEN snum < 0 THEN -1 ELSE 1 END) *
+        |  CAST(floor(CAST(snum AS DOUBLE) * CAST(snum AS DOUBLE) * 1000000.0 /
+        |    (CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE))) AS BIGINT) AS r2_signed_micros
+        |FROM e""".stripMargin,
+    "yuen_trimmed_t" ->
+      """WITH f AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        |  FROM lineitem GROUP BY 1),
+        |cm AS (SELECT q, c1, c2,
+        |    CAST(SUM(c1) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+        |    CAST(SUM(c2) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2 FROM f),
+        |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+        |    CAST(SUM(c1) // 5 AS BIGINT) AS g1, CAST(SUM(c2) // 5 AS BIGINT) AS g2 FROM f),
+        |k AS (SELECT cm.*, n1, n2, g1, g2,
+        |    GREATEST(0, LEAST(cum1, n1 - g1) - GREATEST(cum1 - c1, g1)) AS k1,
+        |    GREATEST(0, LEAST(cum2, n2 - g2) - GREATEST(cum2 - c2, g2)) AS k2
+        |  FROM cm CROSS JOIN t),
+        |agg AS (SELECT MIN(n1) AS n1, MIN(n2) AS n2, MIN(g1) AS g1, MIN(g2) AS g2,
+        |    SUM(CAST(q * k1 AS HUGEINT)) AS ts1, SUM(CAST(q * q * k1 AS HUGEINT)) AS tss1,
+        |    SUM(CAST(q * k2 AS HUGEINT)) AS ts2, SUM(CAST(q * q * k2 AS HUGEINT)) AS tss2,
+        |    MIN(CASE WHEN cum1 >= g1 + 1 THEN q END) AS vlo1,
+        |    MIN(CASE WHEN cum1 >= n1 - g1 THEN q END) AS vhi1,
+        |    MIN(CASE WHEN cum2 >= g2 + 1 THEN q END) AS vlo2,
+        |    MIN(CASE WHEN cum2 >= n2 - g2 THEN q END) AS vhi2
+        |  FROM k),
+        |w AS (SELECT *, n1 - 2 * g1 AS h1, n2 - 2 * g2 AS h2,
+        |    ts1 + CAST(g1 AS HUGEINT) * (vlo1 + vhi1) AS ws1,
+        |    ts2 + CAST(g2 AS HUGEINT) * (vlo2 + vhi2) AS ws2,
+        |    tss1 + CAST(g1 AS HUGEINT) * (vlo1 * vlo1 + vhi1 * vhi1) AS wss1,
+        |    tss2 + CAST(g2 AS HUGEINT) * (vlo2 * vlo2 + vhi2 * vhi2) AS wss2
+        |  FROM agg),
+        |s AS (SELECT *, CAST(n1 AS HUGEINT) * wss1 - ws1 * ws1 AS ssw1,
+        |    CAST(n2 AS HUGEINT) * wss2 - ws2 * ws2 AS ssw2 FROM w)
+        |SELECT n1, n2, g1, g2, h1, h2,
+        |  CAST(ts1 * 1000000 // h1 AS BIGINT) AS mt1_micros,
+        |  CAST(ts2 * 1000000 // h2 AS BIGINT) AS mt2_micros,
+        |  CAST(floor(
+        |    (CAST(ts1 AS DOUBLE) / CAST(h1 AS DOUBLE) - CAST(ts2 AS DOUBLE) / CAST(h2 AS DOUBLE))
+        |    * (CAST(ts1 AS DOUBLE) / CAST(h1 AS DOUBLE) - CAST(ts2 AS DOUBLE) / CAST(h2 AS DOUBLE))
+        |    / (CAST(ssw1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(h1 AS DOUBLE) * CAST(h1 - 1 AS DOUBLE))
+        |     + CAST(ssw2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * CAST(h2 AS DOUBLE) * CAST(h2 - 1 AS DOUBLE)))
+        |    * 1000000.0) AS BIGINT) AS t2_micros,
+        |  CAST(CASE WHEN CAST(floor(
+        |    (CAST(ts1 AS DOUBLE) / CAST(h1 AS DOUBLE) - CAST(ts2 AS DOUBLE) / CAST(h2 AS DOUBLE))
+        |    * (CAST(ts1 AS DOUBLE) / CAST(h1 AS DOUBLE) - CAST(ts2 AS DOUBLE) / CAST(h2 AS DOUBLE))
+        |    / (CAST(ssw1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(h1 AS DOUBLE) * CAST(h1 - 1 AS DOUBLE))
+        |     + CAST(ssw2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * CAST(h2 AS DOUBLE) * CAST(h2 - 1 AS DOUBLE)))
+        |    * 1000000.0) AS BIGINT) > 3841459 THEN 1 ELSE 0 END AS BIGINT) AS significant
+        |FROM s""".stripMargin,
+    "segmented_trend" ->
+      """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(rev) AS BIGINT) AS tot
+        |  FROM daily),
+        |dev AS (SELECT day, rev * n_days - tot AS dev FROM daily CROSS JOIN st),
+        |cum AS (SELECT day, CAST(SUM(dev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS c FROM dev),
+        |pk AS (SELECT MAX(abs(c)) AS max_abs FROM cum),
+        |cp AS (SELECT CAST(MIN(day) AS BIGINT) AS cp_day FROM cum CROSS JOIN pk
+        |  WHERE abs(c) = max_abs),
+        |sides AS (SELECT CASE WHEN day <= cp_day THEN 1 ELSE 0 END AS pre,
+        |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(day) AS BIGINT) AS sx,
+        |    SUM(CAST(day AS HUGEINT) * day) AS sxx, CAST(SUM(rev) AS BIGINT) AS sy,
+        |    SUM(CAST(day AS HUGEINT) * rev) AS sxy, MIN(cp_day) AS cp_day
+        |  FROM daily CROSS JOIN cp GROUP BY 1),
+        |sl AS (SELECT pre, n, cp_day,
+        |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS snum,
+        |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS sden FROM sides),
+        |sm AS (SELECT pre, n, cp_day,
+        |    CASE WHEN sden = 0 THEN NULL
+        |      ELSE CAST(floor(CAST(snum AS DOUBLE) * 1000000.0 / CAST(sden AS DOUBLE)) AS BIGINT)
+        |    END AS slope_micros FROM sl),
+        |f AS (SELECT CAST(MIN(cp_day) AS BIGINT) AS cp_day,
+        |    MIN(CASE WHEN pre = 1 THEN n END) AS n_pre,
+        |    MIN(CASE WHEN pre = 0 THEN n END) AS n_post,
+        |    MIN(CASE WHEN pre = 1 THEN slope_micros END) AS slope_pre_micros,
+        |    MIN(CASE WHEN pre = 0 THEN slope_micros END) AS slope_post_micros
+        |  FROM sm)
+        |SELECT cp_day, n_pre, n_post, slope_pre_micros, slope_post_micros,
+        |  CAST(slope_post_micros - slope_pre_micros AS BIGINT) AS slope_shift_micros
+        |FROM f""".stripMargin,
+    "xcorr_daily" ->
+      """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev,
+        |    CAST(COUNT(*) AS BIGINT) AS vol
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(rev) AS BIGINT) AS sr,
+        |    CAST(SUM(vol) AS BIGINT) AS sv FROM daily),
+        |dev AS (SELECT day, CAST(n AS HUGEINT) * rev - sr AS dr,
+        |    CAST(n AS HUGEINT) * vol - sv AS dv FROM daily CROSS JOIN t),
+        |norms AS (SELECT SUM(dr * dr) AS nr, SUM(dv * dv) AS nv FROM dev),
+        |lg AS (SELECT k.lag, day + k.lag AS day, dv AS dvs
+        |  FROM dev, (SELECT unnest([-7, -1, 0, 1, 7]) AS lag) k),
+        |pairs AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    SUM(lg.dvs * dev.dr) AS num
+        |  FROM lg JOIN dev USING (day) GROUP BY lag)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+        |  (CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+        |  CAST(floor(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) * 1000000.0 /
+        |    (CAST(nr AS DOUBLE) * CAST(nv AS DOUBLE))) AS BIGINT) AS ccf2_signed_micros
+        |FROM pairs CROSS JOIN norms""".stripMargin,
     "embedding_power_iteration" ->
       """WITH qq AS (SELECT vec_id, p.pos AS dim,
         |    CAST(floor(CAST(embedding[p.pos + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS q

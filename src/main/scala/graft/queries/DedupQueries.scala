@@ -362,6 +362,41 @@ object DedupQueries {
       .orderBy("cluster_rep")
   }
 
+  /** Survivorship audit for keep-best dedup — the QA question after
+    * [[keepBest]] runs: did preferring the highest-quality cluster member
+    * actually SHIFT the kept distribution up, and by how much mass per
+    * quality bucket? Same closure and quality score as keep_best (so the
+    * oracle pins all three to one recursive-CTE ground truth), then every
+    * cluster member is labeled kept (the TopK k=1 argmax) or dropped and
+    * censused into quality deciles (q div 100 of the 0–1000 stopword-
+    * ratio score). One equi-join of members to their cluster argmax (both
+    * sides keyed by cluster — no broadcast needed at scale), one ≤11-row
+    * hash agg. On the planted fixture the dropped mass concentrates in
+    * the low buckets (the truncated/beheaded replicas lose stopwords),
+    * which is exactly the shift the audit exists to show.
+    */
+  private val qualityShift: Q = (s, d) => {
+    val corpus = nearDupCorpus(s, d).localCheckpoint(true) // shingles + quality
+    val sh = Dedup.wordShingles(corpus, "doc_id", "t", 5)
+    val pairs = Dedup.jaccardPairs(sh, "doc_id", 0.5, ShingleDfCap)
+    val members = Dedup.duplicateClusters(pairs, "id_a", "id_b")
+      .join(corpus.select(col("doc_id").as("node"),
+        expr("""cast(size(filter(split(t, ' '), tk -> tk IN ('the','of','and','to','a','in'))) as bigint)
+                * 1000 div greatest(cast(size(split(t, ' ')) as bigint), 1)""").as("q")),
+        Seq("node"))
+      .localCheckpoint(true) // argmax side + census side
+    val best = org.apache.spark.sql.graftnative.TopK.perKey(
+      members.select(col("cluster"), col("node"), col("q")),
+      Seq("cluster"), Seq(("q", true), ("node", false)), 1)
+      .select(col("cluster"), col("node").as("kept_node"))
+    members.join(best, Seq("cluster"))
+      .withColumn("kept", (col("node") === col("kept_node")).cast(LongType))
+      .withColumn("bucket", expr("q div 100"))
+      .groupBy("bucket")
+      .agg(sum("kept").cast(LongType).as("kept_n"),
+        sum(lit(1L) - col("kept")).cast(LongType).as("dropped_n"))
+  }
+
   private val clusters: Q = (s, d) => {
     val sh = Dedup.wordShingles(nearDupCorpus(s, d), "doc_id", "t", 5)
     val pairs = Dedup.jaccardPairs(sh, "doc_id", 0.5, ShingleDfCap)
@@ -531,6 +566,7 @@ object DedupQueries {
     "minhash_calibration" -> minhashCalibration,
     "dedup_pipeline_e2e" -> pipelineE2e,
     "dedup_keep_best" -> keepBest,
+    "dedup_quality_shift" -> qualityShift,
     "dedup_clusters" -> clusters,
     "dedup_clusters_star" -> clustersStar,
     "dedup_exact" -> exact,
@@ -802,6 +838,38 @@ object DedupQueries {
         |cnt AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_members FROM mem GROUP BY 1)
         |SELECT best.cluster_rep, CAST(kept_id AS BIGINT) AS kept_id, kept_quality, n_members
         |FROM best JOIN cnt USING (cluster_rep) WHERE rn = 1 ORDER BY cluster_rep""".stripMargin,
+    "dedup_quality_shift" ->
+      s"""WITH RECURSIVE $corpusSql,
+        |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairsj AS (SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |    FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) p
+        |  JOIN counts ca ON ca.doc_id = id_a
+        |  JOIN counts cb ON cb.doc_id = id_b
+        |  WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairsj
+        |  UNION SELECT id_b, id_a FROM pairsj),
+        |reach(node, r) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+        |lab AS (SELECT node, LEAST(node, MIN(r)) AS cluster_rep
+        |  FROM reach GROUP BY node),
+        |q AS (SELECT doc_id AS node,
+        |    CAST(len(list_filter(string_split(t, ' '), tk -> tk IN ('the','of','and','to','a','in'))) AS BIGINT)
+        |      * 1000 // greatest(CAST(len(string_split(t, ' ')) AS BIGINT), 1) AS q
+        |  FROM corpus),
+        |mem AS (SELECT lab.node, cluster_rep, q FROM lab JOIN q USING (node)),
+        |best AS (SELECT cluster_rep, node AS kept_node,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster_rep ORDER BY q DESC, node) AS rn FROM mem),
+        |lbl AS (SELECT mem.node, mem.q,
+        |    CASE WHEN mem.node = b.kept_node THEN 1 ELSE 0 END AS kept
+        |  FROM mem JOIN (SELECT cluster_rep, kept_node FROM best WHERE rn = 1) b
+        |  USING (cluster_rep))
+        |SELECT q // 100 AS bucket, CAST(SUM(kept) AS BIGINT) AS kept_n,
+        |  CAST(SUM(1 - kept) AS BIGINT) AS dropped_n
+        |FROM lbl GROUP BY 1""".stripMargin,
     "dedup_clusters" -> clustersOracle,
     // the star-contraction route must land on the SAME transitive closure
     "dedup_clusters_star" -> clustersOracle,

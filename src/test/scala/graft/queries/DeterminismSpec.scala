@@ -127,7 +127,13 @@ class DeterminismSpec extends SparkSpec {
     "trend_test_armitage",   // exact moments, pinned-double z2
     "embedding_power_iteration", // two integer Krylov steps, 64-group aggs
     "bh_fdr_tests",          // 34-test family, micros rank + baked ladder
-    "permutation_test_halves") // hash-ranked relabels, exact arm sums
+    "permutation_test_halves", // hash-ranked relabels, exact arm sums
+    "xcorr_daily",           // n-scaled integer deviations, five lag joins
+    "segmented_trend",       // cusum argmax + per-side exact OLS moments
+    "yuen_trimmed_t",        // tie-aware trim counts over two Prefix CDFs
+    "dedup_quality_shift",   // closure + argmax join + decile census
+    "cramers_v",             // floored cell contribs + one pinned sqrt
+    "corr_matrix")           // one 15-moment agg, six pair projections
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf

@@ -46,6 +46,10 @@ class PlanHealthSpec extends SparkSpec {
     "embedding_power_iteration", // 1-row count + 1-row w-array + 1-row max frames crossed
     "bh_fdr_tests",         // 1-row family-size/istar frames crossed with the 34-row family
     "permutation_test_halves", // 1-row bounds/observed/tail frames crossed with the day grid
+    "xcorr_daily",          // 1-row total/norm frames crossed with the day grid
+    "segmented_trend",      // 1-row peak/cp frames (peak joined on |c| = max)
+    "yuen_trimmed_t",       // 1-row trim-count frame crossed with the <=50-value frame
+    "cramers_v",            // 1-row total frame crossed with the <=6-cell frame
     "max_drawdown",         // 1-row worst/argmax/census frames crossed
     "term_lift_pairs",      // 1-row corpus-doc-count frame crossed
     "bm25_topk",            // 1-row corpus-stats frame (N, total tokens)
