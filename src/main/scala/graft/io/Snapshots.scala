@@ -32,6 +32,33 @@ import org.apache.hadoop.fs.Path
   */
 object Snapshots {
 
+  /** One version's manifest payload: the immutable data-directory
+    * pointer, the optional exactly-once txn id, and the optional
+    * deletion-vector directory (merge-on-read deletes: the data files
+    * are untouched; the DV names the (file, row) pairs a reader must
+    * drop). Wire format `data[|txn[|dv]]` with `-` as the absent-txn
+    * sentinel when a dv follows — parsed in exactly two places
+    * ([[readManifest]], [[latestCheckpoint]]) and serialized in two
+    * ([[publishManifest]] callers, [[checkpointLog]]).
+    */
+  private[io] case class Entry(data: String, txn: Option[String], dv: Option[String]) {
+    def serialize: String = (txn, dv) match {
+      case (None, None) => data
+      case (Some(t), None) => s"$data|$t"
+      case (t, Some(d)) => s"$data|${t.getOrElse("-")}|$d"
+    }
+  }
+  private[io] object Entry {
+    def parse(fields: Array[String]): Entry = fields match {
+      case Array(data) => Entry(data, None, None)
+      case Array(data, txn) => Entry(data, Some(txn), None)
+      case Array(data, txn, dv) =>
+        Entry(data, if (txn == "-") None else Some(txn), Some(dv))
+      case _ => throw new IllegalStateException(
+        s"bad manifest payload: ${fields.mkString("|")}")
+    }
+  }
+
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -62,7 +89,7 @@ object Snapshots {
     */
   private def latestCheckpoint(
       f: org.apache.hadoop.fs.FileSystem,
-      dir: String): Option[(Long, Map[Long, (String, Option[String])])] = {
+      dir: String): Option[(Long, Map[Long, Entry])] = {
     val md = manifestDir(dir)
     if (!f.exists(md)) return None
     val cks = f.listStatus(md)
@@ -84,11 +111,10 @@ object Snapshots {
             .split('\n')
             .filter(_.nonEmpty)
             .map { line =>
-              line.split('|') match {
-                case Array(v, data) => v.toLong -> (data, Option.empty[String])
-                case Array(v, data, txn) => v.toLong -> (data, Some(txn))
-                case _ => throw new IllegalStateException(s"bad checkpoint line: $line")
-              }
+              val fields = line.split('|')
+              if (fields.length < 2)
+                throw new IllegalStateException(s"bad checkpoint line: $line")
+              fields.head.toLong -> Entry.parse(fields.tail)
             }
             .toMap
           Some((up, entries))
@@ -292,7 +318,7 @@ object Snapshots {
     val f = fs(spark, dir)
     val entry = manifestEntry(f, dir, v)
     require(entry.isDefined, s"version $v is not published in $dir")
-    val dataName = entry.get._1
+    val dataName = entry.get.data
     val sp = statsPath(dir, dataName)
     if (!f.exists(sp)) return readVersion(spark, dir, v)
     val stats = spark.read.parquet(sp.toString)
@@ -306,7 +332,11 @@ object Snapshots {
       // no file can match: empty result with the version's schema (the
       // foldable-false filter collapses to an empty LocalRelation)
       readVersion(spark, dir, v).where(lit(false))
-    else spark.read.parquet(files: _*)
+    else
+      // the pruned file subset still owes the version's deletion vector:
+      // DV keys are absolute file paths, so the anti-join naturally
+      // no-ops for rows of files the pruning already dropped
+      applyDv(spark, dir, spark.read.parquet(files: _*), entry.get.dv)
   }
 
   /** Parse one manifest: (data directory name, optional txn id). The
@@ -316,15 +346,12 @@ object Snapshots {
   private def readManifest(
       f: org.apache.hadoop.fs.FileSystem,
       dir: String,
-      v: Long): (String, Option[String]) = {
+      v: Long): Entry = {
     val in = f.open(new Path(manifestDir(dir), v.toString))
     val content =
       try in.readUTF()
       finally in.close()
-    content.split('|') match {
-      case Array(data, txn) => (data, Some(txn))
-      case _ => (content, None)
-    }
+    Entry.parse(content.split('|'))
   }
 
   /** Scan-path manifest read: a manifest listed a moment ago may legally
@@ -337,7 +364,7 @@ object Snapshots {
   private def readManifestOpt(
       f: org.apache.hadoop.fs.FileSystem,
       dir: String,
-      v: Long): Option[(String, Option[String])] =
+      v: Long): Option[Entry] =
     try Some(readManifest(f, dir, v))
     catch { case _: java.io.FileNotFoundException => None }
 
@@ -348,7 +375,7 @@ object Snapshots {
   private def manifestEntry(
       f: org.apache.hadoop.fs.FileSystem,
       dir: String,
-      v: Long): Option[(String, Option[String])] =
+      v: Long): Option[Entry] =
     readManifestOpt(f, dir, v)
       .orElse(latestCheckpoint(f, dir).flatMap(_._2.get(v)))
 
@@ -363,11 +390,11 @@ object Snapshots {
   def committedTxns(spark: SparkSession, dir: String): Set[String] = {
     val f = fs(spark, dir)
     val ck = latestCheckpoint(f, dir)
-    val base = ck.map(_._2.values.flatMap(_._2).toSet).getOrElse(Set.empty[String])
+    val base = ck.map(_._2.values.flatMap(_.txn).toSet).getOrElse(Set.empty[String])
     val covered = ck.map(_._1).getOrElse(-1L)
     base ++ listedVersions(f, dir)
       .filter(_ > covered)
-      .flatMap(v => readManifestOpt(f, dir, v).flatMap(_._2))
+      .flatMap(v => readManifestOpt(f, dir, v).flatMap(_.txn))
   }
 
   /** Compact the manifest log: write `_manifests/checkpoint_V` (V = the
@@ -394,10 +421,10 @@ object Snapshots {
     val vs = versions(spark, dir)
     if (vs.isEmpty) return None
     val upTo = vs.max
-    val prev = latestCheckpoint(f, dir).map(_._2).getOrElse(Map.empty[Long, (String, Option[String])])
+    val prev = latestCheckpoint(f, dir).map(_._2).getOrElse(Map.empty[Long, Entry])
     val entries = vs.flatMap(v => readManifestOpt(f, dir, v).orElse(prev.get(v)).map(v -> _))
     val content = entries
-      .map { case (v, (data, txn)) => txn.fold(s"$v|$data")(t => s"$v|$data|$t") }
+      .map { case (v, e) => s"$v|${e.serialize}" }
       .mkString("", "\n", "\n")
     val md = manifestDir(dir)
     val target = new Path(md, CheckpointPrefix + upTo)
@@ -466,7 +493,7 @@ object Snapshots {
         // vacuum-able debris and its brief visibility window is the
         // price of lock-free publish on a plain filesystem.
         val dup = versions(spark, dir)
-          .filter(w => w != v && readManifestOpt(f, dir, w).exists(_._2.contains(txnId)))
+          .filter(w => w != v && readManifestOpt(f, dir, w).exists(_.txn.contains(txnId)))
         if (dup.exists(_ < v)) {
           f.delete(new Path(manifestDir(dir), v.toString), false)
           return None
@@ -517,14 +544,16 @@ object Snapshots {
     // Checkpoint entries count as references too: after checkpointLog the
     // individual manifests are gone but their versions stay readable.
     val ckRefs = latestCheckpoint(f, dir)
-      .map(_._2.values.map(_._1).toSet)
+      .map(_._2.values.flatMap(e => e.data +: e.dv.toSeq).toSet)
       .getOrElse(Set.empty[String])
     val referenced = ckRefs ++
-      listedVersions(f, dir).flatMap(v => readManifestOpt(f, dir, v).map(_._1))
+      listedVersions(f, dir)
+        .flatMap(v => readManifestOpt(f, dir, v))
+        .flatMap(e => e.data +: e.dv.toSeq)
     val cutoff = System.currentTimeMillis() - minAgeMs
     val orphans = f.listStatus(new Path(dir))
       .filter(st =>
-        st.getPath.getName.startsWith("data_") &&
+        (st.getPath.getName.startsWith("data_") || st.getPath.getName.startsWith("dv_")) &&
           !referenced(st.getPath.getName) &&
           st.getModificationTime <= cutoff)
       .map(_.getPath.getName)
@@ -549,7 +578,116 @@ object Snapshots {
     val f = fs(spark, dir)
     val entry = manifestEntry(f, dir, v)
     require(entry.isDefined, s"version $v is not published in $dir")
-    spark.read.parquet(new Path(dir, entry.get._1).toString)
+    applyDv(spark, dir,
+      spark.read.parquet(new Path(dir, entry.get.data).toString), entry.get.dv)
+  }
+
+  /** Merge-on-read: drop the (file, row) pairs the version's deletion
+    * vector names. Keys ride the parquet reader's `_metadata.file_path`
+    * and `_metadata.row_index` — generated columns, no data-file bytes
+    * added — and the anti-join is left to AQE (a small DV broadcasts; a
+    * massive one shuffles rather than OOM the driver). No DV ⇒ the
+    * plan is exactly the plain scan: zero cost on undeleted tables.
+    */
+  private def applyDv(
+      spark: SparkSession,
+      dir: String,
+      base: DataFrame,
+      dv: Option[String]): DataFrame = dv match {
+    case None => base
+    case Some(dvName) =>
+      import org.apache.spark.sql.functions.col
+      val dvDf = spark.read.parquet(new Path(dir, dvName).toString)
+      base
+        .withColumn("__dv_file", col("_metadata.file_path"))
+        .withColumn("__dv_pos", col("_metadata.row_index"))
+        .join(
+          dvDf.select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
+          Seq("__dv_file", "__dv_pos"), "left_anti")
+        .drop("__dv_file", "__dv_pos")
+  }
+
+  /** Merge-on-read DELETE: publish a new version whose manifest points at
+    * the SAME immutable data directory plus a deletion vector naming the
+    * (file, row-index) pairs matching `pred` — no data file is rewritten,
+    * the delete costs one scan + one small parquet write + one manifest
+    * publish, and time travel to pre-delete versions is untouched (the
+    * Delta/Iceberg merge-on-read move). Deletes COMPOSE: matches are
+    * computed on the current MoR view (already-deleted rows can't
+    * re-match) and the new DV is the union of the version's DV and the
+    * fresh hits. Concurrency is the same OCC loop as every commit here:
+    * a lost publish re-reads the log and RECOMPUTES the matches against
+    * the new latest version — a racing writer's rows are never resurrected
+    * and never missed. A no-match delete publishes nothing (None);
+    * a lost attempt's DV directory is vacuum-able `dv_` debris.
+    * Returns the published version.
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      dir: String,
+      pred: org.apache.spark.sql.Column,
+      maxRetries: Int = 10): Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, dir)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = latestVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no published versions in $dir"))
+      val entry = manifestEntry(f, dir, v).get
+      val dataPath = new Path(dir, entry.data).toString
+      // matches on the CURRENT MoR view, keyed by the reader's metadata
+      val hits = applyDvKeyed(spark, dir, dataPath, entry.dv)
+        .filter(pred)
+        .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+      val prior = entry.dv.map(d => spark.read.parquet(new Path(dir, d).toString))
+      val merged = prior.fold(hits)(p => p.unionByName(hits))
+      if (hits.isEmpty) return None
+      val dvName = s"dv_${java.util.UUID.randomUUID().toString.take(8)}"
+      merged.coalesce(1).write.mode(SaveMode.ErrorIfExists)
+        .parquet(new Path(dir, dvName).toString)
+      if (publishManifest(f, dir, v + 1, Entry(entry.data, None, Some(dvName)).serialize))
+        return Some(v + 1)
+      // lost the race: the new latest may have different data OR a newer
+      // DV — recompute everything; this attempt's DV dir is vacuum debris
+      attempt += 1
+    }
+    throw new IllegalStateException(s"could not publish delete after $maxRetries attempts")
+  }
+
+  /** The MoR view with the `__dv_file`/`__dv_pos` key columns still
+    * attached — [[deleteWhere]] needs the keys of the SURVIVORS.
+    */
+  private def applyDvKeyed(
+      spark: SparkSession,
+      dir: String,
+      dataPath: String,
+      dv: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val keyed = spark.read.parquet(dataPath)
+      .withColumn("__dv_file", col("_metadata.file_path"))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+    dv match {
+      case None => keyed
+      case Some(dvName) =>
+        keyed.join(
+          spark.read.parquet(new Path(dir, dvName).toString)
+            .select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
+          Seq("__dv_file", "__dv_pos"), "left_anti")
+    }
+  }
+
+  /** Materialize the latest version's deletion vector: rewrite the MoR
+    * view as a plain new data directory and publish it with no DV — the
+    * OPTIMIZE step that caps read amplification after many deletes. The
+    * old data+DV versions stay time-travelable until [[vacuum]]. No-op
+    * (None) when the latest version carries no DV.
+    */
+  def compactDeletes(spark: SparkSession, dir: String, maxRetries: Int = 10): Option[Long] = {
+    val f = fs(spark, dir)
+    val v = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no published versions in $dir"))
+    if (manifestEntry(f, dir, v).get.dv.isEmpty) return None
+    Some(commitVersion(spark, readVersion(spark, dir, v), dir, maxRetries))
   }
 
   /** Z-order OPTIMIZE: rewrite the latest version clustered by the Morton
