@@ -676,6 +676,31 @@ object Snapshots {
     }
   }
 
+  /** RESTORE: publish a NEW version whose manifest points at version
+    * `v`'s data directory and deletion vector — the constant-time
+    * rollback every table format ships (Delta RESTORE, Iceberg
+    * rollback). Nothing is copied or rewritten; history stays intact
+    * (the rolled-back versions remain time-travelable, and the restore
+    * itself is one more log entry, so a rollback can be rolled back).
+    * The txn id is deliberately NOT carried over: replay idempotence
+    * belongs to the original commit, and a restore re-claiming it would
+    * make the original stream skip a genuinely new batch. Same OCC
+    * publish loop as every commit. Returns the new version number.
+    */
+  def rollbackTo(spark: SparkSession, dir: String, v: Long, maxRetries: Int = 10): Long = {
+    val f = fs(spark, dir)
+    val entry = manifestEntry(f, dir, v)
+    require(entry.isDefined, s"version $v is not published in $dir")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val next = latestVersion(spark, dir).map(_ + 1).getOrElse(0L)
+      if (publishManifest(f, dir, next, Entry(entry.get.data, None, entry.get.dv).serialize))
+        return next
+      attempt += 1
+    }
+    throw new IllegalStateException(s"could not publish rollback after $maxRetries attempts")
+  }
+
   /** Materialize the latest version's deletion vector: rewrite the MoR
     * view as a plain new data directory and publish it with no DV — the
     * OPTIMIZE step that caps read amplification after many deletes. The

@@ -100,6 +100,24 @@ class DeletionVectorSpec extends SparkSpec {
     assert(Snapshots.compactDeletes(spark, dir).isEmpty)
   }
 
+  test("rollbackTo restores an old version as a new log entry") {
+    val dir = freshDir
+    val v0 = Snapshots.commitVersion(spark, (1L to 10L).toDF("id"), dir)
+    Snapshots.deleteWhere(spark, dir, col("id") <= 5)
+    assert(Snapshots.read(spark, dir).count() == 5)
+    val vr = Snapshots.rollbackTo(spark, dir, v0)
+    assert(vr == 2L)
+    assert(Snapshots.read(spark, dir).count() == 10)
+    // history intact: the deleted view is still time-travelable,
+    // vacuum after the rollback reaps nothing still-referenced
+    assert(Snapshots.readVersion(spark, dir, 1L).count() == 5)
+    assert(Snapshots.vacuum(spark, dir, minAgeMs = 0).isEmpty)
+    // a rollback of the rollback restores the MoR view, dv carried over
+    val vr2 = Snapshots.rollbackTo(spark, dir, 1L)
+    assert(vr2 == 3L)
+    assert(Snapshots.read(spark, dir).count() == 5)
+  }
+
   test("stats-pruned reads still apply the version's dv") {
     val dir = freshDir
     Snapshots.commitVersionWithStats(
