@@ -2762,6 +2762,39 @@ object AnalyticsQueries {
       sum(when(col("l") < 3, col("n")).otherwise(0L)).cast(LongType).as("rows_below_l3"))
   }
 
+  /** Exact trailing 7-day rolling MEDIAN of daily revenue — the robust
+    * level estimate a spiky daily series needs where the rolling mean
+    * ([[RelationalQueries]]' rolling_7d_value) chases outliers. No
+    * sliding-window rank exists in any engine's incremental form, so the
+    * scale shape is the [[reach7d]] move: each day's revenue is exploded
+    * to the ≤7 trailing windows it serves (a 7× factor on the
+    * CALENDAR-BOUNDED day frame, never a per-row window), grouped per
+    * served day, and the exact lower median is one `sort_array` +
+    * `element_at((n+1) div 2)` over the ≤7-element group — collect_list
+    * order is partition-dependent, the sort pins it. Windows truncated
+    * by the calendar head report their real n_window. Served days beyond
+    * the data's last day are dropped by the semi-join back to the day
+    * frame.
+    */
+  private val rollingMedian7d: Q = (s, d) => {
+    val daily = events(s, d)
+      .select(
+        floor(unix_millis(col("ts")) / lit(86400000.0)).cast(LongType).as("day"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .groupBy("day").agg(sum("cents").cast(LongType).as("rev"))
+      .localCheckpoint(true) // window explode + the served-day semi-join
+    daily
+      .withColumn("k", explode(sequence(lit(0L), lit(6L))))
+      .select((col("day") + col("k")).as("day"), col("rev"))
+      .join(daily.select("day"), Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(count(lit(1)).cast(LongType).as("n_window"),
+        sort_array(collect_list(col("rev"))).as("w"))
+      .select(col("day"), col("n_window"),
+        element_at(col("w"), expr("cast((n_window + 1) div 2 as int)"))
+          .cast(LongType).as("median_rev"))
+  }
+
   /** Cramér's V association strength between return flag and line
     * status — the EFFECT-SIZE companion [[chi2Independence]] (a test)
     * lacks: χ² grows with n on any non-zero dependence, V ∈ [0,1] does
@@ -3273,6 +3306,7 @@ object AnalyticsQueries {
   }
 
   def queries: Map[String, Q] = Map(
+    "rolling_median_7d" -> rollingMedian7d,
     "cramers_v" -> cramersV,
     "corr_matrix" -> corrMatrix,
     "yuen_trimmed_t" -> yuenTrimmedT,
@@ -3361,6 +3395,18 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "rolling_median_7d" ->
+      """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT d.day + k.k AS day, rev
+        |  FROM daily d, (SELECT unnest(generate_series(0, 6)) AS k) k
+        |  WHERE d.day + k.k IN (SELECT day FROM daily)),
+        |g AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_window,
+        |    list_sort(list(rev)) AS wl FROM w GROUP BY day)
+        |SELECT day, n_window,
+        |  CAST(wl[CAST((n_window + 1) // 2 AS INT)] AS BIGINT) AS median_rev
+        |FROM g""".stripMargin,
     "cramers_v" ->
       """WITH obs AS (SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS o
         |  FROM lineitem GROUP BY 1, 2),

@@ -133,7 +133,8 @@ class DeterminismSpec extends SparkSpec {
     "yuen_trimmed_t",        // tie-aware trim counts over two Prefix CDFs
     "dedup_quality_shift",   // closure + argmax join + decile census
     "cramers_v",             // floored cell contribs + one pinned sqrt
-    "corr_matrix")           // one 15-moment agg, six pair projections
+    "corr_matrix",           // one 15-moment agg, six pair projections
+    "rolling_median_7d")     // window explode + sorted-array rank pick
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf
