@@ -3305,7 +3305,369 @@ object AnalyticsQueries {
         expr("(1 + n_ge) * 1000 div 201").as("p_milli"))
   }
 
+  /** Two-sample log-rank (Mantel–Cox) test: does time-to-conversion
+    * differ between the user-parity arms? The inferential companion of
+    * [[survivalKaplanMeier]] — KM draws the curves, log-rank says whether
+    * they differ. Same survival frame (duration to the first ≥$200
+    * purchase, censored at last activity), arms user_id % 2.
+    *
+    * At each event time t: observed arm-1 deaths O₁(t)=d₁(t) vs the
+    * hypergeometric expectation E₁(t)=d·n₁/n and variance
+    * V(t)=d·n₁·(n−n₁)·(n−d) / (n²(n−1)); χ² = (ΣO₁−ΣE₁)²/ΣV vs the baked
+    * χ²(1) 0.05 quantile. E and V are per-step rationals, so each step is
+    * floored to micros BEFORE the sum (the [[cramersV]] floored-contribs
+    * convention — exact integers, order-independent, engine-identical;
+    * the ≤1e-6-per-step bias is far below any decision boundary). A
+    * terminal step with n=1 carries V=0 (no information) but keeps its
+    * O−E mass. decimal38 headroom: d·n₁·(n−n₁)·(n−d)·1e6 ≲ n⁴·1e6 stays
+    * under 1e38 through ~3e7 users.
+    *
+    * Plan: one user-grain agg → the calendar-bounded duration frame
+    * (≤ date-range rows) → two [[Prefix.runningSum]] at-risk passes →
+    * one 1-row agg. Nothing corpus-sized past the first agg.
+    */
+  private val logRankTest: Q = (s, d) => {
+    val e = events(s, d)
+      .select(col("user_id"),
+        floor(unix_millis(col("ts")) / lit(86400000.0)).cast(LongType).as("day"),
+        col("event_type"), col("value"))
+      .localCheckpoint(true) // span + conversion branches
+    val span = e.groupBy("user_id").agg(min("day").as("fd"), max("day").as("ld"))
+    val conv = e.filter(col("event_type") === "purchase" && col("value") >= 200)
+      .groupBy("user_id").agg(min("day").as("pd"))
+    val units = span.join(conv, Seq("user_id"), "left")
+      .select(
+        when(col("pd").isNotNull, col("pd") - col("fd"))
+          .otherwise(col("ld") - col("fd")).as("dur"),
+        when(col("pd").isNotNull, 1L).otherwise(0L).as("death"),
+        (col("user_id") % 2).cast(LongType).as("arm"))
+      .localCheckpoint(true) // duration frame + census
+    val byDur = units.groupBy("dur").agg(
+      count(lit(1)).cast(LongType).as("m"),
+      sum("death").cast(LongType).as("dd"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).cast(LongType).as("m1"),
+      sum(when(col("arm") === 1, col("death")).otherwise(0L)).cast(LongType).as("dd1"))
+    val tot = byDur.agg(sum("m").cast(LongType).as("tot"),
+      sum("m1").cast(LongType).as("tot1"))
+    val cum = Prefix.runningSum(
+      Prefix.runningSum(byDur, lit(0L), Seq(col("dur")), col("m"), "cm"),
+      lit(0L), Seq(col("dur")), col("m1"), "cm1")
+    val steps = cum.crossJoin(broadcast(tot))
+      .withColumn("n", col("tot") - col("cm") + col("m"))
+      .withColumn("n1", col("tot1") - col("cm1") + col("m1"))
+      .filter(col("dd") > 0)
+    val stepAgg = steps.agg(
+      sum("dd1").cast(LongType).as("o1"),
+      sum(expr("(cast(dd as decimal(38,0)) * n1 * 1000000) div n"))
+        .cast(LongType).as("e1_micros"),
+      sum(expr("""case when n > 1 then
+                  (cast(dd as decimal(38,0)) * n1 * (n - n1) * (n - dd) * 1000000)
+                  div (cast(n as decimal(38,0)) * n * (n - 1)) else 0L end"""))
+        .cast(LongType).as("v_micros"))
+    val census = units.agg(count(lit(1)).cast(LongType).as("n_total"),
+      sum("death").cast(LongType).as("deaths_total"))
+    census.crossJoin(broadcast(stepAgg))
+      .select(col("n_total"), col("deaths_total"), col("o1"),
+        col("e1_micros"), col("v_micros"),
+        expr("""case when v_micros = 0 then 0L else
+                (cast(o1 as decimal(38,0)) * 1000000 - e1_micros)
+                * (cast(o1 as decimal(38,0)) * 1000000 - e1_micros)
+                div v_micros end""").as("chi2_micros"))
+      .withColumn("significant", (col("chi2_micros") > 3841459L).cast(LongType))
+  }
+
+  /** Friedman test — the blocked nonparametric k-sample test
+    * [[kruskalWallis]] cannot replace: is any day-of-week systematically
+    * higher once week-to-week level shifts are removed? Blocks = calendar
+    * weeks (day div 7), treatments = the 7 weekdays, measured on daily
+    * revenue cents. Only COMPLETE blocks (all 7 days present) enter, per
+    * the test's definition; truncated boundary weeks drop out.
+    *
+    * Within-block ranks come from one sort_array over each ≤7-cell block
+    * (no window at all — the block frame is calendar-bounded); ties in
+    * daily cents are broken by weekday so the rank is total AND the group
+    * is a function of the sort key (the [[kruskalWallis]] sf1 lesson).
+    * χ²_F = 12·ΣR_j²/(b·k(k+1)) − 3b(k+1) is an exact rational over tiny
+    * integers → exact micros via one integral division; verdict vs the
+    * baked χ²(6) 0.05 quantile 12.591587.
+    */
+  private val friedmanTest: Q = (s, d) => {
+    val daily = events(s, d)
+      .select(
+        floor(unix_millis(col("ts")) / lit(86400000.0)).cast(LongType).as("day"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .groupBy("day").agg(sum("cents").cast(LongType).as("rev"))
+      .select(expr("day div 7").as("wk"),
+        pmod(col("day"), lit(7L)).cast(LongType).as("dow"), col("rev"))
+    val blocks = daily.groupBy("wk")
+      .agg(count(lit(1)).cast(LongType).as("nd"),
+        sort_array(collect_list(struct(col("rev"), col("dow")))).as("cells"))
+      .filter(col("nd") === 7)
+      .localCheckpoint(true) // rank explode + block count
+    val ranked = blocks
+      .select(col("wk"), posexplode(col("cells")).as(Seq("pos", "c")))
+      .select(col("c.dow").as("dow"), (col("pos") + 1).cast(LongType).as("r"))
+    val rj = ranked.groupBy("dow").agg(sum("r").cast(LongType).as("r_sum"))
+      .localCheckpoint(true) // statistic fold + per-dow output rows
+    val b = blocks.agg(count(lit(1)).cast(LongType).as("b"))
+    val chi = rj.agg(sum(col("r_sum") * col("r_sum")).cast(LongType).as("ssq"))
+      .crossJoin(broadcast(b))
+      .select(col("b"),
+        expr("(12 * ssq * 1000000 - 1344 * b * b * 1000000) div (56 * b)")
+          .as("chi2_micros"))
+    rj.crossJoin(broadcast(chi))
+      .select(col("dow"), col("r_sum"), col("b"), col("chi2_micros"),
+        (col("chi2_micros") > 12591587L).cast(LongType).as("significant"))
+  }
+
+  /** Difference-in-differences estimator with a placebo check — the
+    * pre/post causal design [[cupedAdjustment]]'s variance reduction sits
+    * next to: treatment = the user-parity arm, periods split at the exact
+    * calendar midpoint, and DiD = (ȳ₁−x̄₁) − (ȳ₀−x̄₀) over per-user
+    * pre/post cents (the within-user change nets out user level, the
+    * across-arm difference nets out the common time trend). The placebo
+    * re-runs the same estimator INSIDE the pre-period at its own midpoint
+    * — under parallel trends it should sit near zero, and reporting it is
+    * what separates a DiD from a before/after. All sums exact int64
+    * cents from one user-grain agg; the four means render through one
+    * pinned IEEE double chain (the [[cupedAdjustment]] pattern).
+    */
+  private val didEstimator: Q = (s, d) => {
+    val ev = events(s, d)
+      .select(col("user_id"),
+        floor(unix_millis(col("ts")) / lit(86400000.0)).cast(LongType).as("day"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+    val bounds = ev.agg(min("day").as("mn"), max("day").as("mx"))
+      .select(expr("(mn + mx + 1) div 2").as("mid"), col("mn"))
+      .select(col("mid"), expr("(mn + mid + 1) div 2").as("q1"))
+    val users = ev.crossJoin(broadcast(bounds))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("day") < col("q1"), col("cents")).otherwise(0L))
+          .cast(LongType).as("xa"),
+        sum(when(col("day") >= col("q1") && col("day") < col("mid"), col("cents"))
+          .otherwise(0L)).cast(LongType).as("xb"),
+        sum(when(col("day") >= col("mid"), col("cents")).otherwise(0L))
+          .cast(LongType).as("y"))
+      .select(col("xa"), col("xb"), (col("xa") + col("xb")).as("x"), col("y"),
+        (col("user_id") % 2).cast(LongType).as("arm"))
+    val m = users.agg(
+      count(lit(1)).cast(LongType).as("n"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).cast(LongType).as("n1"),
+      sum(when(col("arm") === 1, col("x")).otherwise(0L)).cast(LongType).as("x1"),
+      sum(when(col("arm") === 0, col("x")).otherwise(0L)).cast(LongType).as("x0"),
+      sum(when(col("arm") === 1, col("y")).otherwise(0L)).cast(LongType).as("y1"),
+      sum(when(col("arm") === 0, col("y")).otherwise(0L)).cast(LongType).as("y0"),
+      sum(when(col("arm") === 1, col("xa")).otherwise(0L)).cast(LongType).as("a1"),
+      sum(when(col("arm") === 0, col("xa")).otherwise(0L)).cast(LongType).as("a0"),
+      sum(when(col("arm") === 1, col("xb")).otherwise(0L)).cast(LongType).as("b1"),
+      sum(when(col("arm") === 0, col("xb")).otherwise(0L)).cast(LongType).as("b0"))
+    val n1d = col("n1").cast(DoubleType)
+    val n0d = (col("n") - col("n1")).cast(DoubleType)
+    val did = (col("y1").cast(DoubleType) / n1d - col("x1").cast(DoubleType) / n1d) -
+      (col("y0").cast(DoubleType) / n0d - col("x0").cast(DoubleType) / n0d)
+    val placebo = (col("b1").cast(DoubleType) / n1d - col("a1").cast(DoubleType) / n1d) -
+      (col("b0").cast(DoubleType) / n0d - col("a0").cast(DoubleType) / n0d)
+    m.select(col("n"), col("n1"),
+      floor(did * lit(1e6)).cast(LongType).as("did_micros"),
+      floor(placebo * lit(1e6)).cast(LongType).as("placebo_micros"))
+  }
+
+  /** Partial correlations among (quantity, price-cents, discount-cents):
+    * the association that REMAINS between each pair once the third is
+    * controlled for — the confounder-screen [[corrMatrix]]'s marginal
+    * correlations cannot answer. In co-moment form (S_ab = n·Σab−Σa·Σb):
+    *
+    *   r_xy·z = (S_xy·S_zz − S_xz·S_yz) / √((S_xx·S_zz − S_xz²)(S_yy·S_zz − S_yz²))
+    *
+    * All nine moments are exact int64/decimal38 from ONE full-relation
+    * agg (the [[corrMatrix]] shape); S-products would exceed decimal38 at
+    * scale, so each S casts to double once and the quotient renders
+    * through a pinned chain with the one correctly-rounded sqrt the house
+    * rules allow. Output: three rows (each variable takes the controlled
+    * role), marginal r alongside partial r so the confounding shift is
+    * visible in one frame.
+    */
+  private val partialCorrelation: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val base = lineitem(s, d).select(
+      col("l_quantity").cast(LongType).as("x"),
+      (dec2(col("l_extendedprice")) * 100).cast(LongType).as("y"),
+      (rate2(col("l_discount")) * 100).cast(LongType).as("z"))
+    val m = base.agg(
+      count(lit(1)).cast(LongType).as("n"),
+      sum("x").cast(LongType).as("sx"),
+      sum("y").cast(LongType).as("sy"),
+      sum("z").cast(LongType).as("sz"),
+      sum(col("x").cast(dec) * col("x")).cast(dec).as("sxx"),
+      sum(col("y").cast(dec) * col("y")).cast(dec).as("syy"),
+      sum(col("z").cast(dec) * col("z")).cast(dec).as("szz"),
+      sum(col("x").cast(dec) * col("y")).cast(dec).as("sxy"),
+      sum(col("x").cast(dec) * col("z")).cast(dec).as("sxz"),
+      sum(col("y").cast(dec) * col("z")).cast(dec).as("syz"))
+      .localCheckpoint(true) // three projections below
+    // n-scaled co-moment as a pinned double
+    def s2(spAb: String, sA: String, sB: String): Column =
+      (col("n").cast(dec) * col(spAb) -
+        col(sA).cast(dec) * col(sB).cast(dec)).cast(DoubleType)
+    def row(xn: String, yn: String, zn: String,
+            sxy2: Column, sxz2: Column, syz2: Column,
+            sxx2: Column, syy2: Column, szz2: Column): DataFrame = {
+      val rMarg = sxy2 / sqrt(sxx2 * syy2)
+      val rPart = (sxy2 * szz2 - sxz2 * syz2) /
+        sqrt((sxx2 * szz2 - sxz2 * sxz2) * (syy2 * szz2 - syz2 * syz2))
+      m.select(lit(xn).as("x_col"), lit(yn).as("y_col"), lit(zn).as("z_col"),
+        floor(rMarg * lit(1e6)).cast(LongType).as("r_marginal_micros"),
+        floor(rPart * lit(1e6)).cast(LongType).as("r_partial_micros"))
+    }
+    val sxx2 = s2("sxx", "sx", "sx"); val syy2 = s2("syy", "sy", "sy")
+    val szz2 = s2("szz", "sz", "sz"); val sxy2 = s2("sxy", "sx", "sy")
+    val sxz2 = s2("sxz", "sx", "sz"); val syz2 = s2("syz", "sy", "sz")
+    row("qty", "price", "disc", sxy2, sxz2, syz2, sxx2, syy2, szz2)
+      .unionByName(row("qty", "disc", "price", sxz2, sxy2, syz2, sxx2, szz2, syy2))
+      .unionByName(row("price", "disc", "qty", syz2, sxy2, sxz2, syy2, szz2, sxx2))
+  }
+
+  /** Delete-one-group jackknife CI for a RATIO metric (revenue per
+    * purchasing user) — the standard experimentation answer to "a ratio
+    * of sums has no per-unit mean, so the t-interval is wrong"
+    * ([[bootstrapCiMean]] covers the per-unit mean; this covers the
+    * ratio). Users hash into g=20 portable buckets; each leave-one-bucket
+    * -out ratio r_i=(S−s_i)/(N−n_i) is a pinned double from exact cents;
+    * SE² = (g−1)/g · Σ(r_i−r̄)². The two Σ-over-buckets folds run over
+    * the bucket-sorted array in pinned order (g doubles — a grouped SUM
+    * would re-associate under re-planning), mirrored as ordered
+    * list_reduce in the oracle. CI = ratio ± 1.96·SE with the one
+    * correctly-rounded sqrt. One user-grain agg → 20-row frame →
+    * 1-row output; nothing corpus-sized past the first agg.
+    */
+  private val jackknifeRatioCi: Q = (s, d) => {
+    val perUser = events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), (dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .groupBy("user_id").agg(sum("cents").cast(LongType).as("uc"))
+      .select(pmod(graft.ext.Dedup.portableHash64(
+        concat(lit("jk:"), col("user_id").cast(StringType))), lit(20L)).as("bucket"),
+        col("uc"))
+    val byBucket = perUser.groupBy("bucket").agg(
+      sum("uc").cast(LongType).as("s_i"),
+      count(lit(1)).cast(LongType).as("n_i"))
+    val tot = byBucket.agg(sum("s_i").cast(LongType).as("s"),
+      sum("n_i").cast(LongType).as("n"),
+      count(lit(1)).cast(LongType).as("g"))
+    byBucket.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("s"), col("n"), col("g"),
+        when(col("n") === col("n_i"), lit(0.0)).otherwise(
+          (col("s") - col("s_i")).cast(DoubleType) /
+            (col("n") - col("n_i")).cast(DoubleType)).as("r_i"))
+      .agg(min("s").as("s"), min("n").as("n"), min("g").as("g"),
+        sort_array(collect_list(struct(col("bucket"), col("r_i")))).as("rs"))
+      .withColumn("sum_r", expr("aggregate(rs, cast(0.0 as double), (a, x) -> a + x.r_i)"))
+      .withColumn("mean_r", col("sum_r") / col("g").cast(DoubleType))
+      .withColumn("ssq", expr(
+        "aggregate(rs, cast(0.0 as double), (a, x) -> a + (x.r_i - mean_r) * (x.r_i - mean_r))"))
+      .withColumn("ratio", col("s").cast(DoubleType) / col("n").cast(DoubleType))
+      .withColumn("se", sqrt((col("g") - 1).cast(DoubleType) / col("g").cast(DoubleType) * col("ssq")))
+      .select(col("n"), col("g"),
+        floor(col("ratio") * lit(1e6)).cast(LongType).as("ratio_micros"),
+        floor(col("se") * lit(1e6)).cast(LongType).as("se_micros"),
+        floor((col("ratio") - lit(1.96) * col("se")) * lit(1e6)).cast(LongType).as("lo_micros"),
+        floor((col("ratio") + lit(1.96) * col("se")) * lit(1e6)).cast(LongType).as("hi_micros"))
+  }
+
+  /** Simpson's-paradox audit: does the pooled high-vs-low-priority
+    * return-rate difference keep its sign inside every line-status
+    * stratum? The aggregation-bias check a metrics review runs before
+    * trusting any pooled rate comparison — a reversed stratum means the
+    * pooled number is a mix artifact, not an effect. Rates never
+    * materialize: the per-stratum difference is the exact cross-
+    * multiplied integer ret_hi·n_lo − ret_lo·n_hi rendered as ppm via
+    * one nonneg integral division (sign carried separately — Spark div
+    * and DuckDB // agree only on nonnegative operands by probe). One
+    * lineitem⋈orders equi-join, one ≤3-row stratum agg; the pooled row
+    * folds from the same frame.
+    */
+  private val simpsonsParadoxAudit: Q = (s, d) => {
+    val li = lineitem(s, d).select(col("l_orderkey").as("ok"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"),
+      col("l_linestatus").as("stratum"))
+    val hi = orders(s, d).select(col("o_orderkey").as("ok"),
+      when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L).as("hi"))
+    val byStr = li.join(hi, Seq("ok"))
+      .groupBy("stratum").agg(
+        sum(when(col("hi") === 1, 1L).otherwise(0L)).cast(LongType).as("n_hi"),
+        sum(when(col("hi") === 1, col("ret")).otherwise(0L)).cast(LongType).as("ret_hi"),
+        sum(when(col("hi") === 0, 1L).otherwise(0L)).cast(LongType).as("n_lo"),
+        sum(when(col("hi") === 0, col("ret")).otherwise(0L)).cast(LongType).as("ret_lo"))
+      .localCheckpoint(true) // pooled row + per-stratum rows
+    val pooled = byStr.agg(
+      sum("n_hi").cast(LongType).as("n_hi"),
+      sum("ret_hi").cast(LongType).as("ret_hi"),
+      sum("n_lo").cast(LongType).as("n_lo"),
+      sum("ret_lo").cast(LongType).as("ret_lo"))
+      .select(lit("ALL").as("stratum"), col("n_hi"), col("ret_hi"),
+        col("n_lo"), col("ret_lo"))
+    val diffed = byStr.unionByName(pooled)
+      .withColumn("num",
+        (col("ret_hi").cast(DecimalType(38, 0)) * col("n_lo") -
+          col("ret_lo").cast(DecimalType(38, 0)) * col("n_hi")))
+      .withColumn("diff_ppm", expr(
+        """case when n_hi = 0 or n_lo = 0 then 0L else
+           case when num >= 0 then (num * 1000000) div (cast(n_hi as decimal(38,0)) * n_lo)
+           else -((-num * 1000000) div (cast(n_hi as decimal(38,0)) * n_lo)) end end"""))
+      .withColumn("sgn",
+        when(col("diff_ppm") > 0, 1L).when(col("diff_ppm") < 0, -1L).otherwise(0L))
+      .localCheckpoint(true) // pooled-sign broadcast + output rows
+    val psign = diffed.filter(col("stratum") === "ALL")
+      .select(col("sgn").as("pooled_sgn"))
+    diffed.crossJoin(broadcast(psign))
+      .select(col("stratum"), col("n_hi"), col("ret_hi"), col("n_lo"), col("ret_lo"),
+        col("diff_ppm"),
+        when(col("stratum") =!= "ALL" && col("sgn") =!= 0 &&
+          col("pooled_sgn") =!= 0 && col("sgn") === -col("pooled_sgn"), 1L)
+          .otherwise(0L).as("reversed"))
+  }
+
+  /** Chapman capture–recapture estimate of corpus size from two
+    * independent portable-hash "captures" — the coverage QA a crawl/dedup
+    * pipeline runs when the true population is NOT observable (how many
+    * documents exist, given two overlapping samples?). Here the truth IS
+    * observable, so the lane is an audit: N̂ = (n_A+1)(n_B+1)/(m+1) − 1
+    * (Chapman's bias-corrected Lincoln–Petersen, exact integer floor)
+    * against the true count, error in signed ppm (sign carried outside
+    * the nonneg division). Captures are 30 % md5 samples under distinct
+    * salts — independent by construction, so the estimator's assumptions
+    * hold by design. One projection + one 1-row agg; no shuffle at all
+    * beyond the agg.
+    */
+  private val captureRecaptureAudit: Q = (s, d) => {
+    val h = (salt: String) => pmod(graft.ext.Dedup.portableHash64(
+      concat(lit(salt), col("doc_id").cast(StringType))), lit(10L)) < 3
+    documents(s, d)
+      .select(h("crA:").as("a"), h("crB:").as("b"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_true"),
+        sum(when(col("a"), 1L).otherwise(0L)).cast(LongType).as("n_a"),
+        sum(when(col("b"), 1L).otherwise(0L)).cast(LongType).as("n_b"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).cast(LongType).as("m_ab"))
+      .select(col("n_true"), col("n_a"), col("n_b"), col("m_ab"),
+        expr("(cast(n_a + 1 as decimal(38,0)) * (n_b + 1)) div (m_ab + 1) - 1")
+          .as("chapman_est"))
+      .withColumn("err_ppm", expr(
+        """case when chapman_est >= n_true
+           then (cast(chapman_est as decimal(38,0)) - n_true) * 1000000 div n_true
+           else -((cast(n_true as decimal(38,0)) - chapman_est) * 1000000 div n_true)
+           end"""))
+  }
+
   def queries: Map[String, Q] = Map(
+    "log_rank_test" -> logRankTest,
+    "friedman_test" -> friedmanTest,
+    "did_estimator" -> didEstimator,
+    "partial_correlation" -> partialCorrelation,
+    "jackknife_ratio_ci" -> jackknifeRatioCi,
+    "simpsons_paradox_audit" -> simpsonsParadoxAudit,
+    "capture_recapture_audit" -> captureRecaptureAudit,
     "rolling_median_7d" -> rollingMedian7d,
     "cramers_v" -> cramersV,
     "corr_matrix" -> corrMatrix,
@@ -3395,6 +3757,210 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "log_rank_test" ->
+      """WITH u AS (SELECT user_id, MIN(epoch_ms(ts) // 86400000) AS fd,
+        |    MAX(epoch_ms(ts) // 86400000) AS ld FROM events GROUP BY user_id),
+        |cv AS (SELECT user_id, MIN(epoch_ms(ts) // 86400000) AS pd FROM events
+        |       WHERE event_type = 'purchase' AND value >= 200 GROUP BY user_id),
+        |uu AS (SELECT CASE WHEN pd IS NOT NULL THEN pd - fd ELSE ld - fd END AS dur,
+        |         CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END AS death,
+        |         user_id % 2 AS arm
+        |       FROM u LEFT JOIN cv USING (user_id)),
+        |bt AS (SELECT dur, CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(death) AS BIGINT) AS dd,
+        |         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+        |         CAST(SUM(CASE WHEN arm = 1 THEN death ELSE 0 END) AS BIGINT) AS dd1
+        |       FROM uu GROUP BY dur),
+        |st AS (SELECT dur, m, dd, m1, dd1,
+        |         SUM(m) OVER (ORDER BY dur) AS cm, SUM(m1) OVER (ORDER BY dur) AS cm1,
+        |         (SELECT SUM(m) FROM bt) AS tot, (SELECT SUM(m1) FROM bt) AS tot1
+        |       FROM bt),
+        |sx AS (SELECT dd, dd1, tot - cm + m AS n, tot1 - cm1 + m1 AS n1
+        |       FROM st WHERE dd > 0),
+        |ag AS (SELECT CAST(SUM(dd1) AS BIGINT) AS o1,
+        |         CAST(SUM((CAST(dd AS HUGEINT) * n1 * 1000000) // n) AS BIGINT) AS e1_micros,
+        |         CAST(SUM(CASE WHEN n > 1 THEN
+        |           (CAST(dd AS HUGEINT) * n1 * (n - n1) * (n - dd) * 1000000)
+        |           // (CAST(n AS HUGEINT) * n * (n - 1)) ELSE 0 END) AS BIGINT) AS v_micros
+        |       FROM sx),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+        |         CAST(SUM(death) AS BIGINT) AS deaths_total FROM uu),
+        |fin AS (SELECT n_total, deaths_total, o1, e1_micros, v_micros,
+        |         CASE WHEN v_micros = 0 THEN 0 ELSE CAST(
+        |           (CAST(o1 AS HUGEINT) * 1000000 - e1_micros)
+        |           * (CAST(o1 AS HUGEINT) * 1000000 - e1_micros) // v_micros AS BIGINT)
+        |         END AS chi2_micros
+        |       FROM nt CROSS JOIN ag)
+        |SELECT n_total, deaths_total, o1, e1_micros, v_micros, chi2_micros,
+        |  CAST(chi2_micros > 3841459 AS BIGINT) AS significant FROM fin""".stripMargin,
+    "friedman_test" ->
+      """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1),
+        |dd AS (SELECT day // 7 AS wk, day % 7 AS dow, rev FROM daily),
+        |blk AS (SELECT wk, COUNT(*) AS nd FROM dd GROUP BY wk),
+        |cw AS (SELECT wk FROM blk WHERE nd = 7),
+        |rk AS (SELECT wk, dow,
+        |         CAST(row_number() OVER (PARTITION BY wk ORDER BY rev, dow) AS BIGINT) AS r
+        |       FROM dd WHERE wk IN (SELECT wk FROM cw)),
+        |rj AS (SELECT CAST(dow AS BIGINT) AS dow, CAST(SUM(r) AS BIGINT) AS r_sum
+        |       FROM rk GROUP BY dow),
+        |bb AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM cw),
+        |ch AS (SELECT b, CAST((12 * SUM(r_sum * r_sum) * 1000000
+        |           - 1344 * b * b * 1000000) // (56 * b) AS BIGINT) AS chi2_micros
+        |       FROM rj CROSS JOIN bb GROUP BY b)
+        |SELECT dow, r_sum, b, chi2_micros,
+        |  CAST(chi2_micros > 12591587 AS BIGINT) AS significant
+        |FROM rj CROSS JOIN ch""".stripMargin,
+    "did_estimator" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM events),
+        |bounds AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid,
+        |    (MIN(day) + (MIN(day) + MAX(day) + 1) // 2 + 1) // 2 AS q1 FROM ev),
+        |users AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN day < q1 THEN cents ELSE 0 END) AS BIGINT) AS xa,
+        |    CAST(SUM(CASE WHEN day >= q1 AND day < mid THEN cents ELSE 0 END) AS BIGINT) AS xb,
+        |    CAST(SUM(CASE WHEN day >= mid THEN cents ELSE 0 END) AS BIGINT) AS y
+        |  FROM ev CROSS JOIN bounds GROUP BY user_id),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN xa + xb ELSE 0 END) AS BIGINT) AS x1,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN xa + xb ELSE 0 END) AS BIGINT) AS x0,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN y ELSE 0 END) AS BIGINT) AS y1,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN y ELSE 0 END) AS BIGINT) AS y0,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN xa ELSE 0 END) AS BIGINT) AS a1,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN xa ELSE 0 END) AS BIGINT) AS a0,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN xb ELSE 0 END) AS BIGINT) AS b1,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN xb ELSE 0 END) AS BIGINT) AS b0
+        |  FROM users)
+        |SELECT n, n1,
+        |  CAST(floor(((CAST(y1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |    - CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |    - (CAST(y0 AS DOUBLE) / CAST(n - n1 AS DOUBLE)
+        |    - CAST(x0 AS DOUBLE) / CAST(n - n1 AS DOUBLE))) * 1000000.0) AS BIGINT)
+        |    AS did_micros,
+        |  CAST(floor(((CAST(b1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |    - CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |    - (CAST(b0 AS DOUBLE) / CAST(n - n1 AS DOUBLE)
+        |    - CAST(a0 AS DOUBLE) / CAST(n - n1 AS DOUBLE))) * 1000000.0) AS BIGINT)
+        |    AS placebo_micros
+        |FROM m""".stripMargin,
+    "partial_correlation" ->
+      """WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y,
+        |    CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS z FROM lineitem),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(z) AS BIGINT) AS sz,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |    SUM(CAST(z AS HUGEINT) * z) AS szz, SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * z) AS sxz, SUM(CAST(y AS HUGEINT) * z) AS syz
+        |  FROM b),
+        |s AS (SELECT
+        |    CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS cxx,
+        |    CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS cyy,
+        |    CAST(CAST(n AS HUGEINT) * szz - CAST(sz AS HUGEINT) * sz AS DOUBLE) AS czz,
+        |    CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS cxy,
+        |    CAST(CAST(n AS HUGEINT) * sxz - CAST(sx AS HUGEINT) * sz AS DOUBLE) AS cxz,
+        |    CAST(CAST(n AS HUGEINT) * syz - CAST(sy AS HUGEINT) * sz AS DOUBLE) AS cyz
+        |  FROM m)
+        |SELECT 'qty' AS x_col, 'price' AS y_col, 'disc' AS z_col,
+        |  CAST(floor(cxy / sqrt(cxx * cyy) * 1000000.0) AS BIGINT) AS r_marginal_micros,
+        |  CAST(floor((cxy * czz - cxz * cyz)
+        |    / sqrt((cxx * czz - cxz * cxz) * (cyy * czz - cyz * cyz)) * 1000000.0)
+        |    AS BIGINT) AS r_partial_micros FROM s
+        |UNION ALL
+        |SELECT 'qty', 'disc', 'price',
+        |  CAST(floor(cxz / sqrt(cxx * czz) * 1000000.0) AS BIGINT),
+        |  CAST(floor((cxz * cyy - cxy * cyz)
+        |    / sqrt((cxx * cyy - cxy * cxy) * (czz * cyy - cyz * cyz)) * 1000000.0)
+        |    AS BIGINT) FROM s
+        |UNION ALL
+        |SELECT 'price', 'disc', 'qty',
+        |  CAST(floor(cyz / sqrt(cyy * czz) * 1000000.0) AS BIGINT),
+        |  CAST(floor((cyz * cxx - cxy * cxz)
+        |    / sqrt((cyy * cxx - cxy * cxy) * (czz * cxx - cxz * cxz)) * 1000000.0)
+        |    AS BIGINT) FROM s""".stripMargin,
+    "jackknife_ratio_ci" ->
+      """WITH pu AS (SELECT user_id,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS uc
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |bk AS (SELECT (CAST('0x' || substr(md5('jk:' || CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 20) AS bucket,
+        |    CAST(SUM(uc) AS BIGINT) AS s_i, CAST(COUNT(*) AS BIGINT) AS n_i
+        |  FROM pu GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(s_i) AS BIGINT) AS s, CAST(SUM(n_i) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS g FROM bk),
+        |ri AS (SELECT s, n, g, bucket,
+        |    CASE WHEN n = n_i THEN 0.0
+        |      ELSE CAST(s - s_i AS DOUBLE) / CAST(n - n_i AS DOUBLE) END AS r_i
+        |  FROM bk CROSS JOIN tt),
+        |fold AS (SELECT MIN(s) AS s, MIN(n) AS n, MIN(g) AS g,
+        |    list(r_i ORDER BY bucket) AS rs FROM ri),
+        |st AS (SELECT s, n, g, rs,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), rs), (a, x) -> a + x) AS sum_r
+        |  FROM fold),
+        |st2 AS (SELECT s, n, g,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(rs, x -> (x - sum_r / CAST(g AS DOUBLE))
+        |        * (x - sum_r / CAST(g AS DOUBLE)))), (a, x) -> a + x) AS ssq
+        |  FROM st),
+        |fin AS (SELECT n, g, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS ratio,
+        |    sqrt(CAST(g - 1 AS DOUBLE) / CAST(g AS DOUBLE) * ssq) AS se FROM st2)
+        |SELECT n, g,
+        |  CAST(floor(ratio * 1000000.0) AS BIGINT) AS ratio_micros,
+        |  CAST(floor(se * 1000000.0) AS BIGINT) AS se_micros,
+        |  CAST(floor((ratio - 1.96 * se) * 1000000.0) AS BIGINT) AS lo_micros,
+        |  CAST(floor((ratio + 1.96 * se) * 1000000.0) AS BIGINT) AS hi_micros
+        |FROM fin""".stripMargin,
+    "simpsons_paradox_audit" ->
+      """WITH j AS (SELECT l.l_linestatus AS stratum,
+        |    CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+        |    CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS hi
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |bs AS (SELECT stratum,
+        |    CAST(SUM(hi) AS BIGINT) AS n_hi,
+        |    CAST(SUM(CASE WHEN hi = 1 THEN ret ELSE 0 END) AS BIGINT) AS ret_hi,
+        |    CAST(SUM(1 - hi) AS BIGINT) AS n_lo,
+        |    CAST(SUM(CASE WHEN hi = 0 THEN ret ELSE 0 END) AS BIGINT) AS ret_lo
+        |  FROM j GROUP BY stratum),
+        |al AS (SELECT * FROM bs UNION ALL
+        |  SELECT 'ALL', CAST(SUM(n_hi) AS BIGINT), CAST(SUM(ret_hi) AS BIGINT),
+        |    CAST(SUM(n_lo) AS BIGINT), CAST(SUM(ret_lo) AS BIGINT) FROM bs),
+        |df AS (SELECT *, CAST(ret_hi AS HUGEINT) * n_lo - CAST(ret_lo AS HUGEINT) * n_hi AS num
+        |  FROM al),
+        |dp AS (SELECT stratum, n_hi, ret_hi, n_lo, ret_lo,
+        |    CASE WHEN n_hi = 0 OR n_lo = 0 THEN 0
+        |      WHEN num >= 0 THEN CAST((num * 1000000) // (CAST(n_hi AS HUGEINT) * n_lo) AS BIGINT)
+        |      ELSE -CAST(((-num) * 1000000) // (CAST(n_hi AS HUGEINT) * n_lo) AS BIGINT)
+        |    END AS diff_ppm
+        |  FROM df),
+        |ps AS (SELECT CASE WHEN diff_ppm > 0 THEN 1 WHEN diff_ppm < 0 THEN -1 ELSE 0 END
+        |    AS pooled_sgn FROM dp WHERE stratum = 'ALL')
+        |SELECT stratum, n_hi, ret_hi, n_lo, ret_lo, diff_ppm,
+        |  CAST(CASE WHEN stratum <> 'ALL' AND diff_ppm <> 0 AND pooled_sgn <> 0
+        |    AND (CASE WHEN diff_ppm > 0 THEN 1 ELSE -1 END) = -pooled_sgn
+        |    THEN 1 ELSE 0 END AS BIGINT) AS reversed
+        |FROM dp CROSS JOIN ps""".stripMargin,
+    "capture_recapture_audit" ->
+      """WITH mk AS (SELECT
+        |    (CAST('0x' || substr(md5('crA:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 10) < 3 AS a,
+        |    (CAST('0x' || substr(md5('crB:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 10) < 3 AS b
+        |  FROM documents),
+        |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS m_ab
+        |  FROM mk),
+        |es AS (SELECT *, CAST((CAST(n_a + 1 AS HUGEINT) * (n_b + 1)) // (m_ab + 1) - 1
+        |    AS BIGINT) AS chapman_est FROM ag)
+        |SELECT n_true, n_a, n_b, m_ab, chapman_est,
+        |  CASE WHEN chapman_est >= n_true
+        |    THEN CAST((CAST(chapman_est AS HUGEINT) - n_true) * 1000000 // n_true AS BIGINT)
+        |    ELSE -CAST((CAST(n_true AS HUGEINT) - chapman_est) * 1000000 // n_true AS BIGINT)
+        |  END AS err_ppm
+        |FROM es""".stripMargin,
     "rolling_median_7d" ->
       """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
         |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev

@@ -134,7 +134,14 @@ class DeterminismSpec extends SparkSpec {
     "dedup_quality_shift",   // closure + argmax join + decile census
     "cramers_v",             // floored cell contribs + one pinned sqrt
     "corr_matrix",           // one 15-moment agg, six pair projections
-    "rolling_median_7d")     // window explode + sorted-array rank pick
+    "rolling_median_7d",     // window explode + sorted-array rank pick
+    "log_rank_test",         // two Prefix at-risk passes, floored step contribs
+    "friedman_test",         // per-block sorted-array ranks, exact rational
+    "did_estimator",         // exact cents moments, pinned double chain
+    "partial_correlation",   // one 10-moment agg, pinned sqrt renders
+    "jackknife_ratio_ci",    // bucket-sorted pinned fold over leave-one-out ratios
+    "simpsons_paradox_audit", // exact cross-multiplied stratum signs
+    "capture_recapture_audit") // portable-hash captures, integer Chapman
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf

@@ -78,6 +78,11 @@ class PlanHealthSpec extends SparkSpec {
     "cliffs_delta",         // 1-row totals frame crossed
     "hodges_lehmann",       // <=50x<=50 value-grain cross + 1-row total
     "ndcg_bm25",            // 1-row stats + 1-row idcg frames crossed
+    "log_rank_test",        // 1-row at-risk-total + 1-row step-sum frames crossed
+    "friedman_test",        // 1-row block-count/statistic frames crossed onto 7 rows
+    "did_estimator",        // 1-row calendar-bounds frame crossed
+    "jackknife_ratio_ci",   // 1-row totals frame crossed onto the 20-bucket frame
+    "simpsons_paradox_audit", // 1-row pooled-sign frame crossed onto <=4 rows
     "kendall_tau_daily",    // calendar-bounded day-grain pair join (theil_sen class)
     "association_rules")    // 1-row basket-count frame crossed
 
