@@ -47,6 +47,15 @@ object Snapshots {
       case (Some(t), None) => s"$data|$t"
       case (t, Some(d)) => s"$data|${t.getOrElse("-")}|$d"
     }
+
+    /** The version's data SEGMENTS: `data` is one directory name or a
+      * '+'-joined list of them ([[appendRows]]/[[updateWhere]] grow a
+      * version by pointing at the prior segments plus one new one —
+      * never copying data). Generated names are `data_<uuid8>`, so '+'
+      * cannot appear inside a segment name; a pre-multi-segment manifest
+      * parses as the single-element list, keeping old logs readable.
+      */
+    def segments: Seq[String] = data.split('+').toSeq
   }
   private[io] object Entry {
     def parse(fields: Array[String]): Entry = fields match {
@@ -318,10 +327,16 @@ object Snapshots {
     val f = fs(spark, dir)
     val entry = manifestEntry(f, dir, v)
     require(entry.isDefined, s"version $v is not published in $dir")
-    val dataName = entry.get.data
-    val sp = statsPath(dir, dataName)
-    if (!f.exists(sp)) return readVersion(spark, dir, v)
-    val stats = spark.read.parquet(sp.toString)
+    // Stats sidecars are written by the single-segment commit paths; a
+    // multi-segment version (appendRows/updateWhere growth) prunes only
+    // if EVERY segment carries one — stats are an optimization, and the
+    // conservative fallback is the plain read (compactDeletes or a
+    // commitVersionWithStats rewrite restores pruning after heavy
+    // append/update churn, the OPTIMIZE contract every format has).
+    if (!entry.get.segments.forall(dn => f.exists(statsPath(dir, dn))))
+      return readVersion(spark, dir, v)
+    val stats = spark.read.parquet(
+      entry.get.segments.map(dn => statsPath(dir, dn).toString): _*)
     val usable = bounds.filter { case (c, _) => stats.columns.contains(s"min_$c") }
     if (usable.isEmpty) return readVersion(spark, dir, v)
     val keep = usable
@@ -544,12 +559,12 @@ object Snapshots {
     // Checkpoint entries count as references too: after checkpointLog the
     // individual manifests are gone but their versions stay readable.
     val ckRefs = latestCheckpoint(f, dir)
-      .map(_._2.values.flatMap(e => e.data +: e.dv.toSeq).toSet)
+      .map(_._2.values.flatMap(e => e.segments ++ e.dv.toSeq).toSet)
       .getOrElse(Set.empty[String])
     val referenced = ckRefs ++
       listedVersions(f, dir)
         .flatMap(v => readManifestOpt(f, dir, v))
-        .flatMap(e => e.data +: e.dv.toSeq)
+        .flatMap(e => e.segments ++ e.dv.toSeq)
     val cutoff = System.currentTimeMillis() - minAgeMs
     val orphans = f.listStatus(new Path(dir))
       .filter(st =>
@@ -579,7 +594,8 @@ object Snapshots {
     val entry = manifestEntry(f, dir, v)
     require(entry.isDefined, s"version $v is not published in $dir")
     applyDv(spark, dir,
-      spark.read.parquet(new Path(dir, entry.get.data).toString), entry.get.dv)
+      spark.read.parquet(entry.get.segments.map(new Path(dir, _).toString): _*),
+      entry.get.dv)
   }
 
   /** Merge-on-read: drop the (file, row) pairs the version's deletion
@@ -634,9 +650,9 @@ object Snapshots {
       val v = latestVersion(spark, dir).getOrElse(
         throw new IllegalArgumentException(s"no published versions in $dir"))
       val entry = manifestEntry(f, dir, v).get
-      val dataPath = new Path(dir, entry.data).toString
+      val dataPaths = entry.segments.map(new Path(dir, _).toString)
       // matches on the CURRENT MoR view, keyed by the reader's metadata
-      val hits = applyDvKeyed(spark, dir, dataPath, entry.dv)
+      val hits = applyDvKeyed(spark, dir, dataPaths, entry.dv)
         .filter(pred)
         .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
       val prior = entry.dv.map(d => spark.read.parquet(new Path(dir, d).toString))
@@ -660,10 +676,10 @@ object Snapshots {
   private def applyDvKeyed(
       spark: SparkSession,
       dir: String,
-      dataPath: String,
+      dataPaths: Seq[String],
       dv: Option[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val keyed = spark.read.parquet(dataPath)
+    val keyed = spark.read.parquet(dataPaths: _*)
       .withColumn("__dv_file", col("_metadata.file_path"))
       .withColumn("__dv_pos", col("_metadata.row_index"))
     dv match {
@@ -674,6 +690,105 @@ object Snapshots {
             .select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
           Seq("__dv_file", "__dv_pos"), "left_anti")
     }
+  }
+
+  /** APPEND: publish a new version whose manifest points at the prior
+    * version's segments PLUS one new directory holding `df` — the
+    * incremental-ingest write path (Delta add-file, Iceberg append):
+    * cost is the new rows + one O(1) manifest publish, never a table
+    * rewrite, and the prior version stays time-travelable byte-for-byte.
+    * The prior deletion vector is carried — appended files have no DV
+    * entries, so they are untouched by it. `df` must match the table
+    * schema (appends never evolve the schema; a widening write commits
+    * a full new version instead). OCC: a lost
+    * publish re-reads the new latest and re-points — the already-written
+    * segment is reused, no data is rewritten on retry. Many appends grow
+    * the segment list; [[compactDeletes]] or any full commit collapses
+    * it back to one directory (the OPTIMIZE move).
+    */
+  def appendRows(
+      spark: SparkSession,
+      dir: String,
+      df: DataFrame,
+      maxRetries: Int = 10): Long = {
+    val f = fs(spark, dir)
+    val segName = s"data_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(new Path(dir, segName).toString)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = latestVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no published versions in $dir (append " +
+          "needs a table; create one with commitVersion)"))
+      val entry = manifestEntry(f, dir, v).get
+      if (publishManifest(f, dir, v + 1,
+          Entry(s"${entry.data}+$segName", None, entry.dv).serialize))
+        return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"could not publish append after $maxRetries attempts")
+  }
+
+  /** Merge-on-read UPDATE: rows matching `pred` are dropped from the
+    * existing segments via the deletion vector and re-appear REWRITTEN
+    * (each `sets` column expression evaluated over the old row) in one
+    * new segment — published as ONE version, so the update is atomic:
+    * no reader ever sees the delete without the insert. This is the
+    * missing third write-path primitive next to [[deleteWhere]] and
+    * [[appendRows]] (Delta UPDATE with DVs does exactly this dance);
+    * cost = one MoR scan + the matched rows rewritten + one O(1)
+    * publish — untouched rows are never copied. Matches are computed on
+    * the current MoR view, so updates compose with prior deletes and
+    * updates; a lost OCC publish RECOMPUTES against the new latest (the
+    * stale attempt's segment + DV become vacuum-able debris). A
+    * no-match update publishes nothing (None).
+    */
+  def updateWhere(
+      spark: SparkSession,
+      dir: String,
+      pred: org.apache.spark.sql.Column,
+      sets: Seq[(String, org.apache.spark.sql.Column)],
+      maxRetries: Int = 10): Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    require(sets.nonEmpty, "updateWhere needs at least one SET column")
+    val f = fs(spark, dir)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = latestVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no published versions in $dir"))
+      val entry = manifestEntry(f, dir, v).get
+      // matched rows of the CURRENT MoR view, with their (file, pos) keys;
+      // materialized once — the frame feeds BOTH the DV union and the
+      // rewritten segment, and the two consumers must see the same rows
+      val hits = applyDvKeyed(spark, dir,
+          entry.segments.map(new Path(dir, _).toString), entry.dv)
+        .filter(pred)
+        .localCheckpoint(true)
+      if (hits.isEmpty) return None
+      val prior = entry.dv.map(d => spark.read.parquet(new Path(dir, d).toString))
+      val newKeys = hits.select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+      val merged = prior.fold(newKeys)(p => p.unionByName(newKeys))
+      val dvName = s"dv_${java.util.UUID.randomUUID().toString.take(8)}"
+      merged.coalesce(1).write.mode(SaveMode.ErrorIfExists)
+        .parquet(new Path(dir, dvName).toString)
+      val bare = hits.drop("__dv_file", "__dv_pos")
+      // SET only existing columns: a new name would widen this segment's
+      // schema away from the older segments' and corrupt the unioned read
+      sets.foreach { case (name, _) =>
+        require(bare.columns.contains(name),
+          s"updateWhere SET column '$name' does not exist in the table schema " +
+            s"(${bare.columns.mkString(", ")}); updates never add columns")
+      }
+      val rewritten = sets.foldLeft(bare) {
+        case (acc, (name, setCol)) => acc.withColumn(name, setCol)
+      }
+      val segName = s"data_${java.util.UUID.randomUUID().toString.take(8)}"
+      rewritten.write.mode(SaveMode.ErrorIfExists).parquet(new Path(dir, segName).toString)
+      if (publishManifest(f, dir, v + 1,
+          Entry(s"${entry.data}+$segName", None, Some(dvName)).serialize))
+        return Some(v + 1)
+      attempt += 1
+    }
+    throw new IllegalStateException(s"could not publish update after $maxRetries attempts")
   }
 
   /** RESTORE: publish a NEW version whose manifest points at version

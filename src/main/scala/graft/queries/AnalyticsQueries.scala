@@ -3305,6 +3305,63 @@ object AnalyticsQueries {
         expr("(1 + n_ge) * 1000 div 201").as("p_milli"))
   }
 
+  /** Harrell's concordance index of an engagement predictor against
+    * time-to-conversion — the survival-model discrimination metric
+    * ([[rocAucExact]] is to classifiers what the C-index is to
+    * time-to-event models, with censoring handled): among comparable
+    * pairs (i converted, and j either converted LATER or was censored no
+    * earlier), how often does the higher risk score belong to the
+    * earlier converter? Predictor = the user's FIRST-day event count
+    * (pre-outcome engagement — a score that cannot leak duration).
+    * Aggregate-first like [[hodgesLehmann]]: units collapse to the
+    * (dur, death, score) VALUE-GRAIN frame (durations calendar-bounded,
+    * scores small-integer counts), the pair join runs on cell pairs with
+    * c_i·c_j weights in decimal38, and same-cell pairs are excluded by
+    * the comparability predicate itself (equal dur + equal death=1 is
+    * never comparable). Ties in score count half: C = (2·conc+ties) /
+    * (2·comparable), one integral division to micros.
+    */
+  private val harrellCIndex: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val e = events(s, d)
+      .select(col("user_id"),
+        floor(unix_millis(col("ts")) / lit(86400000.0)).cast(LongType).as("day"),
+        col("event_type"), col("value"))
+      .localCheckpoint(true) // span + conversion + first-day-score branches
+    val span = e.groupBy("user_id").agg(min("day").as("fd"), max("day").as("ld"))
+      .localCheckpoint(true) // units join + first-day filter
+    val conv = e.filter(col("event_type") === "purchase" && col("value") >= 200)
+      .groupBy("user_id").agg(min("day").as("pd"))
+    val score = e.join(span.select(col("user_id"), col("fd")), Seq("user_id"))
+      .filter(col("day") === col("fd"))
+      .groupBy("user_id").agg(count(lit(1)).cast(LongType).as("sc"))
+    val cells = span.join(conv, Seq("user_id"), "left")
+      .join(score, Seq("user_id"))
+      .select(
+        when(col("pd").isNotNull, col("pd") - col("fd"))
+          .otherwise(col("ld") - col("fd")).as("dur"),
+        when(col("pd").isNotNull, 1L).otherwise(0L).as("death"),
+        col("sc"))
+      .groupBy("dur", "death", "sc").agg(count(lit(1)).cast(LongType).as("c"))
+      .localCheckpoint(true) // both sides of the bounded cell-pair join
+    val i = cells.select(col("dur").as("d1"), col("death").as("k1"),
+      col("sc").as("s1"), col("c").as("c1")).filter(col("k1") === 1)
+    val j = cells.select(col("dur").as("d2"), col("death").as("k2"),
+      col("sc").as("s2"), col("c").as("c2"))
+    broadcast(i)
+      .join(j, col("d1") < col("d2") || (col("d1") === col("d2") && col("k2") === 0))
+      .agg(
+        sum((col("c1").cast(dec) * col("c2")).cast(dec)).cast(LongType).as("n_comparable"),
+        sum(when(col("s1") > col("s2"), (col("c1").cast(dec) * col("c2")).cast(dec))
+          .otherwise(lit(0).cast(dec))).cast(LongType).as("n_concordant"),
+        sum(when(col("s1") === col("s2"), (col("c1").cast(dec) * col("c2")).cast(dec))
+          .otherwise(lit(0).cast(dec))).cast(LongType).as("n_score_ties"))
+      .select(col("n_comparable"), col("n_concordant"), col("n_score_ties"),
+        expr("""case when n_comparable = 0 then 0L else
+                (2 * cast(n_concordant as decimal(38,0)) + n_score_ties) * 1000000
+                div (2 * cast(n_comparable as decimal(38,0))) end""").as("c_micros"))
+  }
+
   /** Two-sample log-rank (Mantel–Cox) test: does time-to-conversion
     * differ between the user-parity arms? The inferential companion of
     * [[survivalKaplanMeier]] — KM draws the curves, log-rank says whether
@@ -3392,6 +3449,32 @@ object AnalyticsQueries {
     * baked χ²(6) 0.05 quantile 12.591587.
     */
   private val friedmanTest: Q = (s, d) => {
+    val (ranked, b) = weekdayBlockRanks(s, d)
+    val rj = ranked.groupBy("dow").agg(sum("r").cast(LongType).as("r_sum"))
+      .localCheckpoint(true) // statistic fold + per-dow output rows
+    val chi = rj.agg(sum(col("r_sum") * col("r_sum")).cast(LongType).as("ssq"))
+      .crossJoin(broadcast(b))
+      .select(col("b"),
+        expr("(12 * ssq * 1000000 - 1344 * b * b * 1000000) div (56 * b)")
+          .as("chi2_micros"))
+    rj.crossJoin(broadcast(chi))
+      .select(col("dow"), col("r_sum"), col("b"), col("chi2_micros"),
+        (col("chi2_micros") > 12591587L).cast(LongType).as("significant"))
+  }
+
+  /** Within-block weekday ranks over complete calendar-week blocks of the
+    * daily-revenue series, plus the block count — the shared frame behind
+    * [[friedmanTest]] (any weekday effect) and [[pageTrendTest]] (a
+    * MONOTONE weekday effect). Blocks = day div 7, treatments = the
+    * epoch-anchored weekday pmod(day, 7) (day 0 = a Thursday — an
+    * arbitrary but pinned week anchor, mirrored in the oracle); only
+    * complete blocks (all 7 days present) enter, truncated boundary
+    * weeks drop out. Ranks come from one sort_array per ≤7-cell block —
+    * no window — with cents ties broken by weekday so the rank is total
+    * and the group is a function of the sort key (the kruskal_wallis
+    * sf1 lesson).
+    */
+  private def weekdayBlockRanks(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val daily = events(s, d)
       .select(
         floor(unix_millis(col("ts")) / lit(86400000.0)).cast(LongType).as("day"),
@@ -3407,17 +3490,165 @@ object AnalyticsQueries {
     val ranked = blocks
       .select(col("wk"), posexplode(col("cells")).as(Seq("pos", "c")))
       .select(col("c.dow").as("dow"), (col("pos") + 1).cast(LongType).as("r"))
-    val rj = ranked.groupBy("dow").agg(sum("r").cast(LongType).as("r_sum"))
-      .localCheckpoint(true) // statistic fold + per-dow output rows
-    val b = blocks.agg(count(lit(1)).cast(LongType).as("b"))
-    val chi = rj.agg(sum(col("r_sum") * col("r_sum")).cast(LongType).as("ssq"))
+    (ranked, blocks.agg(count(lit(1)).cast(LongType).as("b")))
+  }
+
+  /** Page's trend test — the ORDERED-alternative sibling of
+    * [[friedmanTest]] on the same complete-week rank frame: Friedman asks
+    * "any weekday differs", Page asks "do weekday levels RISE monotonically
+    * through the week" (the dose order is the pinned epoch-anchored
+    * weekday position 1..7), which is the sharper question when a drift
+    * direction is hypothesized — exactly what [[trendTestArmitage]] is to
+    * [[chi2Independence]] for proportions. L = Σ_j j·R_j is exact; with
+    * k=7, E[L] = 112b and Var[L] = 392b/3, so z² = 3(L−112b)²/(392b) is
+    * an exact rational → micros via one integral division (numerator
+    * nonneg), verdict vs the baked χ²(1) 0.05 quantile.
+    */
+  private val pageTrendTest: Q = (s, d) => {
+    val (ranked, b) = weekdayBlockRanks(s, d)
+    ranked.agg(sum((col("dow") + 1) * col("r")).cast(LongType).as("l_stat"))
       .crossJoin(broadcast(b))
-      .select(col("b"),
-        expr("(12 * ssq * 1000000 - 1344 * b * b * 1000000) div (56 * b)")
-          .as("chi2_micros"))
-    rj.crossJoin(broadcast(chi))
-      .select(col("dow"), col("r_sum"), col("b"), col("chi2_micros"),
-        (col("chi2_micros") > 12591587L).cast(LongType).as("significant"))
+      .select(col("b"), col("l_stat"),
+        expr("""case when b = 0 then 0L else
+                (3 * (l_stat - 112 * b) * (l_stat - 112 * b) * 1000000)
+                div (392 * b) end""").as("z2_micros"))
+      .withColumn("significant", (col("z2_micros") > 3841459L).cast(LongType))
+  }
+
+  /** Tukey HSD post-hoc after [[anovaOneway]]: WHICH return-flag pairs
+    * differ in mean quantity, at a familywise 5 % (the question the
+    * omnibus F cannot answer, and running three t-tests would answer with
+    * inflated error — the multiple-comparison control [[bhFdrTests]] does
+    * by FDR, done here the Tukey way). Same exact moment row as
+    * [[anovaFold]]; per pair, |m̄_i − m̄_j| vs HSD = q·√(MSW/2·(1/n_i+1/n_j))
+    * with the numerically-integrated studentized-range constant
+    * q(0.05, k=3, df=∞) = 3.314493 baked (the χ²/F-constant convention);
+    * the whole render is one pinned double chain per pair with the one
+    * correctly-rounded sqrt, three rows by unioned projections of the
+    * checkpointed 1-row frame.
+    */
+  private val tukeyHsd: Q = (s, d) => {
+    val dec = DecimalType(38, 0)
+    val m = lineitem(s, d)
+      .select(col("l_returnflag").as("g"), col("l_quantity").cast(LongType).as("q"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n"),
+        sum("q").cast(LongType).as("sx"),
+        sum((col("q") * col("q")).cast(dec)).cast(dec).as("sxx"),
+        sum(when(col("g") === "A", 1L).otherwise(0L)).cast(LongType).as("na"),
+        sum(when(col("g") === "A", col("q")).otherwise(0L)).cast(LongType).as("sa"),
+        sum(when(col("g") === "N", 1L).otherwise(0L)).cast(LongType).as("nn"),
+        sum(when(col("g") === "N", col("q")).otherwise(0L)).cast(LongType).as("sn"),
+        sum(when(col("g") === "R", 1L).otherwise(0L)).cast(LongType).as("nr"),
+        sum(when(col("g") === "R", col("q")).otherwise(0L)).cast(LongType).as("sr"))
+      .localCheckpoint(true) // three pair projections below
+    def term(sj: Column, nj: Column): Column =
+      (sj.cast(dec) * sj.cast(dec)).cast(DoubleType) / nj.cast(DoubleType)
+    val corr = term(col("sx"), col("n"))
+    val ssb = term(col("sa"), col("na")) + term(col("sn"), col("nn")) +
+      term(col("sr"), col("nr")) - corr
+    val msw = ((col("sxx").cast(DoubleType) - corr) - ssb) /
+      (col("n") - 3).cast(DoubleType)
+    def pair(g1: String, s1: String, n1: String,
+             g2: String, s2: String, n2: String): DataFrame = {
+      val diff = col(s1).cast(DoubleType) / col(n1).cast(DoubleType) -
+        col(s2).cast(DoubleType) / col(n2).cast(DoubleType)
+      val hsd = lit(3.314493) * sqrt(msw * lit(0.5) *
+        (lit(1.0) / col(n1).cast(DoubleType) + lit(1.0) / col(n2).cast(DoubleType)))
+      m.select(lit(g1).as("g1"), lit(g2).as("g2"),
+        floor(diff * lit(1e6)).cast(LongType).as("diff_micros"),
+        floor(hsd * lit(1e6)).cast(LongType).as("hsd_micros"),
+        (abs(diff) > hsd).cast(LongType).as("significant"))
+    }
+    pair("A", "sa", "na", "N", "sn", "nn")
+      .unionByName(pair("A", "sa", "na", "R", "sr", "nr"))
+      .unionByName(pair("N", "sn", "nn", "R", "sr", "nr"))
+  }
+
+  /** Quantile treatment effects at the deciles — the DISTRIBUTIONAL
+    * companion to [[didEstimator]]/[[cupedAdjustment]]'s mean deltas: an
+    * intervention that moves the p90 while leaving the median alone is
+    * invisible to a mean contrast, and QTE is the standard way to see it.
+    * Per-user total cents per parity arm, each arm's exact decile values
+    * (rank ⌈d·n/10⌉ of the (cents, user_id) total order) from ONE
+    * [[Quantile.rankPicks]] histogram pass per the outlier_mad machinery
+    * — never a per-arm sort; the per-decile difference is exact cents.
+    */
+  private val qteDeciles: Q = (s, d) => {
+    val users = events(s, d)
+      .select(col("user_id"), (dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .groupBy("user_id").agg(sum("cents").cast(LongType).as("uc"))
+      .select(col("user_id"), col("uc"), (col("user_id") % 2).cast(LongType).as("arm"))
+    val picks = Quantile.rankPicks(
+      users, col("arm"), col("uc"), Seq(col("user_id")),
+      (1 to 9).map(dd => (s"d$dd", (n: Column) => idiv(n * dd + 9, 10))),
+      "arm", "qv")
+    val t = picks.filter(col("arm") === 1)
+      .select(col("label"), col("qv").cast(LongType).as("q_treat_cents"))
+    val c = picks.filter(col("arm") === 0)
+      .select(col("label"), col("qv").cast(LongType).as("q_control_cents"))
+    t.join(c, Seq("label"))
+      .select(col("label").as("decile"), col("q_treat_cents"), col("q_control_cents"),
+        (col("q_treat_cents") - col("q_control_cents")).as("qte_cents"))
+  }
+
+  /** Rank-biased overlap (RBO, Webber et al. 2010) between the top-20
+    * supplier-nation revenue leaderboards of the two shipdate halves —
+    * did the ranking PERSIST period-over-period, weighted so the head
+    * matters most? (Nation grain, not part: the part space grows with
+    * the corpus and two halves' top-20 PARTS are disjoint by sf0.01 —
+    * probed, the lane returned an empty intersection — while the 25
+    * bounded nations keep real overlap AND real churn at every scale.)
+    * The principled top-weighted list-agreement metric next to
+    * [[topkStabilityAudit]]'s flat Jaccard/displacement (which treats
+    * rank 1 and rank 20 churn alike): RBO@20 = Σ_d w_d·X_d/d with
+    * X_d = |prefix_d ∩ prefix_d| and the geometric weights
+    * w_d = 0.1·0.9^(d−1) BAKED as twenty nano-scale integers (the nDCG
+    * discount-table move — transcendental-free and engine-identical);
+    * the truncated (depth-20, no extrapolation tail) form, documented.
+    * Per-depth contributions floor to nanos before the sum (the cramers_v
+    * convention). Each half is a hash agg + TakeOrderedAndProject with
+    * ranks attached by the sort_array bounded trick; X_d comes from one
+    * ≤20×20 grid of the joined 20-row frames.
+    */
+  private val rboLeaderboard: Q = (s, d) => {
+    val sup = graft.Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey").cast(LongType).as("pk"))
+    val li = lineitem(s, d).select(col("l_suppkey").as("s_suppkey"),
+      floor(unix_millis(col("l_shipdate").cast("timestamp")) / lit(86400000.0))
+        .cast(LongType).as("day"),
+      (dec2(col("l_extendedprice")) * 100).cast(LongType).as("cents"))
+      .join(broadcast(sup), Seq("s_suppkey"))
+    val mid = li.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val halves = li.crossJoin(broadcast(mid))
+      .select(col("pk"), when(col("day") < col("mid"), 0L).otherwise(1L).as("h"),
+        col("cents"))
+      .groupBy("pk", "h").agg(sum("cents").cast(LongType).as("rev"))
+      .localCheckpoint(true) // two TakeOrdered branches
+    def top(h: Int): DataFrame =
+      halves.filter(col("h") === h)
+        .orderBy(desc("rev"), asc("pk")).limit(20)
+        .agg(sort_array(collect_list(struct((-col("rev")).as("nr"),
+          col("pk").as("pk")))).as("rows"))
+        .selectExpr("posexplode(rows) as (pos, r)")
+        .select(col("r.pk").as("pk"), (col("pos") + 1).cast(LongType).as("rnk"))
+    val joined = top(0).select(col("pk"), col("rnk").as("r1"))
+      .join(top(1).select(col("pk"), col("rnk").as("r2")), Seq("pk"))
+    // X_d = #common parts with both ranks <= d, for d = 1..20
+    val xd = joined
+      .select(explode(sequence(lit(1L), lit(20L))).as("dd"),
+        greatest(col("r1"), col("r2")).as("mr"))
+      .filter(col("mr") <= col("dd"))
+      .groupBy("dd").agg(count(lit(1)).cast(LongType).as("x_d"))
+    val w = "array(100000000L, 90000000L, 81000000L, 72900000L, 65610000L, " +
+      "59049000L, 53144100L, 47829690L, 43046721L, 38742049L, 34867844L, " +
+      "31381060L, 28242954L, 25418658L, 22876792L, 20589113L, 18530202L, " +
+      "16677182L, 15009464L, 13508517L)"
+    xd.select(col("x_d"), col("dd"),
+      expr(s"(x_d * element_at($w, cast(dd as int))) div dd").as("contrib_nano"))
+      .agg(
+        max(when(col("dd") === 20, col("x_d"))).cast(LongType).as("x20"),
+        sum("contrib_nano").cast(LongType).as("rbo_nano"))
   }
 
   /** Difference-in-differences estimator with a placebo check — the
@@ -3661,6 +3892,11 @@ object AnalyticsQueries {
   }
 
   def queries: Map[String, Q] = Map(
+    "harrell_c_index" -> harrellCIndex,
+    "page_trend_test" -> pageTrendTest,
+    "tukey_hsd" -> tukeyHsd,
+    "qte_deciles" -> qteDeciles,
+    "rbo_leaderboard" -> rboLeaderboard,
     "log_rank_test" -> logRankTest,
     "friedman_test" -> friedmanTest,
     "did_estimator" -> didEstimator,
@@ -3757,6 +3993,139 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "harrell_c_index" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day, event_type, value
+        |  FROM events),
+        |u AS (SELECT user_id, MIN(day) AS fd, MAX(day) AS ld FROM e GROUP BY user_id),
+        |cv AS (SELECT user_id, MIN(day) AS pd FROM e
+        |       WHERE event_type = 'purchase' AND value >= 200 GROUP BY user_id),
+        |sc AS (SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS sc
+        |       FROM e JOIN u ON e.user_id = u.user_id AND e.day = u.fd
+        |       GROUP BY e.user_id),
+        |un AS (SELECT CASE WHEN pd IS NOT NULL THEN pd - fd ELSE ld - fd END AS dur,
+        |         CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END AS death, sc.sc
+        |       FROM u LEFT JOIN cv USING (user_id) JOIN sc USING (user_id)),
+        |cl AS (SELECT dur, death, sc, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM un GROUP BY 1, 2, 3),
+        |pr AS (SELECT i.sc AS s1, j.sc AS s2, CAST(i.c AS HUGEINT) * j.c AS w
+        |       FROM (SELECT * FROM cl WHERE death = 1) i
+        |       JOIN cl j ON i.dur < j.dur OR (i.dur = j.dur AND j.death = 0)),
+        |ag AS (SELECT CAST(SUM(w) AS BIGINT) AS n_comparable,
+        |         CAST(SUM(CASE WHEN s1 > s2 THEN w ELSE 0 END) AS BIGINT) AS n_concordant,
+        |         CAST(SUM(CASE WHEN s1 = s2 THEN w ELSE 0 END) AS BIGINT) AS n_score_ties
+        |       FROM pr)
+        |SELECT n_comparable, n_concordant, n_score_ties,
+        |  CASE WHEN n_comparable = 0 THEN 0 ELSE CAST(
+        |    ((2 * CAST(n_concordant AS HUGEINT) + n_score_ties) * 1000000)
+        |    // (2 * CAST(n_comparable AS HUGEINT)) AS BIGINT) END AS c_micros
+        |FROM ag""".stripMargin,
+    "page_trend_test" ->
+      """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1),
+        |dd AS (SELECT day // 7 AS wk, day % 7 AS dow, rev FROM daily),
+        |blk AS (SELECT wk, COUNT(*) AS nd FROM dd GROUP BY wk),
+        |cw AS (SELECT wk FROM blk WHERE nd = 7),
+        |rk AS (SELECT wk, dow,
+        |         CAST(row_number() OVER (PARTITION BY wk ORDER BY rev, dow) AS BIGINT) AS r
+        |       FROM dd WHERE wk IN (SELECT wk FROM cw)),
+        |ls AS (SELECT CAST(SUM((dow + 1) * r) AS BIGINT) AS l_stat FROM rk),
+        |bb AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM cw),
+        |fin AS (SELECT b, l_stat,
+        |    CASE WHEN b = 0 THEN 0 ELSE CAST(
+        |      (3 * CAST(l_stat - 112 * b AS HUGEINT) * (l_stat - 112 * b) * 1000000)
+        |      // (392 * b) AS BIGINT) END AS z2_micros
+        |  FROM ls CROSS JOIN bb)
+        |SELECT b, l_stat, z2_micros,
+        |  CAST(z2_micros > 3841459 AS BIGINT) AS significant FROM fin""".stripMargin,
+    "tukey_hsd" ->
+      """WITH m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+        |    SUM(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS sa,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS sn,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS sr
+        |  FROM lineitem),
+        |s AS (SELECT *,
+        |    CAST(CAST(sa AS HUGEINT) * sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |      + CAST(CAST(sn AS HUGEINT) * sn AS DOUBLE) / CAST(nn AS DOUBLE)
+        |      + CAST(CAST(sr AS HUGEINT) * sr AS DOUBLE) / CAST(nr AS DOUBLE)
+        |      - CAST(CAST(sx AS HUGEINT) * sx AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+        |    CAST(CAST(sx AS HUGEINT) * sx AS DOUBLE) / CAST(n AS DOUBLE) AS corr
+        |  FROM m),
+        |w AS (SELECT *,
+        |    ((CAST(sxx AS DOUBLE) - corr) - ssb) / CAST(n - 3 AS DOUBLE) AS msw FROM s)
+        |SELECT 'A' AS g1, 'N' AS g2,
+        |  CAST(floor((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |    - CAST(sn AS DOUBLE) / CAST(nn AS DOUBLE)) * 1000000.0) AS BIGINT) AS diff_micros,
+        |  CAST(floor(3.314493 * sqrt(msw * 0.5 * (1.0 / CAST(na AS DOUBLE)
+        |    + 1.0 / CAST(nn AS DOUBLE))) * 1000000.0) AS BIGINT) AS hsd_micros,
+        |  CAST(abs(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |    - CAST(sn AS DOUBLE) / CAST(nn AS DOUBLE)) >
+        |    3.314493 * sqrt(msw * 0.5 * (1.0 / CAST(na AS DOUBLE)
+        |    + 1.0 / CAST(nn AS DOUBLE))) AS BIGINT) AS significant FROM w
+        |UNION ALL
+        |SELECT 'A', 'R',
+        |  CAST(floor((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |    - CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)) * 1000000.0) AS BIGINT),
+        |  CAST(floor(3.314493 * sqrt(msw * 0.5 * (1.0 / CAST(na AS DOUBLE)
+        |    + 1.0 / CAST(nr AS DOUBLE))) * 1000000.0) AS BIGINT),
+        |  CAST(abs(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |    - CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)) >
+        |    3.314493 * sqrt(msw * 0.5 * (1.0 / CAST(na AS DOUBLE)
+        |    + 1.0 / CAST(nr AS DOUBLE))) AS BIGINT) FROM w
+        |UNION ALL
+        |SELECT 'N', 'R',
+        |  CAST(floor((CAST(sn AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    - CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)) * 1000000.0) AS BIGINT),
+        |  CAST(floor(3.314493 * sqrt(msw * 0.5 * (1.0 / CAST(nn AS DOUBLE)
+        |    + 1.0 / CAST(nr AS DOUBLE))) * 1000000.0) AS BIGINT),
+        |  CAST(abs(CAST(sn AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    - CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)) >
+        |    3.314493 * sqrt(msw * 0.5 * (1.0 / CAST(nn AS DOUBLE)
+        |    + 1.0 / CAST(nr AS DOUBLE))) AS BIGINT) FROM w""".stripMargin,
+    "qte_deciles" ->
+      """WITH u AS (SELECT user_id, user_id % 2 AS arm,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS uc
+        |  FROM events GROUP BY user_id),
+        |r AS (SELECT arm, uc, user_id,
+        |    row_number() OVER (PARTITION BY arm ORDER BY uc, user_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY arm) AS n FROM u),
+        |g AS (SELECT unnest(generate_series(1, 9)) AS d),
+        |p AS (SELECT g.d, r.arm, r.uc FROM r JOIN g ON r.rn = (r.n * g.d + 9) // 10)
+        |SELECT 'd' || CAST(t.d AS VARCHAR) AS decile,
+        |  t.uc AS q_treat_cents, c.uc AS q_control_cents,
+        |  t.uc - c.uc AS qte_cents
+        |FROM (SELECT d, uc FROM p WHERE arm = 1) t
+        |JOIN (SELECT d, uc FROM p WHERE arm = 0) c USING (d)""".stripMargin,
+    "rbo_leaderboard" ->
+      """WITH li AS (SELECT CAST(s.s_nationkey AS BIGINT) AS pk,
+        |    epoch_ms(l.l_shipdate) // 86400000 AS day,
+        |    CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |mid AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM li),
+        |hv AS (SELECT pk, CASE WHEN day < mid THEN 0 ELSE 1 END AS h,
+        |    CAST(SUM(cents) AS BIGINT) AS rev FROM li CROSS JOIN mid GROUP BY 1, 2),
+        |t0 AS (SELECT pk, CAST(row_number() OVER (ORDER BY rev DESC, pk) AS BIGINT) AS r1
+        |  FROM hv WHERE h = 0 QUALIFY r1 <= 20),
+        |t1 AS (SELECT pk, CAST(row_number() OVER (ORDER BY rev DESC, pk) AS BIGINT) AS r2
+        |  FROM hv WHERE h = 1 QUALIFY r2 <= 20),
+        |j AS (SELECT greatest(r1, r2) AS mr FROM t0 JOIN t1 USING (pk)),
+        |grid AS (SELECT unnest(generate_series(1, 20)) AS dd),
+        |xd AS (SELECT dd, CAST(COUNT(*) AS BIGINT) AS x_d
+        |  FROM grid JOIN j ON j.mr <= grid.dd GROUP BY dd),
+        |wt AS (SELECT * FROM (VALUES (1, 100000000), (2, 90000000), (3, 81000000),
+        |    (4, 72900000), (5, 65610000), (6, 59049000), (7, 53144100), (8, 47829690),
+        |    (9, 43046721), (10, 38742049), (11, 34867844), (12, 31381060),
+        |    (13, 28242954), (14, 25418658), (15, 22876792), (16, 20589113),
+        |    (17, 18530202), (18, 16677182), (19, 15009464), (20, 13508517))
+        |  v(dd, w))
+        |SELECT CAST(MAX(CASE WHEN xd.dd = 20 THEN x_d END) AS BIGINT) AS x20,
+        |  CAST(SUM((x_d * w) // xd.dd) AS BIGINT) AS rbo_nano
+        |FROM xd JOIN wt ON xd.dd = wt.dd""".stripMargin,
     "log_rank_test" ->
       """WITH u AS (SELECT user_id, MIN(epoch_ms(ts) // 86400000) AS fd,
         |    MAX(epoch_ms(ts) // 86400000) AS ld FROM events GROUP BY user_id),

@@ -362,7 +362,55 @@ object SimilarityQueries {
       .orderBy("label")
   }
 
+  /** Simplified silhouette census over the trained IVF cells — the
+    * clustering-quality audit run before TRUSTING any cell-based
+    * structure (semantic dedup cells, IVF pruning): how much closer is
+    * each vector to its own centroid than to the nearest other one?
+    * The simplified (centroid-based) silhouette replaces the O(n²)
+    * pairwise form — a(i) = cosine distance to the own centroid,
+    * b(i) = distance to the nearest OTHER centroid, s = (b−a)/max(a,b);
+    * assignment to the nearest cell makes a ≤ b, so
+    * s = (cos₁−cos₂)/(1−cos₂) ∈ [0, 1] from the rank-1/rank-2 centroid
+    * cosines of the SAME ranking [[graft.ext.IvfIndex]] assignment uses
+    * (its doubles are bit-identical cross-engine, the dedup_embedding
+    * contract). Per-vector s floors to micros BEFORE the per-cell mean
+    * (integer sums — order-independent), sign-safe integral division.
+    * On this corpus the means sit near zero: the embeddings are
+    * MEASURED isotropic (IvfIndex scaladoc), and a near-zero silhouette
+    * is the audit saying so — the honest reading, not a failure.
+    * Cost = the index-assignment pass itself (corpus × broadcast
+    * centroids, one row per vector, two hash aggs).
+    */
+  private val silhouetteCells: Q = (s, d) => {
+    val vec = normed(s, d).select(col("vec_id"), col("v"), col("nrm"))
+      .localCheckpoint(true) // training sample + full assignment
+    val n = vec.count()
+    val cent = graft.ext.IvfIndex.materialize(
+      s, graft.ext.IvfIndex.trainCentroids(vec, "vec_id", 64, n, iters = 2))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos_c"), asc("cid"))
+    val two = vec.crossJoin(broadcast(cent))
+      .withColumn("cos_c", Vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("rk_c", row_number().over(w))
+      .filter(col("rk_c") <= 2)
+    val pair = two.groupBy("vec_id").agg(
+      min(when(col("rk_c") === 1, col("cid"))).as("cell"),
+      min(when(col("rk_c") === 1, col("cos_c"))).as("cos1"),
+      min(when(col("rk_c") === 2, col("cos_c"))).as("cos2"))
+    pair
+      .select(col("cell"),
+        when(col("cos2") >= 1.0, 0L).otherwise(
+          floor((col("cos1") - col("cos2")) / (lit(1.0) - col("cos2")) * lit(1e6))
+            .cast("long")).as("sm"))
+      .groupBy("cell").agg(
+        count(lit(1)).cast("long").as("n_vecs"),
+        sum("sm").cast("long").as("sum_s_micros"))
+      .withColumn("mean_s_micros", expr(
+        """case when sum_s_micros >= 0 then sum_s_micros div n_vecs
+           else -((-sum_s_micros) div n_vecs) end"""))
+  }
+
   val queries: Map[String, Q] = Map(
+    "silhouette_cells" -> silhouetteCells,
     "knn_label_eval" -> knnLabelEval,
     "mrr_knn" -> mrrKnn,
     "ann_recall_audit" -> annRecallAudit,
@@ -375,6 +423,30 @@ object SimilarityQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "silhouette_cells" ->
+      s"""WITH m0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM m0),
+        |${graft.ext.IvfIndex.oracleCtes(64, 2, graft.ext.IvfIndex.DefaultProbes)},
+        |rk AS (SELECT m.vec_id, c.cid,
+        |    list_dot_product(m.v, c.cv) / (m.nrm * c.cn) AS cos_c,
+        |    ROW_NUMBER() OVER (PARTITION BY m.vec_id
+        |      ORDER BY list_dot_product(m.v, c.cv) / (m.nrm * c.cn) DESC, c.cid) AS rk
+        |  FROM m CROSS JOIN cent c),
+        |pr AS (SELECT vec_id,
+        |    MIN(CASE WHEN rk = 1 THEN cid END) AS cell,
+        |    MIN(CASE WHEN rk = 1 THEN cos_c END) AS cos1,
+        |    MIN(CASE WHEN rk = 2 THEN cos_c END) AS cos2
+        |  FROM rk WHERE rk <= 2 GROUP BY vec_id),
+        |sv AS (SELECT cell,
+        |    CASE WHEN cos2 >= 1.0 THEN 0
+        |      ELSE CAST(floor((cos1 - cos2) / (1.0 - cos2) * 1000000.0) AS BIGINT)
+        |    END AS sm FROM pr),
+        |ag AS (SELECT CAST(cell AS BIGINT) AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |    CAST(SUM(sm) AS BIGINT) AS sum_s_micros FROM sv GROUP BY cell)
+        |SELECT cell, n_vecs, sum_s_micros,
+        |  CASE WHEN sum_s_micros >= 0 THEN sum_s_micros // n_vecs
+        |    ELSE -((-sum_s_micros) // n_vecs) END AS mean_s_micros
+        |FROM ag""".stripMargin,
     "knn_label_eval" ->
       """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |m AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),

@@ -141,7 +141,13 @@ class DeterminismSpec extends SparkSpec {
     "partial_correlation",   // one 10-moment agg, pinned sqrt renders
     "jackknife_ratio_ci",    // bucket-sorted pinned fold over leave-one-out ratios
     "simpsons_paradox_audit", // exact cross-multiplied stratum signs
-    "capture_recapture_audit") // portable-hash captures, integer Chapman
+    "capture_recapture_audit", // portable-hash captures, integer Chapman
+    "page_trend_test",       // shared weekday block ranks, exact L rational
+    "tukey_hsd",             // exact moments, pinned HSD double chain
+    "qte_deciles",           // per-arm rankPicks decile value picks
+    "rbo_leaderboard",       // two TakeOrdered rank frames, baked weights
+    "silhouette_cells",      // trained centroids, micros-floored s per vector
+    "harrell_c_index")       // bounded cell-pair join, decimal38 weights
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf

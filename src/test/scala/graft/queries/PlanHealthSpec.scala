@@ -83,6 +83,11 @@ class PlanHealthSpec extends SparkSpec {
     "did_estimator",        // 1-row calendar-bounds frame crossed
     "jackknife_ratio_ci",   // 1-row totals frame crossed onto the 20-bucket frame
     "simpsons_paradox_audit", // 1-row pooled-sign frame crossed onto <=4 rows
+    "page_trend_test",      // 1-row block-count frame crossed
+    "rbo_leaderboard",      // 1-row calendar-midpoint frame crossed
+    "qte_deciles",          // Quantile rankPicks 1-row/bounded stats frames
+    "silhouette_cells",     // bounded centroid model (as sim_topk_ivf)
+    "harrell_c_index",      // (dur, death, score) value-grain cell cross, as hodges_lehmann
     "kendall_tau_daily",    // calendar-bounded day-grain pair join (theil_sen class)
     "association_rules")    // 1-row basket-count frame crossed
 
