@@ -25,7 +25,17 @@ import org.apache.spark.sql.types._
   */
 object IvfIndex {
 
-  /** Cell count targeting ~256 vectors per cell (min 8 cells). With
+  /** SCALE BOUNDARY, measured (BENCH_sf10.md round-7): assignment scores
+    * every (vector, cell) pair, so with the n/256 cell rule the build
+    * pass is O(n²/256) — sim_topk_ivf ran 19.7× for 10× data at
+    * sf1→sf10. Past ~1e6 vectors the design needs a coarse-quantizer
+    * front (two-level assignment, n·√k — the IMI/IVF-HNSW move); the
+    * flat codebook is kept here because it is the recall-correct choice
+    * on the driver's bounded, measured-isotropic embeddings corpus, and
+    * audits that do not need index parity (silhouette_cells) already
+    * run on a fixed small codebook instead.
+    *
+    * Cell count targeting ~256 vectors per cell (min 8 cells). With
     * probes fixed (default 5), per-query candidate work is ~probes*256
     * vectors at ANY corpus size — the index grows cells, not cell size.
     * Chosen empirically against this corpus: the synthetic embeddings are
@@ -132,7 +142,16 @@ object IvfIndex {
     * cn)` and `asg(vec_id, cell, v, nrm)` (probes=1) /
     * `qasg` (probes=`probes`).
     */
-  def oracleCtes(dim: Int, iters: Int, probes: Int): String = {
+  def oracleCtes(dim: Int, iters: Int, probes: Int): String =
+    oracleCtes(dim, iters, probes, None)
+
+  /** As the 3-arg form; `kFixed` pins the cell count instead of the
+    * n/256 sizing rule — the audit-lane variant (silhouette_cells uses a
+    * FIXED 64-cell codebook so the audit stays O(n·64) at any corpus
+    * size, where the index's own n/256 rule makes assignment O(n²/256)
+    * — measured 16.5× for 10× data at sf1→sf10).
+    */
+  def oracleCtes(dim: Int, iters: Int, probes: Int, kFixed: Option[Long]): String = {
     val sums = (0 until dim)
       .map(i => s"SUM(CAST(round(v[${i + 1}] * 1000000.0) AS BIGINT)) AS s$i")
       .mkString(", ")
@@ -145,8 +164,9 @@ object IvfIndex {
          |    ROW_NUMBER() OVER (PARTITION BY m.vec_id
          |      ORDER BY list_dot_product(m.v, c.cv) / (m.nrm * c.cn) DESC, c.cid) AS rk
          |  FROM m CROSS JOIN $cent c) WHERE rk <= $keep)""".stripMargin
+    val kExpr = kFixed.map(_.toString).getOrElse("greatest(8, COUNT(*) // 256)")
     val init =
-      s"""params AS (SELECT COUNT(*) AS n, greatest(8, COUNT(*) // 256) AS k FROM m),
+      s"""params AS (SELECT COUNT(*) AS n, $kExpr AS k FROM m),
          |strv AS (SELECT greatest(1, n // k) AS stride, greatest(1, n // 1024) AS sstride FROM params),
          |c0 AS (SELECT vec_id // (SELECT stride FROM strv) AS cid, v AS cv, nrm AS cn FROM m
          |  WHERE vec_id % (SELECT stride FROM strv) = 0),

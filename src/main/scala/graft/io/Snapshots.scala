@@ -728,6 +728,69 @@ object Snapshots {
     throw new IllegalStateException(s"could not publish append after $maxRetries attempts")
   }
 
+  /** Exactly-once streaming APPEND: [[appendRows]] carrying a txn id,
+    * with [[commitVersionIdempotent]]'s replay check and duplicate
+    * sweep — the streaming-ingest write path where the LATEST version is
+    * always the whole accumulated table (one segment per micro-batch,
+    * O(batch) written + O(1) published per trigger), instead of the
+    * one-version-per-batch layout whose "table" is a union over
+    * versions. A replayed batch's txn is already in the log → no-op
+    * (None); the first batch on an empty table commits as version 0.
+    *
+    * Concurrency note, stronger than the full-version variant needs: a
+    * duplicate txn landing at two versions retracts the higher one, but
+    * an append CHAINS on the prior entry — a third writer appending
+    * inside the brief pre-retract window would inherit the duplicate
+    * segment permanently. The streaming-sink contract makes that window
+    * unreachable: one appId+checkpoint per writing stream, and the
+    * engine serializes a checkpoint's batches, so replays of a txn are
+    * sequential (restart-then-rerun), never concurrent with themselves.
+    * Multiple DIFFERENT apps appending the same table stay safe — their
+    * txns never collide, and cross-app races are ordinary OCC retries.
+    */
+  def appendRowsIdempotent(
+      spark: SparkSession,
+      dir: String,
+      df: DataFrame,
+      txnId: String,
+      maxRetries: Int = 10): Option[Long] = {
+    require(txnId.nonEmpty, "txnId must be non-empty (an empty id would " +
+      "serialize as a trailing field split() drops, silently disabling idempotence)")
+    require(!txnId.contains('|'), "txnId must not contain the manifest separator '|'")
+    if (committedTxns(spark, dir).contains(txnId)) return None
+    val f = fs(spark, dir)
+    f.mkdirs(manifestDir(dir))
+    val segName = s"data_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(new Path(dir, segName).toString)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      // re-check every iteration BEFORE choosing a version (the
+      // commitVersionIdempotent contract): a concurrent replay may have
+      // landed without us losing a rename race
+      if (committedTxns(spark, dir).contains(txnId)) return None
+      val vOpt = latestVersion(spark, dir)
+      val payload = vOpt match {
+        case None => Entry(segName, Some(txnId), None)
+        case Some(v) =>
+          val e = manifestEntry(f, dir, v).get
+          Entry(s"${e.data}+$segName", Some(txnId), e.dv)
+      }
+      val next = vOpt.map(_ + 1).getOrElse(0L)
+      if (publishManifest(f, dir, next, payload.serialize)) {
+        val dup = versions(spark, dir)
+          .filter(w => w != next && readManifestOpt(f, dir, w).exists(_.txn.contains(txnId)))
+        if (dup.exists(_ < next)) {
+          f.delete(new Path(manifestDir(dir), next.toString), false)
+          return None
+        }
+        return Some(next)
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"could not publish idempotent append for txn $txnId after $maxRetries attempts")
+  }
+
   /** Merge-on-read UPDATE: rows matching `pred` are dropped from the
     * existing segments via the deletion vector and re-appear REWRITTEN
     * (each `sets` column expression evaluated over the old row) in one

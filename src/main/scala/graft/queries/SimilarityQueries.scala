@@ -378,15 +378,22 @@ object SimilarityQueries {
     * On this corpus the means sit near zero: the embeddings are
     * MEASURED isotropic (IvfIndex scaladoc), and a near-zero silhouette
     * is the audit saying so — the honest reading, not a failure.
-    * Cost = the index-assignment pass itself (corpus × broadcast
-    * centroids, one row per vector, two hash aggs).
+    * Cost: corpus × a FIXED 64-cell audit codebook (one row per vector,
+    * two hash aggs) — deliberately NOT the index's n/256 cell rule,
+    * whose every-pair assignment is O(n²/256) (measured 16.5× for 10×
+    * data before the pin; 64 cells hold the decade at ~10×).
     */
   private val silhouetteCells: Q = (s, d) => {
     val vec = normed(s, d).select(col("vec_id"), col("v"), col("nrm"))
       .localCheckpoint(true) // training sample + full assignment
     val n = vec.count()
+    // FIXED 64-cell audit codebook, not the index's n/256 sizing: the
+    // census below touches every (vector, centroid) pair, so a corpus-
+    // proportional k makes the audit O(n²/256) — measured 16.5× for 10×
+    // data at sf1→sf10 before this pin; k=64 keeps it O(n·64) (10.2×
+    // after) and a quality census needs granularity, not index parity
     val cent = graft.ext.IvfIndex.materialize(
-      s, graft.ext.IvfIndex.trainCentroids(vec, "vec_id", 64, n, iters = 2))
+      s, graft.ext.IvfIndex.trainCentroidsK(vec, "vec_id", 64, n, k = 64L, iters = 2))
     val w = Window.partitionBy("vec_id").orderBy(desc("cos_c"), asc("cid"))
     val two = vec.crossJoin(broadcast(cent))
       .withColumn("cos_c", Vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
@@ -426,7 +433,7 @@ object SimilarityQueries {
     "silhouette_cells" ->
       s"""WITH m0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |m AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM m0),
-        |${graft.ext.IvfIndex.oracleCtes(64, 2, graft.ext.IvfIndex.DefaultProbes)},
+        |${graft.ext.IvfIndex.oracleCtes(64, 2, graft.ext.IvfIndex.DefaultProbes, Some(64L))},
         |rk AS (SELECT m.vec_id, c.cid,
         |    list_dot_product(m.v, c.cv) / (m.nrm * c.cn) AS cos_c,
         |    ROW_NUMBER() OVER (PARTITION BY m.vec_id

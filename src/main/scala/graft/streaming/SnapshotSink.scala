@@ -30,4 +30,22 @@ object SnapshotSink {
       Snapshots.commitVersionIdempotent(batch.sparkSession, batch, tableDir, s"$appId#$batchId")
       ()
     }
+
+  /** Append-mode streaming ingest: each micro-batch lands as ONE new
+    * segment of a multi-segment version ([[Snapshots.appendRowsIdempotent]]),
+    * so the LATEST version is always the whole accumulated table —
+    * `Snapshots.read` answers "the table so far" directly, deletes and
+    * updates compose on it, and per-trigger cost is O(batch) data + an
+    * O(1) publish. [[writer]]'s one-version-per-batch layout remains for
+    * consumers that process versions AS batches (the change-feed reading
+    * pattern); this is the layout for consumers that read tables. Same
+    * exactly-once contract via "appId#batchId" txns; the sink's
+    * one-appId-one-checkpoint rule is what makes replays sequential
+    * (see the concurrency note on appendRowsIdempotent).
+    */
+  def appendWriter(stream: DataFrame, tableDir: String, appId: String): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      Snapshots.appendRowsIdempotent(batch.sparkSession, tableDir, batch, s"$appId#$batchId")
+      ()
+    }
 }
