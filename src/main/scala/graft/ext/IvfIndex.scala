@@ -25,15 +25,17 @@ import org.apache.spark.sql.types._
   */
 object IvfIndex {
 
-  /** SCALE BOUNDARY, measured (BENCH_sf10.md round-7): assignment scores
-    * every (vector, cell) pair, so with the n/256 cell rule the build
-    * pass is O(n²/256) — sim_topk_ivf ran 19.7× for 10× data at
-    * sf1→sf10. Past ~1e6 vectors the design needs a coarse-quantizer
-    * front (two-level assignment, n·√k — the IMI/IVF-HNSW move); the
-    * flat codebook is kept here because it is the recall-correct choice
-    * on the driver's bounded, measured-isotropic embeddings corpus, and
-    * audits that do not need index parity (silhouette_cells) already
-    * run on a fixed small codebook instead.
+  /** SCALE NOTE (the round-7 measured boundary, now closed): FLAT
+    * assignment scores every (vector, cell) pair, so with the n/256 cell
+    * rule the build pass was O(n²/256) — sim_topk_ivf measured 19.7× for
+    * 10× data at sf1→sf10. [[assignCells]] now routes through a COARSE
+    * QUANTIZER (two-level assignment: score √k super-cells, then only the
+    * probed super-cells' children — the IMI/IVF-HNSW move every
+    * production ANN system makes), cutting assignment to O(n·√k).
+    * With corpus-proportional cells that is still O(n^1.5) total — the
+    * next rung past ~1e8 vectors is a log-depth coarse front (HNSW/tree)
+    * over the same routing contract; recorded here as the next design
+    * boundary rather than silently shipped.
     *
     * Cell count targeting ~256 vectors per cell (min 8 cells). With
     * probes fixed (default 5), per-query candidate work is ~probes*256
@@ -52,6 +54,27 @@ object IvfIndex {
 
   /** Query-time probe count paired with [[cellCount]]. */
   val DefaultProbes = 5
+
+  /** Coarse-quantizer size over k fine cells: √k super-cells (min 4), the
+    * point that balances the two stages of two-level assignment (score g
+    * coarse + probed children ≈ g + cp·k/g, minimized near g = √k).
+    * Integer-only: floor of an exactly-rounded IEEE sqrt, mirrored by the
+    * oracle as `greatest(4, CAST(floor(sqrt(...)) AS BIGINT))`.
+    */
+  def coarseCount(k: Long): Long = math.max(4L, math.sqrt(k.toDouble).toLong)
+
+  /** Coarse probes paired with [[coarseCount]]: how many super-cells a
+    * vector consults before the fine ranking. Swept against this corpus's
+    * measured isotropy (tools/IvfSweep, round 8): cp=4 measures recall@3
+    * = 0.867 at sf0.1 (= flat exactly — g=4 there, so routing is
+    * exhaustive at driver SFs) and 0.367 at sf1 where routing is real
+    * (cp=4 of 9 super-cells) — the SAME value the exhaustive cp=6 sweep
+    * point reads, i.e. routing loses nothing beyond the fixed-probes/
+    * growing-k decay the flat index already had (probes=5 of 78 cells at
+    * sf1; isotropy makes that decay inherent — IvfIndex scaladoc).
+    * Per-vector assignment work: (1+cp)·√k instead of k.
+    */
+  val DefaultCoarseProbes = 4
 
   /** Rank of each (vector, centroid) pair per vector: 1 = nearest. */
   private def ranked(vec: DataFrame, cent: DataFrame): DataFrame = {
@@ -127,14 +150,99 @@ object IvfIndex {
     s.createDataFrame(cent.collect().toSeq.asJava, cent.schema)
   }
 
+  /** Build the coarse quantizer over a MATERIALIZED fine codebook `cent`
+    * (cid, cv, cn): pick every ⌊k/g⌋-th fine centroid (by cid rank — the
+    * stride-init move, pure integer picks so both engines choose the
+    * same rows) as the g = [[coarseCount]](k) super-centroids, then map
+    * every fine cell to its nearest super-cell by cosine (k×g pairs —
+    * bounded model-side work, never corpus-side). Returns
+    * (centS = cent + its `sid` parent, coarse = (sid, gv, gn)), both
+    * re-materialized as local relations so assignment plans broadcast
+    * bounded models instead of re-running this derivation.
+    */
+  def coarsen(
+      s: org.apache.spark.sql.SparkSession,
+      cent: DataFrame): (DataFrame, DataFrame) = {
+    val rows = cent.collect().sortBy(_.getLong(0)) // by cid — cent is a bounded local relation
+    val k = rows.length.toLong
+    val g = coarseCount(k)
+    val cstride = math.max(1L, k / g)
+    val coarseRows = rows.zipWithIndex.collect {
+      case (r, i) if i % cstride == 0 =>
+        org.apache.spark.sql.Row(i / cstride, r.get(1), r.get(2))
+    }
+    val coarseSchema = StructType(Seq(
+      StructField("sid", LongType, nullable = false),
+      StructField("gv", cent.schema("cv").dataType),
+      StructField("gn", DoubleType)))
+    import scala.jdk.CollectionConverters._
+    val coarse = s.createDataFrame(coarseRows.toSeq.asJava, coarseSchema)
+    // fine → coarse parent by cosine (tie: lowest sid) — the same
+    // expression machinery as every other cosine here, so the oracle's
+    // list_dot_product replay is bit-identical
+    val wm = Window.partitionBy("cid").orderBy(desc("cos_s"), asc("sid"))
+    val centS = cent
+      .crossJoin(broadcast(coarse))
+      .withColumn("cos_s", Vectors.dot(col("cv"), col("gv")) / (col("cn") * col("gn")))
+      .withColumn("rk_s", row_number().over(wm))
+      .filter(col("rk_s") === 1)
+      .select("cid", "cv", "cn", "sid")
+    (materialize(s, centS), coarse)
+  }
+
   /** Assign every vector to its `probes` nearest cells (probes=1 builds
     * the index; probes>1 is multi-probe query expansion). Output:
     * idCol, cell, v, nrm — one row per (vector, probed cell).
+    *
+    * TWO-LEVEL: each vector first ranks the g ≈ √k super-centroids and
+    * keeps its [[DefaultCoarseProbes]] nearest super-cells, then ranks
+    * only THOSE super-cells' fine children — O(n·√k) scored pairs
+    * instead of the flat O(n·k) that measured 19.7×/decade in round 7.
+    * Both ranking windows run over NARROW (id, cell, cos) rows — the
+    * 64-dim vector never rides a shuffle; it is re-attached by one keyed
+    * join at the end. The probed-children rank is over a REDUCED
+    * candidate set, so a routing miss loses that cell — the same
+    * recall-for-cost trade as the fine probes themselves, swept and
+    * mirrored exactly by the oracle.
     */
-  def assignCells(vec: DataFrame, idCol: String, cent: DataFrame, probes: Int): DataFrame =
-    ranked(vec.withColumnRenamed(idCol, "__vid"), cent)
+  def assignCells(vec: DataFrame, idCol: String, cent: DataFrame, probes: Int): DataFrame = {
+    val (centS, coarse) = coarsen(vec.sparkSession, cent)
+    assignCellsTwoLevel(vec, idCol, centS, coarse, DefaultCoarseProbes, probes)
+  }
+
+  /** As [[assignCells]] with an explicit pre-[[coarsen]]ed model and
+    * coarse probe count — call sites that assign twice (corpus build +
+    * query expansion) coarsen once and share the model.
+    */
+  def assignCellsTwoLevel(
+      vec: DataFrame,
+      idCol: String,
+      centS: DataFrame,
+      coarse: DataFrame,
+      coarseProbes: Int,
+      probes: Int): DataFrame = {
+    val v0 = vec.withColumnRenamed(idCol, "__vid")
+    val wg = Window.partitionBy("__vid").orderBy(desc("cos_g"), asc("sid"))
+    val route = v0
+      .crossJoin(broadcast(coarse))
+      .withColumn("cos_g", Vectors.dot(col("v"), col("gv")) / (col("nrm") * col("gn")))
+      .select(col("__vid"), col("sid"), col("cos_g"))
+      .withColumn("rk_g", row_number().over(wg))
+      .filter(col("rk_g") <= coarseProbes)
+      .select("__vid", "sid")
+    val wc = Window.partitionBy("__vid").orderBy(desc("cos_c"), asc("cid"))
+    val picked = route
+      .join(v0.select(col("__vid"), col("v"), col("nrm")), Seq("__vid"))
+      .join(broadcast(centS), Seq("sid"))
+      .withColumn("cos_c", Vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .select(col("__vid"), col("cid"), col("cos_c"))
+      .withColumn("rk_c", row_number().over(wc))
       .filter(col("rk_c") <= probes)
-      .select(col("__vid").as(idCol), col("cid").as("cell"), col("v"), col("nrm"))
+      .select(col("__vid"), col("cid").as("cell"))
+    picked
+      .join(v0.select(col("__vid"), col("v"), col("nrm")), Seq("__vid"))
+      .select(col("__vid").as(idCol), col("cell"), col("v"), col("nrm"))
+  }
 
   /** DuckDB image of the whole train+assign pipeline, generated so the
     * oracle replays the identical iterations. `m` must be a CTE named
@@ -158,12 +266,21 @@ object IvfIndex {
     val cxs = (0 until dim)
       .map(i => s"CAST(s$i AS DOUBLE) / CAST(cnt AS DOUBLE) / 1000000.0")
       .mkString(", ")
-    def assignSql(cent: String, name: String, keep: String) =
-      s"""$name AS (SELECT vec_id, cid AS cell, v, nrm FROM (
-         |  SELECT m.vec_id, c.cid, m.v, m.nrm,
+    // two-level assignment, the [[assignCellsTwoLevel]] mirror: route each
+    // vector to its DefaultCoarseProbes nearest super-cells, then rank only
+    // those super-cells' fine children
+    def assignSql(name: String, keep: String) =
+      s"""${name}r AS (SELECT vec_id, sid FROM (
+         |  SELECT m.vec_id, c.sid,
          |    ROW_NUMBER() OVER (PARTITION BY m.vec_id
-         |      ORDER BY list_dot_product(m.v, c.cv) / (m.nrm * c.cn) DESC, c.cid) AS rk
-         |  FROM m CROSS JOIN $cent c) WHERE rk <= $keep)""".stripMargin
+         |      ORDER BY list_dot_product(m.v, c.gv) / (m.nrm * c.gn) DESC, c.sid) AS rk
+         |  FROM m CROSS JOIN co c) WHERE rk <= $DefaultCoarseProbes),
+         |$name AS (SELECT vec_id, cid AS cell, v, nrm FROM (
+         |  SELECT m.vec_id, f.cid, m.v, m.nrm,
+         |    ROW_NUMBER() OVER (PARTITION BY m.vec_id
+         |      ORDER BY list_dot_product(m.v, f.cv) / (m.nrm * f.cn) DESC, f.cid) AS rk
+         |  FROM ${name}r r JOIN m ON m.vec_id = r.vec_id
+         |  JOIN fmap f ON f.sid = r.sid) WHERE rk <= $keep)""".stripMargin
     val kExpr = kFixed.map(_.toString).getOrElse("greatest(8, COUNT(*) // 256)")
     val init =
       s"""params AS (SELECT COUNT(*) AS n, $kExpr AS k FROM m),
@@ -182,10 +299,27 @@ object IvfIndex {
          |c$it AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
          |  SELECT cid, [$cxs] AS cv FROM g$it))""".stripMargin
     }.mkString(",\n")
+    // coarse quantizer over the fine codebook ([[coarsen]] mirror):
+    // strided picks by cid rank (pure integer choices), then each fine
+    // cell's nearest super-cell by cosine
+    val coarseSql =
+      s"""crk AS (SELECT cid, cv, cn,
+         |    ROW_NUMBER() OVER (ORDER BY cid) - 1 AS r FROM cent),
+         |cprm AS (SELECT greatest(4, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS g,
+         |    COUNT(*) AS kk FROM cent),
+         |cstrv AS (SELECT greatest(1, kk // g) AS cstride FROM cprm),
+         |co AS (SELECT r // (SELECT cstride FROM cstrv) AS sid, cv AS gv, cn AS gn
+         |  FROM crk WHERE r % (SELECT cstride FROM cstrv) = 0),
+         |fmap AS (SELECT cid, cv, cn, sid FROM (
+         |  SELECT f.cid, f.cv, f.cn, c.sid,
+         |    ROW_NUMBER() OVER (PARTITION BY f.cid
+         |      ORDER BY list_dot_product(f.cv, c.gv) / (f.cn * c.gn) DESC, c.sid) AS rk
+         |  FROM cent f CROSS JOIN co c) WHERE rk = 1)""".stripMargin
     val finals =
       s"""cent AS (SELECT cid, cv, cn FROM c$iters),
-         |${assignSql("cent", "asg", "1")},
-         |${assignSql("cent", "qasg", probes.toString)}""".stripMargin
+         |$coarseSql,
+         |${assignSql("asg", "1")},
+         |${assignSql("qasg", probes.toString)}""".stripMargin
     s"$init,\n$iterSql,\n$finals"
   }
 }
