@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // bench-stability flags (round 8, BENCH noise isolation): pin the heap
+  // (resize cycles moved query times up to 1.6x run-over-run) and widen
+  // the JIT code cache — 260 queries' generated classes overflow the
+  // 240 MB default, and flushed-then-recompiled hot loops read as the
+  // in-family "context effect" (a query's time depending on its
+  // neighbors, not its code)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:ReservedCodeCacheSize=512m",
 )

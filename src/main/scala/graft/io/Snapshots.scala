@@ -33,19 +33,33 @@ import org.apache.hadoop.fs.Path
 object Snapshots {
 
   /** One version's manifest payload: the immutable data-directory
-    * pointer, the optional exactly-once txn id, and the optional
+    * pointer, the optional exactly-once txn id, the optional
     * deletion-vector directory (merge-on-read deletes: the data files
     * are untouched; the DV names the (file, row) pairs a reader must
-    * drop). Wire format `data[|txn[|dv]]` with `-` as the absent-txn
-    * sentinel when a dv follows — parsed in exactly two places
+    * drop), and the optional DECLARED SCHEMA (schema evolution: set the
+    * moment a version's logical schema stops being derivable from its
+    * parquet footers alone — [[addColumn]], evolving [[updateWhere]] —
+    * and carried forward by every subsequent write; base64 of the
+    * StructType JSON, so the payload stays one `|`-separated line).
+    * Wire format `data[|txn[|dv[|schema]]]` with `-` as the
+    * absent-field sentinel — parsed in exactly two places
     * ([[readManifest]], [[latestCheckpoint]]) and serialized in two
     * ([[publishManifest]] callers, [[checkpointLog]]).
     */
-  private[io] case class Entry(data: String, txn: Option[String], dv: Option[String]) {
-    def serialize: String = (txn, dv) match {
-      case (None, None) => data
-      case (Some(t), None) => s"$data|$t"
-      case (t, Some(d)) => s"$data|${t.getOrElse("-")}|$d"
+  private[io] case class Entry(
+      data: String,
+      txn: Option[String],
+      dv: Option[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None) {
+    def serialize: String = {
+      val sch = schema.map(s => java.util.Base64.getEncoder.encodeToString(
+        s.json.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      (txn, dv, sch) match {
+        case (None, None, None) => data
+        case (Some(t), None, None) => s"$data|$t"
+        case (t, Some(d), None) => s"$data|${t.getOrElse("-")}|$d"
+        case (t, d, Some(s)) => s"$data|${t.getOrElse("-")}|${d.getOrElse("-")}|$s"
+      }
     }
 
     /** The version's data SEGMENTS: `data` is one directory name or a
@@ -58,11 +72,19 @@ object Snapshots {
     def segments: Seq[String] = data.split('+').toSeq
   }
   private[io] object Entry {
+    private def opt(s: String): Option[String] = if (s == "-") None else Some(s)
+    private def decodeSchema(s: String): org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.DataType
+        .fromJson(new String(
+          java.util.Base64.getDecoder.decode(s),
+          java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
     def parse(fields: Array[String]): Entry = fields match {
       case Array(data) => Entry(data, None, None)
       case Array(data, txn) => Entry(data, Some(txn), None)
-      case Array(data, txn, dv) =>
-        Entry(data, if (txn == "-") None else Some(txn), Some(dv))
+      case Array(data, txn, dv) => Entry(data, opt(txn), Some(dv))
+      case Array(data, txn, dv, sch) =>
+        Entry(data, opt(txn), opt(dv), opt(sch).map(decodeSchema))
       case _ => throw new IllegalStateException(
         s"bad manifest payload: ${fields.mkString("|")}")
     }
@@ -335,9 +357,19 @@ object Snapshots {
     // append/update churn, the OPTIMIZE contract every format has).
     if (!entry.get.segments.forall(dn => f.exists(statsPath(dir, dn))))
       return readVersion(spark, dir, v)
-    val stats = spark.read.parquet(
+    // mergeSchema: per-segment sidecars may carry different stats columns
+    // (different statsCols across commits); a sampled-schema union would
+    // null-evaluate the keep filter and silently prune matching files.
+    // Pruning additionally restricts to columns EVERY segment's sidecar
+    // carries: a merged-in null from a sidecar that never computed the
+    // column is indistinguishable from the exact all-null-column case, so
+    // such columns fall back to unpruned (conservative, never lossy).
+    val stats = spark.read.option("mergeSchema", "true").parquet(
       entry.get.segments.map(dn => statsPath(dir, dn).toString): _*)
-    val usable = bounds.filter { case (c, _) => stats.columns.contains(s"min_$c") }
+    val everywhere = entry.get.segments
+      .map(dn => spark.read.parquet(statsPath(dir, dn).toString).columns.toSet)
+      .reduce(_ intersect _)
+    val usable = bounds.filter { case (c, _) => everywhere.contains(s"min_$c") }
     if (usable.isEmpty) return readVersion(spark, dir, v)
     val keep = usable
       .map { case (c, (lo, hi)) => col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi) }
@@ -347,11 +379,18 @@ object Snapshots {
       // no file can match: empty result with the version's schema (the
       // foldable-false filter collapses to an empty LocalRelation)
       readVersion(spark, dir, v).where(lit(false))
-    else
+    else {
       // the pruned file subset still owes the version's deletion vector:
       // DV keys are absolute file paths, so the anti-join naturally
-      // no-ops for rows of files the pruning already dropped
-      applyDv(spark, dir, spark.read.parquet(files: _*), entry.get.dv)
+      // no-ops for rows of files the pruning already dropped — and an
+      // evolved version's declared-schema alignment applies here too
+      val reader =
+        if (entry.get.schema.isDefined) spark.read.option("mergeSchema", "true")
+        else spark.read
+      alignToDeclared(
+        applyDv(spark, dir, reader.parquet(files: _*), entry.get.dv),
+        entry.get.schema)
+    }
   }
 
   /** Parse one manifest: (data directory name, optional txn id). The
@@ -587,15 +626,80 @@ object Snapshots {
 
   /** Time travel: read an explicit published version by following its
     * manifest's data-directory pointer — from the live manifest file or,
-    * after log compaction, from the checkpoint's entry.
+    * after log compaction, from the checkpoint's entry. A version that
+    * carries a DECLARED schema (post-[[addColumn]] evolution) reads its
+    * segments with footer merging and aligns to that schema — segments
+    * written before the evolution surface the new columns as null, and
+    * time travel to pre-evolution versions keeps their exact old shape
+    * (their entries carry no/an older schema).
     */
   def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
     val f = fs(spark, dir)
     val entry = manifestEntry(f, dir, v)
     require(entry.isDefined, s"version $v is not published in $dir")
-    applyDv(spark, dir,
-      spark.read.parquet(entry.get.segments.map(new Path(dir, _).toString): _*),
-      entry.get.dv)
+    alignToDeclared(
+      applyDv(spark, dir, segmentScan(spark, dir, entry.get), entry.get.dv),
+      entry.get.schema)
+  }
+
+  /** Scan a version's data segments; declared-schema versions merge
+    * footers (heterogeneous post-evolution segments), plain versions keep
+    * the single-footer fast path byte-for-byte.
+    */
+  private def segmentScan(spark: SparkSession, dir: String, entry: Entry): DataFrame = {
+    val reader =
+      if (entry.schema.isDefined) spark.read.option("mergeSchema", "true")
+      else spark.read
+    reader.parquet(entry.segments.map(new Path(dir, _).toString): _*)
+  }
+
+  /** Project to the declared schema when one exists: declared column
+    * order, missing columns (pre-evolution segments) null-filled with the
+    * declared type; `keep` columns (the DV keys) pass through untouched.
+    */
+  private def alignToDeclared(
+      base: DataFrame,
+      declared: Option[org.apache.spark.sql.types.StructType],
+      keep: Seq[String] = Nil): DataFrame = declared match {
+    case None => base
+    case Some(st) =>
+      import org.apache.spark.sql.functions.{col, lit}
+      val present = base.columns.toSet
+      val cols = st.fields.toSeq.map { fld =>
+        if (present(fld.name)) col(fld.name)
+        else lit(null).cast(fld.dataType).as(fld.name)
+      } ++ keep.map(col)
+      base.select(cols: _*)
+  }
+
+  /** The latest version's logical schema: the declared one if evolution
+    * set it, else the segments' parquet schema.
+    */
+  def tableSchema(spark: SparkSession, dir: String): org.apache.spark.sql.types.StructType = {
+    val f = fs(spark, dir)
+    val v = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no published versions in $dir"))
+    val entry = manifestEntry(f, dir, v).get
+    entry.schema.getOrElse(segmentScan(spark, dir, entry).schema)
+  }
+
+  /** Fail a write whose dataframe shape diverges from the table's schema
+    * (names, types AND order must match exactly — a mismatched append
+    * would otherwise commit fine and later multi-segment reads would
+    * silently null-fill instead of failing loudly). Nullability and
+    * metadata are ignored: parquet round-trips legitimately flip them.
+    */
+  private def requireSchemaMatch(
+      df: DataFrame,
+      expected: org.apache.spark.sql.types.StructType,
+      op: String): Unit = {
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.toSeq.map(f => (f.name, f.dataType))
+    require(
+      shape(df.schema) == shape(expected),
+      s"$op: dataframe schema ${df.schema.simpleString} does not match the " +
+        s"table schema ${expected.simpleString}; evolve with addColumn first " +
+        "(writes never change the schema implicitly)")
   }
 
   /** Merge-on-read: drop the (file, row) pairs the version's deletion
@@ -649,40 +753,48 @@ object Snapshots {
     while (attempt < maxRetries) {
       val v = latestVersion(spark, dir).getOrElse(
         throw new IllegalArgumentException(s"no published versions in $dir"))
-      val entry = manifestEntry(f, dir, v).get
-      val dataPaths = entry.segments.map(new Path(dir, _).toString)
-      // matches on the CURRENT MoR view, keyed by the reader's metadata
-      val hits = applyDvKeyed(spark, dir, dataPaths, entry.dv)
-        .filter(pred)
-        .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
-      val prior = entry.dv.map(d => spark.read.parquet(new Path(dir, d).toString))
-      val merged = prior.fold(hits)(p => p.unionByName(hits))
-      if (hits.isEmpty) return None
-      val dvName = s"dv_${java.util.UUID.randomUUID().toString.take(8)}"
-      merged.coalesce(1).write.mode(SaveMode.ErrorIfExists)
-        .parquet(new Path(dir, dvName).toString)
-      if (publishManifest(f, dir, v + 1, Entry(entry.data, None, Some(dvName)).serialize))
-        return Some(v + 1)
-      // lost the race: the new latest may have different data OR a newer
-      // DV — recompute everything; this attempt's DV dir is vacuum debris
-      attempt += 1
+      manifestEntry(f, dir, v) match {
+        // a None entry here is a lost race with a concurrent idempotent
+        // writer retracting its duplicate manifest — ordinary log churn,
+        // re-read the log and retry (never .get-crash on it)
+        case None => attempt += 1
+        case Some(entry) =>
+          // matches on the CURRENT MoR view, keyed by the reader's metadata
+          val hits = applyDvKeyed(spark, dir, entry)
+            .filter(pred)
+            .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+          val prior = entry.dv.map(d => spark.read.parquet(new Path(dir, d).toString))
+          val merged = prior.fold(hits)(p => p.unionByName(hits))
+          if (hits.isEmpty) return None
+          val dvName = s"dv_${java.util.UUID.randomUUID().toString.take(8)}"
+          merged.coalesce(1).write.mode(SaveMode.ErrorIfExists)
+            .parquet(new Path(dir, dvName).toString)
+          if (publishManifest(f, dir, v + 1,
+              Entry(entry.data, None, Some(dvName), entry.schema).serialize))
+            return Some(v + 1)
+          // lost the race: the new latest may have different data OR a newer
+          // DV — recompute everything; this attempt's DV dir is vacuum debris
+          attempt += 1
+      }
     }
     throw new IllegalStateException(s"could not publish delete after $maxRetries attempts")
   }
 
   /** The MoR view with the `__dv_file`/`__dv_pos` key columns still
-    * attached — [[deleteWhere]] needs the keys of the SURVIVORS.
+    * attached — [[deleteWhere]]/[[updateWhere]]/[[mergeInto]] need the
+    * keys of the SURVIVORS. Declared-schema alignment applies here too:
+    * a predicate over an evolved column must see it (null-filled) on
+    * pre-evolution segments.
     */
   private def applyDvKeyed(
       spark: SparkSession,
       dir: String,
-      dataPaths: Seq[String],
-      dv: Option[String]): DataFrame = {
+      entry: Entry): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val keyed = spark.read.parquet(dataPaths: _*)
+    val keyed = segmentScan(spark, dir, entry)
       .withColumn("__dv_file", col("_metadata.file_path"))
       .withColumn("__dv_pos", col("_metadata.row_index"))
-    dv match {
+    val undeleted = entry.dv match {
       case None => keyed
       case Some(dvName) =>
         keyed.join(
@@ -690,6 +802,7 @@ object Snapshots {
             .select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
           Seq("__dv_file", "__dv_pos"), "left_anti")
     }
+    alignToDeclared(undeleted, entry.schema, keep = Seq("__dv_file", "__dv_pos"))
   }
 
   /** APPEND: publish a new version whose manifest points at the prior
@@ -712,6 +825,10 @@ object Snapshots {
       df: DataFrame,
       maxRetries: Int = 10): Long = {
     val f = fs(spark, dir)
+    // validate BEFORE writing the segment: a mismatched append must fail
+    // loudly up front, not commit and let later multi-segment reads
+    // silently null-fill the divergent columns
+    requireSchemaMatch(df, tableSchema(spark, dir), "appendRows")
     val segName = s"data_${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.mode(SaveMode.ErrorIfExists).parquet(new Path(dir, segName).toString)
     var attempt = 0
@@ -719,11 +836,14 @@ object Snapshots {
       val v = latestVersion(spark, dir).getOrElse(
         throw new IllegalArgumentException(s"no published versions in $dir (append " +
           "needs a table; create one with commitVersion)"))
-      val entry = manifestEntry(f, dir, v).get
-      if (publishManifest(f, dir, v + 1,
-          Entry(s"${entry.data}+$segName", None, entry.dv).serialize))
-        return v + 1
-      attempt += 1
+      manifestEntry(f, dir, v) match {
+        case None => attempt += 1 // lost race with a retracting writer — re-read the log
+        case Some(entry) =>
+          if (publishManifest(f, dir, v + 1,
+              Entry(s"${entry.data}+$segName", None, entry.dv, entry.schema).serialize))
+            return v + 1
+          attempt += 1
+      }
     }
     throw new IllegalStateException(s"could not publish append after $maxRetries attempts")
   }
@@ -760,6 +880,9 @@ object Snapshots {
     if (committedTxns(spark, dir).contains(txnId)) return None
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
+    // schema gate (first batch on an empty table DEFINES the schema)
+    if (latestVersion(spark, dir).isDefined)
+      requireSchemaMatch(df, tableSchema(spark, dir), "appendRowsIdempotent")
     val segName = s"data_${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.mode(SaveMode.ErrorIfExists).parquet(new Path(dir, segName).toString)
     var attempt = 0
@@ -769,23 +892,41 @@ object Snapshots {
       // landed without us losing a rename race
       if (committedTxns(spark, dir).contains(txnId)) return None
       val vOpt = latestVersion(spark, dir)
-      val payload = vOpt match {
-        case None => Entry(segName, Some(txnId), None)
+      val payloadOpt = vOpt match {
+        case None => Some(Entry(segName, Some(txnId), None))
         case Some(v) =>
-          val e = manifestEntry(f, dir, v).get
-          Entry(s"${e.data}+$segName", Some(txnId), e.dv)
+          // a None entry = lost race with a retracting writer: retry
+          manifestEntry(f, dir, v).map(e =>
+            Entry(s"${e.data}+$segName", Some(txnId), e.dv, e.schema))
       }
-      val next = vOpt.map(_ + 1).getOrElse(0L)
-      if (publishManifest(f, dir, next, payload.serialize)) {
-        val dup = versions(spark, dir)
-          .filter(w => w != next && readManifestOpt(f, dir, w).exists(_.txn.contains(txnId)))
-        if (dup.exists(_ < next)) {
-          f.delete(new Path(manifestDir(dir), next.toString), false)
-          return None
-        }
-        return Some(next)
+      payloadOpt match {
+        case None => attempt += 1
+        case Some(payload) =>
+          val next = vOpt.map(_ + 1).getOrElse(0L)
+          if (publishManifest(f, dir, next, payload.serialize)) {
+            val dup = versions(spark, dir)
+              .filter(w => w != next && readManifestOpt(f, dir, w).exists(_.txn.contains(txnId)))
+            if (dup.exists(_ < next)) {
+              // before retracting our duplicate, prove nobody CHAINED on it:
+              // an append entry inherits the prior entry's segment list, so a
+              // third writer publishing next+1 on top of us would keep our
+              // (duplicate) segment alive after the retract — permanent
+              // double rows. Unreachable under the sink contract (one
+              // appId+checkpoint per stream serializes a txn's replays), so
+              // reaching it means the contract was violated: fail LOUDLY
+              // instead of silently duplicating.
+              if (versions(spark, dir).max > next)
+                throw new IllegalStateException(
+                  s"txn $txnId committed twice (v${dup.min} and v$next) AND a later " +
+                    "writer chained on the duplicate — the one-writer-per-txn sink " +
+                    "contract was violated; the table needs manual repair")
+              f.delete(new Path(manifestDir(dir), next.toString), false)
+              return None
+            }
+            return Some(next)
+          }
+          attempt += 1
       }
-      attempt += 1
     }
     throw new IllegalStateException(
       s"could not publish idempotent append for txn $txnId after $maxRetries attempts")
@@ -803,7 +944,10 @@ object Snapshots {
     * the current MoR view, so updates compose with prior deletes and
     * updates; a lost OCC publish RECOMPUTES against the new latest (the
     * stale attempt's segment + DV become vacuum-able debris). A
-    * no-match update publishes nothing (None).
+    * no-match update publishes nothing (None). A SET naming a NEW column
+    * EVOLVES the schema (declared-schema entry; old segments read the
+    * column as null; time travel keeps the old shape) — see [[addColumn]]
+    * for the metadata-only evolve.
     */
   def updateWhere(
       spark: SparkSession,
@@ -818,40 +962,195 @@ object Snapshots {
     while (attempt < maxRetries) {
       val v = latestVersion(spark, dir).getOrElse(
         throw new IllegalArgumentException(s"no published versions in $dir"))
-      val entry = manifestEntry(f, dir, v).get
-      // matched rows of the CURRENT MoR view, with their (file, pos) keys;
-      // materialized once — the frame feeds BOTH the DV union and the
-      // rewritten segment, and the two consumers must see the same rows
-      val hits = applyDvKeyed(spark, dir,
-          entry.segments.map(new Path(dir, _).toString), entry.dv)
-        .filter(pred)
-        .localCheckpoint(true)
-      if (hits.isEmpty) return None
-      val prior = entry.dv.map(d => spark.read.parquet(new Path(dir, d).toString))
-      val newKeys = hits.select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
-      val merged = prior.fold(newKeys)(p => p.unionByName(newKeys))
-      val dvName = s"dv_${java.util.UUID.randomUUID().toString.take(8)}"
-      merged.coalesce(1).write.mode(SaveMode.ErrorIfExists)
-        .parquet(new Path(dir, dvName).toString)
-      val bare = hits.drop("__dv_file", "__dv_pos")
-      // SET only existing columns: a new name would widen this segment's
-      // schema away from the older segments' and corrupt the unioned read
-      sets.foreach { case (name, _) =>
-        require(bare.columns.contains(name),
-          s"updateWhere SET column '$name' does not exist in the table schema " +
-            s"(${bare.columns.mkString(", ")}); updates never add columns")
+      manifestEntry(f, dir, v) match {
+        case None => attempt += 1 // lost race with a retracting writer
+        case Some(entry) =>
+          // matched rows of the CURRENT MoR view, with their (file, pos) keys;
+          // materialized once — the frame feeds BOTH the DV union and the
+          // rewritten segment, and the two consumers must see the same rows
+          val hits = applyDvKeyed(spark, dir, entry)
+            .filter(pred)
+            .localCheckpoint(true)
+          if (hits.isEmpty) return None
+          val prior = entry.dv.map(d => spark.read.parquet(new Path(dir, d).toString))
+          val newKeys = hits.select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+          val merged = prior.fold(newKeys)(p => p.unionByName(newKeys))
+          val dvName = s"dv_${java.util.UUID.randomUUID().toString.take(8)}"
+          merged.coalesce(1).write.mode(SaveMode.ErrorIfExists)
+            .parquet(new Path(dir, dvName).toString)
+          val bare = hits.drop("__dv_file", "__dv_pos")
+          // SET of a NEW column is schema evolution: the version's entry
+          // gains a declared schema (old columns + the new ones, nullable),
+          // UNMATCHED rows in old segments read the new column as null, and
+          // time travel below this version keeps the old shape — the
+          // UPDATE-with-evolution move (Delta's automatic schema evolution)
+          val rewritten = sets.foldLeft(bare) {
+            case (acc, (name, setCol)) => acc.withColumn(name, setCol)
+          }
+          val newNames = sets.map(_._1).distinct.filterNot(bare.columns.contains)
+          val newSchema: Option[org.apache.spark.sql.types.StructType] =
+            if (newNames.isEmpty) entry.schema
+            else Some(org.apache.spark.sql.types.StructType(
+              entry.schema.map(_.fields.toSeq)
+                .getOrElse(bare.schema.fields.toSeq) ++
+                newNames.map(n => org.apache.spark.sql.types.StructField(
+                  n, rewritten.schema(n).dataType, nullable = true))))
+          val segName = s"data_${java.util.UUID.randomUUID().toString.take(8)}"
+          rewritten.write.mode(SaveMode.ErrorIfExists).parquet(new Path(dir, segName).toString)
+          if (publishManifest(f, dir, v + 1,
+              Entry(s"${entry.data}+$segName", None, Some(dvName), newSchema).serialize))
+            return Some(v + 1)
+          attempt += 1
       }
-      val rewritten = sets.foldLeft(bare) {
-        case (acc, (name, setCol)) => acc.withColumn(name, setCol)
-      }
-      val segName = s"data_${java.util.UUID.randomUUID().toString.take(8)}"
-      rewritten.write.mode(SaveMode.ErrorIfExists).parquet(new Path(dir, segName).toString)
-      if (publishManifest(f, dir, v + 1,
-          Entry(s"${entry.data}+$segName", None, Some(dvName)).serialize))
-        return Some(v + 1)
-      attempt += 1
     }
     throw new IllegalStateException(s"could not publish update after $maxRetries attempts")
+  }
+
+  /** Schema evolution, the metadata-only half: publish a new version with
+    * the SAME data and DV whose declared schema gains `name` (nullable,
+    * appended last — parquet-compatible widening only). Cost is ONE
+    * manifest file — no data is read or written, which is what makes
+    * evolution viable on a million-file table. Readers of the new version
+    * see the column as null until a write fills it; time travel below
+    * this version keeps the old shape; [[appendRows]] after the evolve
+    * requires the evolved shape (the append carries the column).
+    * Rejects duplicate names loudly. Same OCC loop as every commit.
+    */
+  def addColumn(
+      spark: SparkSession,
+      dir: String,
+      name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      maxRetries: Int = 10): Long = {
+    val f = fs(spark, dir)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = latestVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no published versions in $dir"))
+      manifestEntry(f, dir, v) match {
+        case None => attempt += 1 // lost race with a retracting writer
+        case Some(entry) =>
+          val cur = entry.schema.getOrElse(segmentScan(spark, dir, entry).schema)
+          require(!cur.fieldNames.contains(name),
+            s"addColumn: column '$name' already exists in ${cur.simpleString}")
+          val evolved = org.apache.spark.sql.types.StructType(
+            cur.fields :+ org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+          if (publishManifest(f, dir, v + 1,
+              Entry(entry.data, None, entry.dv, Some(evolved)).serialize))
+            return v + 1
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(s"could not publish addColumn after $maxRetries attempts")
+  }
+
+  /** MERGE INTO — the atomic upsert write path (Delta MERGE with DVs does
+    * exactly this dance): `source` rows are matched to the current MoR
+    * view on `keyCols`; matched target rows are dropped via the deletion
+    * vector and REPLACED by their source row in one new segment,
+    * unmatched source rows are inserted into the same segment, and rows
+    * where `deleteWhen` holds (evaluated over the source row) delete
+    * their matched target and are not inserted — ALL published as ONE
+    * version, so no reader ever sees a half-applied merge. Cost: one MoR
+    * scan + one keyed join + the source rows written + one O(1) publish;
+    * unmatched TARGET rows are never copied. The classification logic is
+    * the snapshot-table twin of [[graft.ops.Cdc.applyUpserts]] (kept /
+    * updated / inserted), executed as a write instead of a projection.
+    *
+    * Contracts: `source` must carry exactly the table schema (evolve
+    * first with [[addColumn]]); at most ONE source row per key (checked —
+    * two updates racing to the same key in one batch is the ambiguity
+    * every MERGE rejects); an effect-free merge publishes nothing (None).
+    * `txnId` upgrades a streaming `foreachBatch` caller to exactly-once:
+    * a replayed batch's id is already in the log → no-op, with the same
+    * lowest-version-wins duplicate sweep (and loud chained-duplicate
+    * check) as [[appendRowsIdempotent]]. OCC: a lost publish recomputes
+    * the match against the new latest — the insert segment is reused
+    * (it depends only on `source`), the stale DV is vacuum debris.
+    */
+  def mergeInto(
+      spark: SparkSession,
+      dir: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      txnId: Option[String] = None,
+      maxRetries: Int = 10): Option[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit}
+    require(keyCols.nonEmpty, "mergeInto needs at least one key column")
+    txnId.foreach { t =>
+      require(t.nonEmpty, "txnId must be non-empty")
+      require(!t.contains('|'), "txnId must not contain the manifest separator '|'")
+    }
+    val f = fs(spark, dir)
+    if (txnId.exists(committedTxns(spark, dir).contains)) return None
+    requireSchemaMatch(source, tableSchema(spark, dir), "mergeInto")
+    keyCols.foreach(k => require(source.columns.contains(k),
+      s"mergeInto: key column '$k' is not in the source schema"))
+    // one source row per key — the "multiple source rows matched" ambiguity
+    // every MERGE implementation rejects. One aggregation over the source.
+    val dupKey = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+    require(dupKey.isEmpty,
+      s"mergeInto: source has multiple rows for the same (${keyCols.mkString(", ")}) key")
+    // rows the merge WRITES (update images + inserts) depend only on the
+    // source — write the segment once, reuse it across OCC retries
+    val toWrite = deleteWhen.fold(source)(c => source.filter(!coalesce(c, lit(false))))
+    val hasInserts = !toWrite.isEmpty
+    val segName = s"data_${java.util.UUID.randomUUID().toString.take(8)}"
+    if (hasInserts)
+      toWrite.write.mode(SaveMode.ErrorIfExists).parquet(new Path(dir, segName).toString)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      if (txnId.exists(committedTxns(spark, dir).contains)) return None
+      val v = latestVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no published versions in $dir"))
+      manifestEntry(f, dir, v) match {
+        case None => attempt += 1 // lost race with a retracting writer
+        case Some(entry) =>
+          // every matched target row is DV-dropped (its replacement — or
+          // nothing, for deleteWhen rows — lives in the new segment)
+          val hits = applyDvKeyed(spark, dir, entry)
+            .join(source.select(keyCols.map(col): _*), keyCols, "inner")
+            .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+            .localCheckpoint(true)
+          val hasMatches = !hits.isEmpty
+          if (!hasMatches && !hasInserts) return None
+          val dvOpt =
+            if (!hasMatches) entry.dv
+            else {
+              val prior = entry.dv.map(d => spark.read.parquet(new Path(dir, d).toString))
+              val dvName = s"dv_${java.util.UUID.randomUUID().toString.take(8)}"
+              prior.fold(hits.toDF())(p => p.unionByName(hits))
+                .coalesce(1).write.mode(SaveMode.ErrorIfExists)
+                .parquet(new Path(dir, dvName).toString)
+              Some(dvName)
+            }
+          val data = if (hasInserts) s"${entry.data}+$segName" else entry.data
+          val next = v + 1
+          if (publishManifest(f, dir, next,
+              Entry(data, txnId, dvOpt, entry.schema).serialize)) {
+            txnId.foreach { t =>
+              val dup = versions(spark, dir)
+                .filter(w => w != next && readManifestOpt(f, dir, w).exists(_.txn.contains(t)))
+              if (dup.exists(_ < next)) {
+                // same chained-duplicate guard as appendRowsIdempotent: a
+                // writer stacked on our duplicate inherits its segment/DV
+                if (versions(spark, dir).max > next)
+                  throw new IllegalStateException(
+                    s"txn $t merged twice (v${dup.min} and v$next) AND a later writer " +
+                      "chained on the duplicate — the one-writer-per-txn sink contract " +
+                      "was violated; the table needs manual repair")
+                f.delete(new Path(manifestDir(dir), next.toString), false)
+                return None
+              }
+            }
+            return Some(next)
+          }
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(s"could not publish merge after $maxRetries attempts")
   }
 
   /** RESTORE: publish a NEW version whose manifest points at version
@@ -872,7 +1171,10 @@ object Snapshots {
     var attempt = 0
     while (attempt < maxRetries) {
       val next = latestVersion(spark, dir).map(_ + 1).getOrElse(0L)
-      if (publishManifest(f, dir, next, Entry(entry.get.data, None, entry.get.dv).serialize))
+      // the restored version's DECLARED SCHEMA travels with its data: a
+      // rollback across an evolution restores the pre-evolution shape
+      if (publishManifest(f, dir, next,
+          Entry(entry.get.data, None, entry.get.dv, entry.get.schema).serialize))
         return next
       attempt += 1
     }

@@ -3891,7 +3891,149 @@ object AnalyticsQueries {
            end"""))
   }
 
+  /** Cochran–Mantel–Haenszel test over the SAME stratified 2×2 frame as
+    * [[simpsonsParadoxAudit]] — the inferential follow-up the audit begs
+    * for: after adjusting for the stratum, is the exposure→outcome
+    * association real? (The audit shows per-stratum vs pooled DIRECTION;
+    * CMH pools the per-stratum evidence without ever pooling the rows,
+    * which is exactly what makes it immune to the paradox.) Per stratum:
+    * T_k = a − r1·c1/n and V_k = r1·r2·c1·c2/(n²(n−1)), each floored to
+    * micros with the sign-safe integral division (decimal38
+    * cross-multiplication — per-stratum denominators never multiply
+    * together, so nothing overflows at any SF); the statistic is
+    * (ΣT)²/ΣV, one integral division, baked χ²(1) verdict. Bounded
+    * frame: one hash aggregation to #strata rows, then scalar math.
+    * The no-continuity-correction form is pinned (mirrored exactly).
+    */
+  private val cmhTest: Q = (s, d) => {
+    val li = lineitem(s, d).select(col("l_orderkey").as("ok"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"),
+      col("l_linestatus").as("stratum"))
+    val hi = orders(s, d).select(col("o_orderkey").as("ok"),
+      when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L).as("hi"))
+    li.join(hi, Seq("ok"))
+      .groupBy("stratum").agg(
+        count(lit(1)).cast(LongType).as("n"),
+        sum(col("hi")).cast(LongType).as("r1"),
+        sum(col("ret")).cast(LongType).as("c1"),
+        sum(when(col("hi") === 1, col("ret")).otherwise(0L)).cast(LongType).as("a"))
+      .select(col("stratum"), col("n"), col("r1"), col("c1"), col("a"),
+        expr("""case when n = 0 then 0L else
+            case when cast(a as decimal(38,0)) * n - cast(r1 as decimal(38,0)) * c1 >= 0
+            then (cast(a as decimal(38,0)) * n - cast(r1 as decimal(38,0)) * c1) * 1000000 div n
+            else -(((cast(r1 as decimal(38,0)) * c1 - cast(a as decimal(38,0)) * n)) * 1000000 div n)
+            end end""").as("t_u"),
+        expr("""case when n <= 1 then 0L else
+            (cast(r1 as decimal(38,0)) * (n - r1) * c1 * (n - c1) * 1000000)
+              div (cast(n as decimal(38,0)) * n * (n - 1)) end""").as("v_u"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_strata"),
+        sum("t_u").cast(LongType).as("t_micros"),
+        sum("v_u").cast(LongType).as("v_micros"))
+      .select(col("n_strata"), col("t_micros"), col("v_micros"),
+        expr("""case when v_micros <= 0 then 0L else
+            (cast(t_micros as decimal(38,0)) * t_micros) div v_micros end""")
+          .as("cmh_micros"))
+      .withColumn("significant", (col("cmh_micros") > 3841459L).cast(LongType))
+  }
+
+  /** Cochran's Q — the k-treatment extension of [[mcnemarTest]] on
+    * related binary outcomes: does the per-user incidence of the k event
+    * types differ, with each USER as their own block? x_ij = 1 iff user
+    * i emitted ≥1 event of type j (absence is a measured 0 — every block
+    * is complete by construction). The textbook Q = k(k−1)Σ(G_j−N/k)² /
+    * (kΣL_i−ΣL_i²) multiplies out to the ALL-INTEGER form
+    * (k−1)(kΣG²−N²) / (kN−ΣL²) — exact BIGINT cores from two hash
+    * aggregations (per-type block counts G_j; per-block type counts
+    * L_i), one integral division to micros. df = k−1 is data-dependent,
+    * so the χ²(0.05) critical value is a baked ladder over df 1..8
+    * (events carry a handful of types; a df past the ladder reports
+    * significant = 0 with crit = 0 rather than inventing a constant —
+    * pinned, oracle-mirrored). Degenerate all-complete blocks (kN = ΣL²)
+    * report 0.
+    */
+  private val cochranQ: Q = (s, d) => {
+    val ev = events(s, d).select(col("user_id"), col("event_type"))
+    val cells = ev.distinct().localCheckpoint(true) // G and L aggregations
+    val g = cells.groupBy("event_type").agg(count(lit(1)).cast(LongType).as("gj"))
+      .agg(count(lit(1)).cast(LongType).as("k"),
+        sum("gj").cast(LongType).as("n_total"),
+        sum(col("gj") * col("gj")).cast(LongType).as("sum_g2"))
+    val l = cells.groupBy("user_id").agg(count(lit(1)).cast(LongType).as("li"))
+      .agg(count(lit(1)).cast(LongType).as("n_blocks"),
+        sum(col("li") * col("li")).cast(LongType).as("sum_l2"))
+    val crit = "case k - 1 when 1 then 3841459L when 2 then 5991465L " +
+      "when 3 then 7814728L when 4 then 9487729L when 5 then 11070498L " +
+      "when 6 then 12591587L when 7 then 14067140L when 8 then 15507313L else 0L end"
+    g.crossJoin(broadcast(l))
+      .select(col("k"), col("n_blocks"), col("n_total"),
+        expr(s"""case when cast(k as decimal(38,0)) * n_total - sum_l2 <= 0 then 0L else
+            ((k - 1) * (cast(k as decimal(38,0)) * sum_g2 - cast(n_total as decimal(38,0)) * n_total) * 1000000)
+              div (cast(k as decimal(38,0)) * n_total - sum_l2) end""").as("q_micros"),
+        expr(crit).as("crit_micros"))
+      .withColumn("significant",
+        (col("crit_micros") > 0 && col("q_micros") > col("crit_micros")).cast(LongType))
+  }
+
+  /** Jonckheere–Terpstra ordered-alternative test across INDEPENDENT
+    * groups — the unblocked complement of [[pageTrendTest]] (Page needs
+    * complete blocks; JT only needs the groups ordered): do order totals
+    * rise monotonically across the five priority classes? JT is the sum
+    * of between-group Mann–Whitney counts for every ordered pair; at
+    * scale it reduces to value-grain CDFs — one hash agg to (group,
+    * cents) cells, the full cents×group grid (zero-filled so every CDF
+    * is defined at every observed value), per-group running sums via
+    * [[graft.ext.Prefix.runningSum]] (no single-reducer window), and a
+    * bounded per-value suffix window over the ≤5 group rows. Ties count
+    * ½ (tracked as integer 2·JT); the no-tie normal approximation is
+    * pinned (ties are a vanishing fraction of price cents — the
+    * tie-corrected variance is a documented refinement, not silently
+    * approximated): z² = 9·(4JT−(n²−Σn_g²))² / (2·(n²(2n+3)−Σn_g²(2n_g+3)))
+    * in one decimal38 chain, baked χ²(1) verdict, trend direction
+    * reported signed.
+    */
+  private val jonckheereTerpstra: Q = (s, d) => {
+    val cells = orders(s, d)
+      .select(col("o_orderpriority").as("grp"),
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+      .groupBy("grp", "cents").agg(count(lit(1)).cast(LongType).as("c"))
+      .localCheckpoint(true) // grid + group sizes
+    val grid = cells.select("cents").distinct()
+      .crossJoin(broadcast(cells.select("grp").distinct()))
+      .join(cells, Seq("grp", "cents"), "left")
+      .na.fill(0L, Seq("c"))
+    val sizes = cells.groupBy("grp").agg(sum("c").cast(LongType).as("ng"))
+    val cdf = Prefix.runningSum(grid, col("grp"), Seq(col("cents").asc), col("c"), "cdf")
+      .join(broadcast(sizes), Seq("grp"))
+      .withColumn("gt", col("ng") - col("cdf")) // strictly-greater count in grp
+    // per-value suffix over LATER groups (≤5 rows per cents partition)
+    val wSuf = org.apache.spark.sql.expressions.Window
+      .partitionBy("cents").orderBy(desc("grp"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val contrib = cdf
+      .withColumn("s_gt", coalesce(sum("gt").over(wSuf), lit(0L)))
+      .withColumn("s_tie", coalesce(sum("c").over(wSuf), lit(0L)))
+      .select((col("c") * (lit(2L) * col("s_gt") + col("s_tie"))).as("jt2c"))
+      .agg(sum("jt2c").cast(LongType).as("jt2"))
+    val moments = sizes.agg(
+      sum("ng").cast(LongType).as("n"),
+      sum(col("ng") * col("ng")).cast(LongType).as("sum_n2"),
+      sum(expr("cast(ng as decimal(38,0)) * ng * (2 * ng + 3)")).as("sum_n23"))
+    contrib.crossJoin(broadcast(moments))
+      .select(col("jt2"), col("n"),
+        expr("2 * cast(jt2 as decimal(38,0)) - (cast(n as decimal(38,0)) * n - sum_n2)").as("a4"),
+        expr("cast(n as decimal(38,0)) * n * (2 * n + 3) - sum_n23").as("dd"))
+      .select(col("jt2"), col("n"),
+        expr("case when a4 > 0 then 1L when a4 < 0 then -1L else 0L end").as("trend_dir"),
+        expr("""case when dd <= 0 then 0L else
+            (a4 * a4 * 9 * 1000000) div (2 * dd) end""").cast(LongType).as("z2_micros"))
+      .withColumn("significant", (col("z2_micros") > 3841459L).cast(LongType))
+  }
+
   def queries: Map[String, Q] = Map(
+    "cmh_test" -> cmhTest,
+    "cochran_q" -> cochranQ,
+    "jonckheere_terpstra" -> jonckheereTerpstra,
     "harrell_c_index" -> harrellCIndex,
     "page_trend_test" -> pageTrendTest,
     "tukey_hsd" -> tukeyHsd,
@@ -3993,6 +4135,93 @@ object AnalyticsQueries {
   private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   def oracle: Map[String, String] = Map(
+    "cmh_test" ->
+      """WITH j AS (SELECT l.l_linestatus AS stratum,
+        |    CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS hi,
+        |    CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |st AS (SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(hi) AS BIGINT) AS r1, CAST(SUM(ret) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN hi = 1 THEN ret ELSE 0 END) AS BIGINT) AS a
+        |  FROM j GROUP BY stratum),
+        |tv AS (SELECT
+        |    CASE WHEN n = 0 THEN 0
+        |      WHEN CAST(a AS HUGEINT) * n - CAST(r1 AS HUGEINT) * c1 >= 0
+        |      THEN (CAST(a AS HUGEINT) * n - CAST(r1 AS HUGEINT) * c1) * 1000000 // n
+        |      ELSE -((CAST(r1 AS HUGEINT) * c1 - CAST(a AS HUGEINT) * n) * 1000000 // n)
+        |    END AS t_u,
+        |    CASE WHEN n <= 1 THEN 0 ELSE
+        |      (CAST(r1 AS HUGEINT) * (n - r1) * c1 * (n - c1) * 1000000)
+        |        // (CAST(n AS HUGEINT) * n * (n - 1)) END AS v_u
+        |  FROM st),
+        |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+        |    CAST(SUM(t_u) AS BIGINT) AS t_micros, CAST(SUM(v_u) AS BIGINT) AS v_micros FROM tv)
+        |SELECT n_strata, t_micros, v_micros,
+        |  CAST(CASE WHEN v_micros <= 0 THEN 0 ELSE
+        |    (CAST(t_micros AS HUGEINT) * t_micros) // v_micros END AS BIGINT) AS cmh_micros,
+        |  CAST(CASE WHEN v_micros > 0 AND
+        |    (CAST(t_micros AS HUGEINT) * t_micros) // v_micros > 3841459
+        |    THEN 1 ELSE 0 END AS BIGINT) AS significant
+        |FROM ag""".stripMargin,
+    "cochran_q" ->
+      """WITH cells AS (SELECT DISTINCT user_id, event_type FROM events),
+        |g0 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS gj FROM cells GROUP BY 1),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(gj) AS BIGINT) AS n_total,
+        |    CAST(SUM(gj * gj) AS BIGINT) AS sum_g2 FROM g0),
+        |l0 AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS li FROM cells GROUP BY 1),
+        |l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    CAST(SUM(li * li) AS BIGINT) AS sum_l2 FROM l0)
+        |SELECT k, n_blocks, n_total,
+        |  CAST(CASE WHEN CAST(k AS HUGEINT) * n_total - sum_l2 <= 0 THEN 0 ELSE
+        |    ((k - 1) * (CAST(k AS HUGEINT) * sum_g2 - CAST(n_total AS HUGEINT) * n_total) * 1000000)
+        |      // (CAST(k AS HUGEINT) * n_total - sum_l2) END AS BIGINT) AS q_micros,
+        |  CAST(CASE k - 1 WHEN 1 THEN 3841459 WHEN 2 THEN 5991465 WHEN 3 THEN 7814728
+        |    WHEN 4 THEN 9487729 WHEN 5 THEN 11070498 WHEN 6 THEN 12591587
+        |    WHEN 7 THEN 14067140 WHEN 8 THEN 15507313 ELSE 0 END AS BIGINT) AS crit_micros,
+        |  CAST(CASE WHEN (CASE k - 1 WHEN 1 THEN 3841459 WHEN 2 THEN 5991465
+        |      WHEN 3 THEN 7814728 WHEN 4 THEN 9487729 WHEN 5 THEN 11070498
+        |      WHEN 6 THEN 12591587 WHEN 7 THEN 14067140 WHEN 8 THEN 15507313 ELSE 0 END) > 0
+        |    AND (CASE WHEN CAST(k AS HUGEINT) * n_total - sum_l2 <= 0 THEN 0 ELSE
+        |      ((k - 1) * (CAST(k AS HUGEINT) * sum_g2 - CAST(n_total AS HUGEINT) * n_total) * 1000000)
+        |        // (CAST(k AS HUGEINT) * n_total - sum_l2) END) >
+        |      (CASE k - 1 WHEN 1 THEN 3841459 WHEN 2 THEN 5991465 WHEN 3 THEN 7814728
+        |        WHEN 4 THEN 9487729 WHEN 5 THEN 11070498 WHEN 6 THEN 12591587
+        |        WHEN 7 THEN 14067140 WHEN 8 THEN 15507313 ELSE 0 END)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS significant
+        |FROM g, l""".stripMargin,
+    "jonckheere_terpstra" ->
+      """WITH cells AS (SELECT o_orderpriority AS grp,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |grid AS (SELECT v.cents, gg.grp, coalesce(c.c, 0) AS c
+        |  FROM (SELECT DISTINCT cents FROM cells) v
+        |  CROSS JOIN (SELECT DISTINCT grp FROM cells) gg
+        |  LEFT JOIN cells c ON c.cents = v.cents AND c.grp = gg.grp),
+        |cdf AS (SELECT grp, cents, c,
+        |    SUM(c) OVER (PARTITION BY grp ORDER BY cents) AS cdf FROM grid),
+        |sizes AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS ng FROM cells GROUP BY grp),
+        |gt AS (SELECT cdf.grp, cdf.cents, cdf.c, s.ng - cdf.cdf AS gt FROM cdf
+        |  JOIN sizes s ON s.grp = cdf.grp),
+        |suf AS (SELECT grp, cents, c,
+        |    coalesce(SUM(gt) OVER (PARTITION BY cents ORDER BY grp DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_gt,
+        |    coalesce(SUM(c) OVER (PARTITION BY cents ORDER BY grp DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_tie
+        |  FROM gt),
+        |jt AS (SELECT CAST(SUM(c * (2 * s_gt + s_tie)) AS BIGINT) AS jt2 FROM suf),
+        |mo AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(ng * ng) AS BIGINT) AS sum_n2,
+        |    SUM(CAST(ng AS HUGEINT) * ng * (2 * ng + 3)) AS sum_n23 FROM sizes),
+        |ad AS (SELECT jt2, n,
+        |    2 * CAST(jt2 AS HUGEINT) - (CAST(n AS HUGEINT) * n - sum_n2) AS a4,
+        |    CAST(n AS HUGEINT) * n * (2 * n + 3) - sum_n23 AS dd
+        |  FROM jt, mo)
+        |SELECT jt2, n,
+        |  CAST(CASE WHEN a4 > 0 THEN 1 WHEN a4 < 0 THEN -1 ELSE 0 END AS BIGINT) AS trend_dir,
+        |  CAST(CASE WHEN dd <= 0 THEN 0 ELSE (a4 * a4 * 9 * 1000000) // (2 * dd) END AS BIGINT) AS z2_micros,
+        |  CAST(CASE WHEN dd > 0 AND (a4 * a4 * 9 * 1000000) // (2 * dd) > 3841459
+        |    THEN 1 ELSE 0 END AS BIGINT) AS significant
+        |FROM ad""".stripMargin,
     "harrell_c_index" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day, event_type, value
         |  FROM events),

@@ -151,12 +151,72 @@ object CdcQueries {
       .agg(count(lit(1)).cast(LongType).as("n_purchases"))
   }
 
+  /** MERGE INTO round-trip through the CORRECTNESS gate: commit the
+    * customer balances as a snapshot table, apply the latest-event-value
+    * upsert batch with [[graft.io.Snapshots.mergeInto]] (matched →
+    * replaced via DV + re-append, unmatched → inserted, `user_id % 10 ==
+    * 0` source rows → matched-DELETE), and read the merged table back.
+    * The oracle recomputes the END STATE from the raw tables with the
+    * same full-outer classification `cdc_apply_upserts` pins — so the
+    * WRITE PATH's visible result is hash-checked against the query-level
+    * semantics, closing the loop the round-7 verdict asked for
+    * (SnapshotMergeSpec separately pins atomicity/OCC/txn behavior).
+    */
+  private val lakehouseMergeRead: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mg").toString
+    val base = customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal").cast("double").as("balance"))
+    graft.io.Snapshots.commitVersion(s, base, tmp)
+    val w = Window.partitionBy("user_id").orderBy(desc("ms"), desc("event_id"))
+    val src = events(s, d)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id").as("c_custkey"), col("value").cast("double").as("balance"))
+    graft.io.Snapshots.mergeInto(s, tmp, src, Seq("c_custkey"),
+      deleteWhen = Some(col("c_custkey") % 10 === 0))
+    graft.io.Snapshots.read(s, tmp)
+      .groupBy((col("c_custkey") % 7).as("kb"))
+      .agg(count(lit(1)).as("n"), dsum(col("balance")).as("bal_sum"))
+      .orderBy("kb")
+  }
+
+  /** Schema-evolution round-trip through the CORRECTNESS gate: commit
+    * orders, [[graft.io.Snapshots.addColumn]] a `band` column
+    * (metadata-only — no data rewritten), UPDATE the expensive orders
+    * into band 2 (rewritten rows carry the evolved column; untouched old
+    * segments surface it as null), then APPEND a band-1 slice in the
+    * evolved shape. The final read unions three heterogeneous segments
+    * through declared-schema alignment; the oracle recomputes the same
+    * state from the raw table, so a wrong null-fill, a dropped
+    * alignment, or a mis-carried schema all hash-mismatch.
+    */
+  private val lakehouseEvolveRead: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ev").toString
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice").cast("double").as("price"))
+    graft.io.Snapshots.commitVersion(s, base, tmp)
+    graft.io.Snapshots.addColumn(s, tmp, "band", org.apache.spark.sql.types.LongType)
+    graft.io.Snapshots.updateWhere(s, tmp, col("price") >= 200000.0,
+      Seq("band" -> lit(2L)))
+    graft.io.Snapshots.appendRows(s, tmp,
+      base.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey") + lit(2000000000L) as "o_orderkey",
+          col("price"), lit(1L).as("band")))
+    graft.io.Snapshots.read(s, tmp)
+      .groupBy(coalesce(col("band"), lit(0L)).as("band"))
+      .agg(count(lit(1)).as("n"), dsum(col("price")).as("price_sum"))
+      .orderBy("band")
+  }
+
   val queries: Map[String, Q] = Map(
     "scd2_asof_lookup" -> scd2AsofLookup,
     "scd2_user_history" -> scd2UserHistory,
     "cdc_apply_upserts" -> cdcApplyUpserts,
     "incremental_agg_merge" -> incrementalAggMerge,
-    "lakehouse_pruned_scan" -> lakehousePrunedScan
+    "lakehouse_pruned_scan" -> lakehousePrunedScan,
+    "lakehouse_merge_read" -> lakehouseMergeRead,
+    "lakehouse_evolve_read" -> lakehouseEvolveRead
   )
 
   val oracle: Map[String, String] = Map(
@@ -213,6 +273,31 @@ object CdcQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS price_sum
         |FROM orders
         |WHERE epoch_ms(o_orderdate) BETWEEN 757382400000 AND 788918399999
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "lakehouse_merge_read" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
+        |latest AS (SELECT user_id, CAST(value AS DOUBLE) AS new_bal FROM (
+        |    SELECT user_id, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ms DESC, event_id DESC) AS rn
+        |    FROM ev) x WHERE rn = 1),
+        |m AS (SELECT coalesce(c.c_custkey, u.user_id) AS k,
+        |    CASE WHEN u.user_id IS NOT NULL THEN u.new_bal
+        |         ELSE CAST(c.c_acctbal AS DOUBLE) END AS balance,
+        |    u.user_id IS NOT NULL AND u.user_id % 10 = 0 AS del
+        |  FROM customer c FULL OUTER JOIN latest u ON c.c_custkey = u.user_id)
+        |SELECT k % 7 AS kb, COUNT(*) AS n,
+        |  CAST(SUM(CAST(balance AS DECIMAL(12,2))) AS DOUBLE) AS bal_sum
+        |FROM m WHERE NOT del GROUP BY 1 ORDER BY 1""".stripMargin,
+    "lakehouse_evolve_read" ->
+      """WITH w AS (
+        |  SELECT CASE WHEN CAST(o_totalprice AS DOUBLE) >= 200000.0 THEN 2 ELSE NULL END AS band,
+        |    CAST(o_totalprice AS DOUBLE) AS price
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 1 AS band, CAST(o_totalprice AS DOUBLE) AS price
+        |  FROM orders WHERE o_orderkey % 5 = 0)
+        |SELECT CAST(coalesce(band, 0) AS BIGINT) AS band, COUNT(*) AS n,
+        |  CAST(SUM(CAST(price AS DECIMAL(12,2))) AS DOUBLE) AS price_sum
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -157,7 +157,59 @@ object MultimodalQueries {
       .orderBy("source")
   }
 
+  /** Video PIXEL decode, oracle-checked end-to-end: two-thirds of the
+    * docs become REAL RIFF/AVI payloads (built row-side with
+    * [[Multimodal.syntheticAvi]]) carrying two raw bottom-up BGR DIB
+    * frames whose bytes follow a closed-form integer sequence
+    * `((doc_id%256)*31 + frame*17 + i*7) % 256`; the featurizer walks the
+    * container, DECODES the rasters pixel-by-pixel
+    * ([[Multimodal.decodeVideoFrame]]) and sums per-channel intensity
+    * bucket counts — exact integers the oracle recomputes ANALYTICALLY
+    * from the same sequence (256 residue classes × 288 bytes, never
+    * touching a blob), so a wrong stride, a missed bottom-up flip, or a
+    * broken container walk all hash-mismatch. The remaining third are
+    * text payloads pinning the md5 fallback lane. The MJPEG decode path
+    * (ImageIO over `00dc` spans) shares decodeVideoFrame and is pinned
+    * pixel-exactly by VideoCodecSpec — JPEG bytes cannot cross the
+    * engine boundary.
+    */
+  private val mediaVideoFeatures: Q = (s, d) => {
+    import s.implicits._
+    val docs = documents(s, d).select(col("doc_id").cast(LongType), col("source"), col("text"))
+    val binz = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val payload =
+          if (id % 3 == 0) Option(text).getOrElse("").getBytes("UTF-8")
+          else {
+            val frames = (0 until 2).map { f =>
+              Array.tabulate(8 * 6 * 3)(i =>
+                (((id % 256) * 31 + f * 17 + i * 7) % 256).toByte)
+            }
+            Multimodal.syntheticAvi(8, 6, 40000L, frames)
+          }
+        (id, payload)
+      }
+      .toDF("doc_id", "payload")
+    val feats = Multimodal.extractVideoPixelFeatures(binz, bins = 4, maxFrames = 8).toDF()
+    // hist indexes: 0..3 R, 4..7 G, 8..11 B (imageHistogramCounts layout)
+    val histCols = (for ((name, base) <- Seq(("r", 0), ("g", 4), ("b", 8)); k <- 0 until 4)
+      yield sum(element_at(col("hist"), base + k + 1)).cast(LongType).as(s"$name$k"))
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("decoded"), 1L).otherwise(0L)).cast(LongType).as("n_avi"),
+      sum(col("n_decoded_frames")).cast(LongType).as("frames_dec"),
+      sum(when(col("decoded"), 0L)
+        .otherwise(element_at(col("undecoded_hashes"), 1) % 1000000L))
+        .cast(LongType).as("sum_h_u")) ++ histCols
+    feats
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "media_video_features" -> mediaVideoFeatures,
     "props_typed_map" -> propsTypedMap,
     "props_variant" -> propsVariant,
     "props_extract" -> propsExtract,
@@ -168,6 +220,40 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "media_video_features" -> {
+      // analytic per-channel bucket counts for one residue class: frame
+      // bytes follow ((rm*31 + f*17 + i*7) % 256), component = i%3 in DIB
+      // order (0=B, 1=G, 2=R), bucket = value // 64
+      def cnt(comp: Int, k: Int) =
+        s"CAST(SUM(CASE WHEN comp = $comp AND v // 64 = $k THEN 1 ELSE 0 END) AS BIGINT)"
+      val rExprs = (0 until 4).map(k => s"${cnt(2, k)} AS r$k").mkString(", ")
+      val gExprs = (0 until 4).map(k => s"${cnt(1, k)} AS g$k").mkString(", ")
+      val bExprs = (0 until 4).map(k => s"${cnt(0, k)} AS b$k").mkString(", ")
+      val sums = (for (n <- Seq("r", "g", "b"); k <- 0 until 4)
+        yield s"CAST(coalesce(SUM(rh.$n$k), 0) AS BIGINT) AS $n$k").mkString(", ")
+      s"""WITH px AS (SELECT rm.rm, ((rm.rm * 31 + ff.f * 17 + ii.i * 7) % 256) AS v,
+        |    ii.i % 3 AS comp
+        |  FROM generate_series(0, 255) rm(rm), generate_series(0, 1) ff(f),
+        |       generate_series(0, 143) ii(i)),
+        |rh AS (SELECT rm, $rExprs, $gExprs, $bExprs FROM px GROUP BY rm),
+        |avid AS (SELECT doc_id, source, doc_id % 256 AS rm FROM documents
+        |  WHERE doc_id % 3 <> 0),
+        |aa AS (SELECT a.source, COUNT(*) AS n_avi, $sums
+        |  FROM avid a JOIN rh ON rh.rm = a.rm GROUP BY a.source),
+        |fb AS (SELECT source, COUNT(*) AS n_fb,
+        |    CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 1000000) AS BIGINT) AS sum_h_u
+        |  FROM documents WHERE doc_id % 3 = 0 GROUP BY source),
+        |srcs AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+        |SELECT s.source, s.n_docs,
+        |  CAST(coalesce(aa.n_avi, 0) AS BIGINT) AS n_avi,
+        |  CAST(coalesce(aa.n_avi, 0) * 2 AS BIGINT) AS frames_dec,
+        |  CAST(coalesce(fb.sum_h_u, 0) AS BIGINT) AS sum_h_u,
+        |  ${(for (n <- Seq("r", "g", "b"); k <- 0 until 4)
+             yield s"coalesce(aa.$n$k, 0) AS $n$k").mkString(", ")}
+        |FROM srcs s LEFT JOIN aa ON aa.source = s.source
+        |LEFT JOIN fb ON fb.source = s.source
+        |ORDER BY s.source""".stripMargin
+    },
     "props_variant" ->
       """WITH x AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
         |    CAST(json_extract(props, '$.absent') AS BIGINT) AS missing, value

@@ -177,4 +177,77 @@ class VideoCodecSpec extends graft.SparkSpec {
       .collect().map(r => r.doc_id -> r.decoded).toMap
     assert(got == Map(1L -> true, 2L -> false))
   }
+
+  // ---- pixel decode (extractVideoPixelFeatures / decodeVideoFrame) ----
+
+  /** A deterministic W×H raster: pixel (x,y) = RGB gradient. */
+  private def gradient(w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 16 % 256) << 16) | ((y * 32 % 256) << 8) | ((x + y) * 8 % 256))
+    img
+  }
+
+  private def jpegBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("MJPEG-in-AVI: pixel decode through the container equals direct ImageIO decode") {
+    val rasters = Seq(gradient(16, 12), gradient(16, 12))
+    val frames = rasters.map(jpegBytes)
+    val payload = Multimodal.syntheticAvi(16, 12, 40000L, frames, compressed = true)
+    val r = Multimodal
+      .extractVideoPixelFeatures(Seq((1L, payload)).toDF("doc_id", "payload"), bins = 4)
+      .collect().head
+    assert(r.decoded && r.n_decoded_frames == 2L && r.undecoded_hashes.isEmpty)
+    // pixel-exact: the per-frame histograms must match histograms of the
+    // SAME jpeg bytes decoded directly (JPEG is lossy at encode time, but
+    // decode of given bytes is deterministic)
+    val expect = frames
+      .map(b => Multimodal.imageHistogramCounts(
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)), 4))
+      .reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+    assert(r.hist.toSeq == expect.toSeq)
+    assert(r.hist.sum == 2L * 16 * 12 * 3) // every pixel counted once per channel
+  }
+
+  test("raw DIB frame: bottom-up BGR decode is pixel-exact, tight and padded strides") {
+    // 2×2 tight=6 bytes/row is NOT DWORD-aligned → exercises the padded
+    // form too. Raster rows in DIB order (bottom row first), B,G,R bytes.
+    val w = 2; val h = 2
+    // bottom row:  (10,20,30) (40,50,60)   → image row y=1
+    // top row:     (70,80,90) (100,110,120) → image row y=0
+    val tight = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val padded = Array[Byte](10, 20, 30, 40, 50, 60, 0, 0, 70, 80, 90, 100, 110, 120, 0, 0)
+    for (frame <- Seq(tight, padded)) {
+      val img = Multimodal.decodeVideoFrame(frame, 0, frame.length, w, h).get
+      // (x=0, y=0) is the TOP-left = DIB's LAST row, first pixel (B=70,G=80,R=90)
+      assert((img.getRGB(0, 0) & 0xffffff) == ((90 << 16) | (80 << 8) | 70))
+      assert((img.getRGB(1, 0) & 0xffffff) == ((120 << 16) | (110 << 8) | 100))
+      assert((img.getRGB(0, 1) & 0xffffff) == ((30 << 16) | (20 << 8) | 10))
+      assert((img.getRGB(1, 1) & 0xffffff) == ((60 << 16) | (50 << 8) | 40))
+    }
+    // a span that is neither tight nor padded nor ImageIO-decodable → None
+    assert(Multimodal.decodeVideoFrame(new Array[Byte](7), 0, 7, w, h).isEmpty)
+  }
+
+  test("mixed frames: decodable ones count pixels, the rest keep md5 identity") {
+    val good = jpegBytes(gradient(8, 8))
+    val junk = "not an image and not w*h*3 sized".getBytes("UTF-8")
+    val payload = Multimodal.syntheticAvi(8, 8, 1000L, Seq(good, junk), compressed = true)
+    val r = Multimodal
+      .extractVideoPixelFeatures(Seq((1L, payload)).toDF("doc_id", "payload"), bins = 4)
+      .collect().head
+    assert(r.decoded && r.n_frame_chunks == 2L && r.n_decoded_frames == 1L)
+    assert(r.undecoded_hashes.toSeq == Seq(Multimodal.portableHash60(md, junk)))
+    assert(r.hist.sum == 8L * 8 * 3)
+    // non-AVI payload: flagged fallback with the whole-payload hash
+    val fb = Multimodal
+      .extractVideoPixelFeatures(Seq((2L, junk)).toDF("doc_id", "payload"), bins = 4)
+      .collect().head
+    assert(!fb.decoded && fb.hist.forall(_ == 0))
+    assert(fb.undecoded_hashes.toSeq == Seq(Multimodal.portableHash60(md, junk)))
+  }
 }

@@ -102,15 +102,21 @@ class AppendUpdateSpec extends SparkSpec {
     assert(got == Seq((9L, 7L), (10L, 7L)))
   }
 
-  test("a no-match update publishes nothing; a new SET column is refused") {
+  test("a no-match update publishes nothing; a new SET column evolves the schema") {
     val dir = freshDir
     val v0 = Snapshots.commitVersion(spark, (1L to 5L).map(i => (i, 0L)).toDF("id", "n"), dir)
     assert(Snapshots.updateWhere(spark, dir, col("id") > 99, Seq("n" -> lit(1L))).isEmpty)
     assert(Snapshots.latestVersion(spark, dir).contains(v0))
-    val e = intercept[IllegalArgumentException] {
-      Snapshots.updateWhere(spark, dir, col("id") === 1L, Seq("extra" -> lit(1L)))
-    }
-    assert(e.getMessage.contains("never add columns"))
+    // SET of a new column = UPDATE-with-evolution: matched rows carry the
+    // value, unmatched rows surface it as null, pre-evolution versions
+    // keep their old shape
+    val v1 = Snapshots.updateWhere(spark, dir, col("id") === 1L, Seq("extra" -> lit(7L))).get
+    val cur = Snapshots.read(spark, dir)
+    assert(cur.columns.toSeq == Seq("id", "n", "extra"))
+    val byId = cur.collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(byId(1L).contains(7L) && byId(2L).isEmpty)
+    assert(Snapshots.readVersion(spark, dir, v0).columns.toSeq == Seq("id", "n"))
+    assert(v1 == v0 + 1)
   }
 
   test("the change feed reports an update as delete+insert pairs") {

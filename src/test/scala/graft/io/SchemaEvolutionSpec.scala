@@ -42,4 +42,89 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(Snapshots.readVersion(spark, dir, 0L).columns.toSeq == Seq("id", "text"))
     assert(Snapshots.read(spark, dir).columns.toSeq == Seq("id", "text", "lang"))
   }
+
+  test("addColumn is metadata-only: old segments read null-filled, no data rewritten") {
+    val dir = Files.createTempDirectory("evo_add").toString
+    Snapshots.commitVersion(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "text"), dir)
+    val dataBefore = new java.io.File(dir).list().filter(_.startsWith("data_")).toSet
+    val v1 = Snapshots.addColumn(spark, dir, "lang", org.apache.spark.sql.types.StringType)
+    // zero new data directories — the evolve cost one manifest file
+    assert(new java.io.File(dir).list().filter(_.startsWith("data_")).toSet == dataBefore)
+    val cur = Snapshots.read(spark, dir)
+    assert(cur.columns.toSeq == Seq("id", "text", "lang"))
+    assert(cur.collect().forall(_.isNullAt(2)))
+    // time travel keeps the pre-evolution shape; duplicate add is refused
+    assert(Snapshots.readVersion(spark, dir, v1 - 1).columns.toSeq == Seq("id", "text"))
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.addColumn(spark, dir, "lang", org.apache.spark.sql.types.StringType)
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  test("append validates the table schema: drifted frames fail loudly, never null-fill") {
+    val dir = Files.createTempDirectory("evo_guard").toString
+    Snapshots.commitVersion(spark, Seq((1L, 10L)).toDF("id", "amount"), dir)
+    // missing column
+    val e1 = intercept[IllegalArgumentException] {
+      Snapshots.appendRows(spark, dir, Seq(2L).toDF("id"))
+    }
+    assert(e1.getMessage.contains("does not match the table schema"))
+    // renamed column
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.appendRows(spark, dir, Seq((2L, 20L)).toDF("id", "amt"))
+    }
+    assert(e2.getMessage.contains("does not match the table schema"))
+    // wrong type
+    intercept[IllegalArgumentException] {
+      Snapshots.appendRows(spark, dir, Seq((2L, "x")).toDF("id", "amount"))
+    }
+    // the idempotent path enforces the same gate
+    intercept[IllegalArgumentException] {
+      Snapshots.appendRowsIdempotent(spark, dir, Seq(9L).toDF("id"), "t#1")
+    }
+    assert(Snapshots.read(spark, dir).count() == 1) // nothing leaked in
+  }
+
+  test("evolve -> append -> update -> restore -> vacuum chain") {
+    val dir = Files.createTempDirectory("evo_chain").toString
+    val v0 = Snapshots.commitVersion(
+      spark, (1L to 4L).map(i => (i, i * 10L)).toDF("id", "amount"), dir)
+    val vEvolve = Snapshots.addColumn(spark, dir, "tier", org.apache.spark.sql.types.LongType)
+    // append must now carry the evolved shape (old shape is refused)
+    intercept[IllegalArgumentException] {
+      Snapshots.appendRows(spark, dir, Seq((5L, 50L)).toDF("id", "amount"))
+    }
+    Snapshots.appendRows(spark, dir, Seq((5L, 50L, 2L)).toDF("id", "amount", "tier"))
+    // update over the evolved column works on pre-evolution rows (read as null)
+    Snapshots.updateWhere(spark, dir, col("tier").isNull, Seq("tier" -> lit(1L)))
+    val cur = Snapshots.read(spark, dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(cur.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 2L)))
+    // restore to the pre-evolution version brings the OLD schema back
+    Snapshots.rollbackTo(spark, dir, v0)
+    assert(Snapshots.read(spark, dir).columns.toSeq == Seq("id", "amount"))
+    assert(Snapshots.read(spark, dir).count() == 4)
+    // the evolved versions remain time-travelable after the restore
+    assert(Snapshots.readVersion(spark, dir, vEvolve).columns.length == 3)
+    // vacuum keeps everything referenced (all segments are still in history)
+    assert(Snapshots.vacuum(spark, dir, minAgeMs = 0).isEmpty)
+    assert(Snapshots.read(spark, dir).count() == 4)
+  }
+
+  test("checkpoint compaction round-trips the declared schema") {
+    val dir = Files.createTempDirectory("evo_ck").toString
+    Snapshots.commitVersion(spark, Seq((1L, "a")).toDF("id", "text"), dir)
+    Snapshots.addColumn(spark, dir, "score", org.apache.spark.sql.types.DoubleType)
+    Snapshots.appendRows(spark, dir, Seq((2L, "b", 0.5)).toDF("id", "text", "score"))
+    Snapshots.checkpointLog(spark, dir) // individual manifests dropped
+    val cur = Snapshots.read(spark, dir).orderBy("id").collect()
+    assert(Snapshots.read(spark, dir).columns.toSeq == Seq("id", "text", "score"))
+    assert(cur(0).isNullAt(2) && cur(1).getDouble(2) == 0.5)
+    // pre-evolution time travel through the checkpoint keeps the old shape
+    assert(Snapshots.readVersion(spark, dir, 0L).columns.toSeq == Seq("id", "text"))
+    // post-checkpoint writes still validate against the evolved schema
+    intercept[IllegalArgumentException] {
+      Snapshots.appendRows(spark, dir, Seq((3L, "c")).toDF("id", "text"))
+    }
+  }
 }

@@ -89,7 +89,9 @@ class PlanHealthSpec extends SparkSpec {
     "silhouette_cells",     // bounded centroid model (as sim_topk_ivf)
     "harrell_c_index",      // (dur, death, score) value-grain cell cross, as hodges_lehmann
     "kendall_tau_daily",    // calendar-bounded day-grain pair join (theil_sen class)
-    "association_rules")    // 1-row basket-count frame crossed
+    "association_rules",    // 1-row basket-count frame crossed
+    "cochran_q",            // two 1-row moment frames (G-side, L-side) crossed
+    "jonckheere_terpstra")  // 1-row JT frame × 1-row group-moments frame
 
   /** Data-model columns with single-digit cardinality. A window
     * PARTITION BY drawn ONLY from these caps sort parallelism at the
