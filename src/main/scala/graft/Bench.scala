@@ -31,6 +31,13 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // noise isolation (round 8): the DEFAULT codegen cache holds 100
+      // compiled classes — a 260+-query suite evicts everything every
+      // rep, so each rep pays janino compile + JIT tier-up again and the
+      // per-query min becomes tier-up luck (measured: identical-code
+      // re-runs drifted 7% median / 31% p90 per query). Sized to hold
+      // the whole suite, reps 2-3 run on warm compiled+JITed code.
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first measured query doesn't absorb
@@ -77,6 +84,10 @@ object Bench {
     val repTimes = Array.fill(qlist.size)(new Array[Double](reps))
     val shuffleMb = new Array[Double](qlist.size)
     for (r <- 0 until reps) {
+      // settle the heap between rep rounds: accumulated garbage from a
+      // whole suite pass otherwise lands as GC pauses inside the NEXT
+      // round's queries (part of the measured cross-run drift)
+      System.gc()
       qlist.zipWithIndex.foreach { case ((name, fn), qi) =>
         if (r == reps - 1) { drain(); tally.bytes.set(0L) }
         repTimes(qi)(r) = runOnce(name, fn)

@@ -785,7 +785,95 @@ object CorpusQueries {
       .orderBy("shard")
   }
 
+  /** Hierarchical dataset fingerprint (the Merkle-style provenance root a
+    * training run records next to its data mix): leaf = md5(text), leaves
+    * hashed into buckets sized to the corpus (the signBucketBits ladder —
+    * ~1024 leaves per bucket at any SF, so per-group state is bounded the
+    * same way LSH bucket work is), per-(source, bucket) shard hash =
+    * md5(sorted leaf hashes), per-source root = md5(sorted shard hashes).
+    * Two keyed aggregations; the only ordered state is within one bucket.
+    * A single changed/reordered/duplicated document flips its shard hash
+    * and the root — the equality check that makes "same dataset?"
+    * answerable without re-reading either corpus. At corpora where even
+    * the per-source shard LIST outgrows one aggregation row, the same
+    * construction nests one more level (bucket-of-buckets) — the k-level
+    * generalization is mechanical and noted here rather than built.
+    */
+  private val datasetMerkle: Q = (s, d) => {
+    val docs = documents(s, d)
+    val bits = graft.ext.Vectors.signBucketBits(docs.count(), target = 1024, minBits = 4)
+    val leaves = docs.select(
+      col("source"),
+      md5(col("text")).as("h"),
+      pmod(graft.ext.Dedup.portableHash64(col("text")), lit(1L << bits)).as("bucket"))
+    val shards = leaves
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).cast(LongType).as("nd"),
+        md5(concat_ws("", sort_array(collect_list(col("h"))))).as("shash"))
+    shards
+      .groupBy("source")
+      .agg(
+        sum("nd").cast(LongType).as("n_docs"),
+        count(lit(1)).cast(LongType).as("n_shards"),
+        md5(concat_ws("", sort_array(collect_list(col("shash"))))).as("root"),
+        min("shash").as("min_shard"),
+        max("shash").as("max_shard"))
+      .orderBy("source")
+  }
+
+  /** DSIR-shaped importance reweighting (Xie et al. 2023's hashed-n-gram
+    * importance resampling, with the log-likelihood ratio replaced by the
+    * integer RATIO in micros — the house log-free surrogate, documented
+    * rather than silently approximated): features are unigrams hashed to
+    * 256 buckets; the TARGET distribution is the English slice (the
+    * high-resource target a mixer upsamples toward), the SOURCE
+    * distribution is the whole corpus; per-feature weight is the
+    * add-one-smoothed probability ratio in micros (decimal38/HUGEINT
+    * cross-multiplication — no division until the final floor), and a
+    * doc's weight is its mean token ratio (integral div). Per-lang
+    * census + the n_select(w > 1e6) cut verifies the expected signal:
+    * target-language docs score above parity, others below. Scale shape:
+    * the feature table is 256 rows broadcast onto the exploded terms;
+    * two hash aggregations + 1-row totals — nothing grows with the
+    * corpus except the linear term pass.
+    */
+  private val dsirReweight: Q = (s, d) => {
+    val docs = documents(s, d)
+    val terms = TextStats.terms(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("f", pmod(graft.ext.Dedup.portableHash64(col("term")), lit(256L)))
+      .localCheckpoint(true) // feature-model aggregations + scoring pass
+    val tgt = terms.filter(col("lang") === "en")
+      .groupBy("f").agg(count(lit(1)).cast(LongType).as("ct"))
+    val src = terms.groupBy("f").agg(count(lit(1)).cast(LongType).as("cs"))
+    val totals = terms.agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).cast(LongType).as("tt"),
+      count(lit(1)).cast(LongType).as("ts"))
+    val ratio = src.join(tgt, Seq("f"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("f"), expr(
+        """((cast(ct as decimal(38,0)) + 1) * (ts + 256) * 1000000)
+           div ((cast(cs as decimal(38,0)) + 1) * (tt + 256))""").cast(LongType).as("r_u"))
+    val w = terms
+      .join(broadcast(ratio), Seq("f"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).cast(LongType).as("n_tok"),
+        sum("r_u").cast(LongType).as("r_sum"))
+      .withColumn("w_u", expr("r_sum div n_tok"))
+    w.groupBy("lang")
+      .agg(
+        count(lit(1)).cast(LongType).as("n_docs"),
+        sum("w_u").cast(LongType).as("w_sum"),
+        sum(when(col("w_u") > 1000000L, 1L).otherwise(0L)).cast(LongType).as("n_select"),
+        min("w_u").cast(LongType).as("w_min"),
+        max("w_u").cast(LongType).as("w_max"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dataset_merkle" -> datasetMerkle,
+    "dsir_reweight" -> dsirReweight,
     "shard_balanced" -> shardBalanced,
     "mix_epoch_upsample" -> mixEpochUpsample,
     "token_budget_apportion" -> tokenBudgetApportion,
@@ -838,6 +926,47 @@ object CorpusQueries {
   private val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
 
   val oracle: Map[String, String] = Map(
+    "dataset_merkle" -> {
+      val ladder = graft.ext.Vectors
+        .signBucketBitsSql("(SELECT COUNT(*) FROM documents)", target = 1024, minBits = 4)
+      s"""WITH bitsv AS (SELECT $ladder AS bits),
+        |lv AS (SELECT source, md5(text) AS h,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+        |      % (1::BIGINT << (SELECT bits FROM bitsv)) AS bucket
+        |  FROM documents),
+        |sh AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS nd,
+        |    md5(string_agg(h, '' ORDER BY h)) AS shash
+        |  FROM lv GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(nd) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shards,
+        |  md5(string_agg(shash, '' ORDER BY shash)) AS root,
+        |  MIN(shash) AS min_shard, MAX(shash) AS max_shard
+        |FROM sh GROUP BY source ORDER BY source""".stripMargin
+    },
+    "dsir_reweight" ->
+      """WITH n AS (SELECT doc_id, lang, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |tok0 AS (SELECT doc_id, lang, unnest(string_split(t, ' ')) AS term FROM n),
+        |tk AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % 256 AS f
+        |  FROM tok0 WHERE length(term) > 0),
+        |tgt AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS ct FROM tk WHERE lang = 'en' GROUP BY f),
+        |src AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS cs FROM tk GROUP BY f),
+        |tot AS (SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tt,
+        |    CAST(COUNT(*) AS BIGINT) AS ts FROM tk),
+        |ratio AS (SELECT src.f,
+        |    CAST(((CAST(coalesce(tgt.ct, 0) AS HUGEINT) + 1) * (ts + 256) * 1000000)
+        |      // ((CAST(cs AS HUGEINT) + 1) * (tt + 256)) AS BIGINT) AS r_u
+        |  FROM src LEFT JOIN tgt ON tgt.f = src.f CROSS JOIN tot),
+        |w AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |    CAST(SUM(r_u) AS BIGINT) AS r_sum
+        |  FROM tk JOIN ratio ON ratio.f = tk.f GROUP BY 1, 2)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(r_sum // n_tok) AS BIGINT) AS w_sum,
+        |  CAST(SUM(CASE WHEN r_sum // n_tok > 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_select,
+        |  CAST(MIN(r_sum // n_tok) AS BIGINT) AS w_min,
+        |  CAST(MAX(r_sum // n_tok) AS BIGINT) AS w_max
+        |FROM w GROUP BY lang ORDER BY lang""".stripMargin,
     "shard_balanced" ->
       s"""WITH d AS (SELECT doc_id,
         |    CAST(len(string_split(coalesce($normSql, ''), ' ')) AS BIGINT) AS n_tok

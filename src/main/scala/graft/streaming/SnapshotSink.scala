@@ -48,4 +48,27 @@ object SnapshotSink {
       Snapshots.appendRowsIdempotent(batch.sparkSession, tableDir, batch, s"$appId#$batchId")
       ()
     }
+
+  /** Streaming MERGE — the CDC-apply pattern (a keyed upsert feed kept
+    * live against a dimension table): each micro-batch applies as ONE
+    * atomic [[Snapshots.mergeInto]] (matched rows replaced via DV +
+    * re-append, unmatched inserted, optional delete predicate over the
+    * batch row), exactly-once via the same "appId#batchId" txn contract.
+    * The batch must carry the table schema and at most one row per key —
+    * dedupe upstream (e.g. keep the latest change per key within the
+    * trigger, the standard CDC compaction) or the merge fails loudly
+    * rather than applying an ambiguous batch. Per-trigger cost: one MoR
+    * scan + the batch rows written + O(1) publish.
+    */
+  def mergeWriter(
+      stream: DataFrame,
+      tableDir: String,
+      appId: String,
+      keyCols: Seq[String],
+      deleteWhen: Option[org.apache.spark.sql.Column] = None): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      Snapshots.mergeInto(batch.sparkSession, tableDir, batch, keyCols,
+        deleteWhen, txnId = Some(s"$appId#$batchId"))
+      ()
+    }
 }

@@ -91,7 +91,8 @@ class PlanHealthSpec extends SparkSpec {
     "kendall_tau_daily",    // calendar-bounded day-grain pair join (theil_sen class)
     "association_rules",    // 1-row basket-count frame crossed
     "cochran_q",            // two 1-row moment frames (G-side, L-side) crossed
-    "jonckheere_terpstra")  // 1-row JT frame × 1-row group-moments frame
+    "jonckheere_terpstra",  // 1-row JT frame × 1-row group-moments frame
+    "dsir_reweight")        // 1-row token-totals frame crossed onto the 256-feature model
 
   /** Data-model columns with single-digit cardinality. A window
     * PARTITION BY drawn ONLY from these caps sort parallelism at the
