@@ -25,17 +25,23 @@ import org.apache.spark.sql.types._
   */
 object IvfIndex {
 
-  /** SCALE NOTE (the round-7 measured boundary, now closed): FLAT
-    * assignment scores every (vector, cell) pair, so with the n/256 cell
-    * rule the build pass was O(n²/256) — sim_topk_ivf measured 19.7× for
-    * 10× data at sf1→sf10. [[assignCells]] now routes through a COARSE
-    * QUANTIZER (two-level assignment: score √k super-cells, then only the
-    * probed super-cells' children — the IMI/IVF-HNSW move every
-    * production ANN system makes), cutting assignment to O(n·√k).
-    * With corpus-proportional cells that is still O(n^1.5) total — the
-    * next rung past ~1e8 vectors is a log-depth coarse front (HNSW/tree)
-    * over the same routing contract; recorded here as the next design
-    * boundary rather than silently shipped.
+  /** SCALE NOTE (two measured boundaries, both now closed): round 7's
+    * FLAT assignment scored every (vector, cell) pair — O(n²/256) with
+    * the n/256 cell rule, measured 19.7× for 10× data at sf1→sf10.
+    * Round 8's two-level coarse quantizer (√k super-cells) cut that to
+    * O(n·√k) = O(n^1.5), measured 2.6× at sf1→sf10 but 12.8× at
+    * sf10→sf100 — still superlinear. [[assignCells]] now routes through
+    * a LOG-DEPTH TREE ([[buildTree]]): strided-pick levels of fanout
+    * [[TreeFanout]] over the fine codebook, cosine parent maps, and a
+    * greedy beam-[[DefaultBeam]] descent — O(n·log k) corpus-side work
+    * (the NSW/ANNOY-style coarse front every production ANN system
+    * converges on). The remaining model-side boundary: parent maps are
+    * built by flat nearest-among-next-level scoring, Σ|lvl|·|lvl+1| ≈
+    * 0.27·k² pairs — distributed, bounded, and negligible below ~5M
+    * vectors (16M pairs at sf100's k=8000), but the next rung past ~1e8
+    * vectors is routed insertion (build each parent map by descending
+    * the already-built upper tree, HNSW-style) over this same routing
+    * contract; recorded here rather than silently shipped.
     *
     * Cell count targeting ~256 vectors per cell (min 8 cells). With
     * probes fixed (default 5), per-query candidate work is ~probes*256
@@ -55,26 +61,46 @@ object IvfIndex {
   /** Query-time probe count paired with [[cellCount]]. */
   val DefaultProbes = 5
 
-  /** Coarse-quantizer size over k fine cells: √k super-cells (min 4), the
-    * point that balances the two stages of two-level assignment (score g
-    * coarse + probed children ≈ g + cp·k/g, minimized near g = √k).
-    * Integer-only: floor of an exactly-rounded IEEE sqrt, mirrored by the
-    * oracle as `greatest(4, CAST(floor(sqrt(...)) AS BIGINT))`.
+  /** Routing-tree fanout: level ℓ+1 keeps every TreeFanout-th node of
+    * level ℓ (by cid rank — pure integer picks, so both engines choose
+    * the same rows; the stride-init move applied recursively). Sizes
+    * shrink ⌈s/4⌉ per level, so depth is ⌈log₄ k⌉.
     */
-  def coarseCount(k: Long): Long = math.max(4L, math.sqrt(k.toDouble).toLong)
+  val TreeFanout = 4
 
-  /** Coarse probes paired with [[coarseCount]]: how many super-cells a
-    * vector consults before the fine ranking. Swept against this corpus's
-    * measured isotropy (tools/IvfSweep, round 8): cp=4 measures recall@3
-    * = 0.867 at sf0.1 (= flat exactly — g=4 there, so routing is
-    * exhaustive at driver SFs) and 0.367 at sf1 where routing is real
-    * (cp=4 of 9 super-cells) — the SAME value the exhaustive cp=6 sweep
-    * point reads, i.e. routing loses nothing beyond the fixed-probes/
-    * growing-k decay the flat index already had (probes=5 of 78 cells at
-    * sf1; isotropy makes that decay inherent — IvfIndex scaladoc).
-    * Per-vector assignment work: (1+cp)·√k instead of k.
+  /** Beam width of the greedy descent: how many nodes survive the
+    * per-vector ranking at each tree level. Per-vector assignment work is
+    * ~[[DefaultBeam]]·[[TreeFanout]]·log₄(k) scored pairs. Swept against
+    * this corpus's measured isotropy (tools/IvfSweep, round 9): at sf0.1
+    * (k=8, depth 1) the descent is EXHAUSTIVE — beam 8 > every level —
+    * so recall@3 = 0.867, bit-identical to the flat index; at sf1 (k=78,
+    * depth 3) the beam-8 fine frontier is ~32 of 78 cells and recall@3
+    * measures 0.500 — ABOVE the round-8 two-level route's 0.367 at the
+    * same per-vector cost, because the tree's geometric refinement beats
+    * one flat √k cut on this isotropic corpus.
     */
-  val DefaultCoarseProbes = 4
+  val DefaultBeam = 8
+
+  /** Fixed level-count of the ORACLE's unrolled tree SQL. The Scala side
+    * builds only the non-degenerate levels (size > 1) and starts the
+    * descent at the highest one; the SQL unrolls all [[MaxLevels]], where
+    * levels past the natural depth hold a single node — every child maps
+    * to it and the beam passes straight through, so the two descents are
+    * provably identical (a frontier that reaches a size-1 level expands
+    * to ALL of the next level, which is exactly the Scala starting
+    * frontier). 10 levels cover k ≤ 4^10 ≈ 1.05M cells ≈ 2.7e8 vectors
+    * under the n/256 rule; past that both sides start at level 10.
+    */
+  val MaxLevels = 10
+
+  /** The routing tree over a materialized fine codebook: `top` is the
+    * highest non-degenerate level (cid, cv, cn — always ≤ [[TreeFanout]]
+    * nodes unless k > 4^[[MaxLevels]]), `steps(ℓ)` for ℓ in 1..start maps
+    * a frontier node at level ℓ (pcid) to its children at level ℓ-1 with
+    * their vectors (ccid, ccv, ccn) — each a bounded local relation the
+    * descent broadcasts. `steps(0)` is unused (padding so indices align).
+    */
+  final case class RoutingTree(top: DataFrame, steps: IndexedSeq[DataFrame], start: Int)
 
   /** Rank of each (vector, centroid) pair per vector: 1 = nearest. */
   private def ranked(vec: DataFrame, cent: DataFrame): DataFrame = {
@@ -150,98 +176,99 @@ object IvfIndex {
     s.createDataFrame(cent.collect().toSeq.asJava, cent.schema)
   }
 
-  /** Build the coarse quantizer over a MATERIALIZED fine codebook `cent`
-    * (cid, cv, cn): pick every ⌊k/g⌋-th fine centroid (by cid rank — the
-    * stride-init move, pure integer picks so both engines choose the
-    * same rows) as the g = [[coarseCount]](k) super-centroids, then map
-    * every fine cell to its nearest super-cell by cosine (k×g pairs —
-    * bounded model-side work, never corpus-side). Returns
-    * (centS = cent + its `sid` parent, coarse = (sid, gv, gn)), both
-    * re-materialized as local relations so assignment plans broadcast
-    * bounded models instead of re-running this derivation.
+  /** Build the routing tree over a MATERIALIZED fine codebook `cent`
+    * (cid, cv, cn). Levels are strided picks (every [[TreeFanout]]-th
+    * node by cid rank — pure integer choices computed driver-side from
+    * the bounded model, so both engines choose the same rows); each
+    * level-(ℓ-1) node then maps to its nearest level-ℓ parent by cosine
+    * (tie: lowest parent cid) — one bounded Spark job per level
+    * (Σ|lvl|·|lvl+1| ≈ 0.27·k² scored pairs total, distributed,
+    * model-side — see the scale note above). Each step is
+    * re-materialized as a local relation so assignment plans broadcast
+    * bounded models instead of re-running the derivation.
     */
-  def coarsen(
-      s: org.apache.spark.sql.SparkSession,
-      cent: DataFrame): (DataFrame, DataFrame) = {
-    val rows = cent.collect().sortBy(_.getLong(0)) // by cid — cent is a bounded local relation
-    val k = rows.length.toLong
-    val g = coarseCount(k)
-    val cstride = math.max(1L, k / g)
-    val coarseRows = rows.zipWithIndex.collect {
-      case (r, i) if i % cstride == 0 =>
-        org.apache.spark.sql.Row(i / cstride, r.get(1), r.get(2))
-    }
-    val coarseSchema = StructType(Seq(
-      StructField("sid", LongType, nullable = false),
-      StructField("gv", cent.schema("cv").dataType),
-      StructField("gn", DoubleType)))
+  def buildTree(s: org.apache.spark.sql.SparkSession, cent: DataFrame): RoutingTree = {
     import scala.jdk.CollectionConverters._
-    val coarse = s.createDataFrame(coarseRows.toSeq.asJava, coarseSchema)
-    // fine → coarse parent by cosine (tie: lowest sid) — the same
-    // expression machinery as every other cosine here, so the oracle's
-    // list_dot_product replay is bit-identical
-    val wm = Window.partitionBy("cid").orderBy(desc("cos_s"), asc("sid"))
-    val centS = cent
-      .crossJoin(broadcast(coarse))
-      .withColumn("cos_s", Vectors.dot(col("cv"), col("gv")) / (col("cn") * col("gn")))
-      .withColumn("rk_s", row_number().over(wm))
-      .filter(col("rk_s") === 1)
-      .select("cid", "cv", "cn", "sid")
-    (materialize(s, centS), coarse)
+    val fine = cent.collect().sortBy(_.getLong(0)) // by cid — cent is a bounded local relation
+    // levels(0) = fine codebook; shrink by TreeFanout until 1 node or MaxLevels
+    val levels = Iterator
+      .iterate(fine)(lv => lv.zipWithIndex.collect { case (r, i) if i % TreeFanout == 0 => r })
+      .take(MaxLevels + 1)
+      .takeWhile(_.length >= 1)
+      .toIndexedSeq
+    // start = highest level with >1 node (capped at MaxLevels); levels
+    // above it are single-node and provably pass the beam through
+    val start = math.max(1, levels.lastIndexWhere(_.length > 1))
+    def local(rows: Array[org.apache.spark.sql.Row]): DataFrame =
+      s.createDataFrame(rows.toSeq.asJava, cent.schema)
+    val top = local(levels(start))
+    val wm = Window.partitionBy("ccid").orderBy(desc("cos_p"), asc("pcid"))
+    val steps = (1 to start).map { l =>
+      val child = local(levels(l - 1))
+        .select(col("cid").as("ccid"), col("cv").as("ccv"), col("cn").as("ccn"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val parent = local(levels(l))
+        .select(col("cid").as("pcid"), col("cv").as("pv"), col("cn").as("pn"))
+      materialize(s, child
+        .crossJoin(broadcast(parent))
+        .withColumn("cos_p", Vectors.dot(col("ccv"), col("pv")) / (col("ccn") * col("pn")))
+        .withColumn("rk_p", row_number().over(wm))
+        .filter(col("rk_p") === 1)
+        .select("pcid", "ccid", "ccv", "ccn"))
+    }
+    RoutingTree(top, top +: steps, start) // steps(0) pads; steps(l) serves level l
   }
 
   /** Assign every vector to its `probes` nearest cells (probes=1 builds
     * the index; probes>1 is multi-probe query expansion). Output:
     * idCol, cell, v, nrm — one row per (vector, probed cell).
     *
-    * TWO-LEVEL: each vector first ranks the g ≈ √k super-centroids and
-    * keeps its [[DefaultCoarseProbes]] nearest super-cells, then ranks
-    * only THOSE super-cells' fine children — O(n·√k) scored pairs
-    * instead of the flat O(n·k) that measured 19.7×/decade in round 7.
-    * Both ranking windows run over NARROW (id, cell, cos) rows — the
-    * 64-dim vector never rides a shuffle; it is re-attached by one keyed
-    * join at the end. The probed-children rank is over a REDUCED
-    * candidate set, so a routing miss loses that cell — the same
-    * recall-for-cost trade as the fine probes themselves, swept and
-    * mirrored exactly by the oracle.
+    * LOG-DEPTH DESCENT: each vector scores the ≤[[TreeFanout]] top-level
+    * nodes, keeps its [[DefaultBeam]] best, then repeatedly expands the
+    * frontier to the kept nodes' children (one broadcast join per level)
+    * and re-ranks — O(beam·fanout·log₄ k) scored pairs per vector
+    * instead of the two-level O(√k) that measured 12.8× for 10× data at
+    * sf10→sf100. Exactly ONE shuffle total: the first per-vector ranking
+    * window establishes hash-partitioning on the vector id, and every
+    * later stage is broadcast-join + projection + local sort under the
+    * same partitioning (Catalyst inserts no further exchanges — asserted
+    * by IvfSpec's plan check). A routing miss at any level loses that
+    * subtree — the same recall-for-cost trade as the fine probes
+    * themselves, swept (tools/IvfSweep) and mirrored exactly by the
+    * oracle, which replays the identical deterministic route.
     */
-  def assignCells(vec: DataFrame, idCol: String, cent: DataFrame, probes: Int): DataFrame = {
-    val (centS, coarse) = coarsen(vec.sparkSession, cent)
-    assignCellsTwoLevel(vec, idCol, centS, coarse, DefaultCoarseProbes, probes)
-  }
+  def assignCells(vec: DataFrame, idCol: String, cent: DataFrame, probes: Int): DataFrame =
+    assignCellsTree(vec, idCol, buildTree(vec.sparkSession, cent), probes)
 
-  /** As [[assignCells]] with an explicit pre-[[coarsen]]ed model and
-    * coarse probe count — call sites that assign twice (corpus build +
-    * query expansion) coarsen once and share the model.
+  /** As [[assignCells]] with an explicit pre-[[buildTree]]'d model — call
+    * sites that assign twice (corpus build + query expansion) build the
+    * tree once and share it.
     */
-  def assignCellsTwoLevel(
+  def assignCellsTree(
       vec: DataFrame,
       idCol: String,
-      centS: DataFrame,
-      coarse: DataFrame,
-      coarseProbes: Int,
+      tree: RoutingTree,
       probes: Int): DataFrame = {
-    val v0 = vec.withColumnRenamed(idCol, "__vid")
-    val wg = Window.partitionBy("__vid").orderBy(desc("cos_g"), asc("sid"))
-    val route = v0
-      .crossJoin(broadcast(coarse))
-      .withColumn("cos_g", Vectors.dot(col("v"), col("gv")) / (col("nrm") * col("gn")))
-      .select(col("__vid"), col("sid"), col("cos_g"))
-      .withColumn("rk_g", row_number().over(wg))
-      .filter(col("rk_g") <= coarseProbes)
-      .select("__vid", "sid")
-    val wc = Window.partitionBy("__vid").orderBy(desc("cos_c"), asc("cid"))
-    val picked = route
-      .join(v0.select(col("__vid"), col("v"), col("nrm")), Seq("__vid"))
-      .join(broadcast(centS), Seq("sid"))
-      .withColumn("cos_c", Vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .select(col("__vid"), col("cid"), col("cos_c"))
-      .withColumn("rk_c", row_number().over(wc))
-      .filter(col("rk_c") <= probes)
-      .select(col("__vid"), col("cid").as("cell"))
-    picked
-      .join(v0.select(col("__vid"), col("v"), col("nrm")), Seq("__vid"))
-      .select(col("__vid").as(idCol), col("cell"), col("v"), col("nrm"))
+    val w = Window.partitionBy("__vid").orderBy(desc("cos_t"), asc("ccid"))
+    var fr = vec
+      .withColumnRenamed(idCol, "__vid")
+      .crossJoin(broadcast(tree.top.select(
+        col("cid").as("ccid"), col("cv").as("ccv"), col("cn").as("ccn"))))
+      .withColumn("cos_t", Vectors.dot(col("v"), col("ccv")) / (col("nrm") * col("ccn")))
+      .withColumn("rk_t", row_number().over(w))
+      .filter(col("rk_t") <= DefaultBeam)
+      .select("__vid", "ccid", "v", "nrm")
+    for (lvl <- tree.start to 1 by -1) {
+      val keep = if (lvl == 1) probes else DefaultBeam
+      fr = fr
+        .select(col("__vid"), col("ccid").as("pcid"), col("v"), col("nrm"))
+        .join(broadcast(tree.steps(lvl)), Seq("pcid"))
+        .withColumn("cos_t", Vectors.dot(col("v"), col("ccv")) / (col("nrm") * col("ccn")))
+        .withColumn("rk_t", row_number().over(w))
+        .filter(col("rk_t") <= keep)
+        .select("__vid", "ccid", "v", "nrm")
+    }
+    fr.select(col("__vid").as(idCol), col("ccid").as("cell"), col("v"), col("nrm"))
   }
 
   /** DuckDB image of the whole train+assign pipeline, generated so the
@@ -266,21 +293,10 @@ object IvfIndex {
     val cxs = (0 until dim)
       .map(i => s"CAST(s$i AS DOUBLE) / CAST(cnt AS DOUBLE) / 1000000.0")
       .mkString(", ")
-    // two-level assignment, the [[assignCellsTwoLevel]] mirror: route each
-    // vector to its DefaultCoarseProbes nearest super-cells, then rank only
-    // those super-cells' fine children
-    def assignSql(name: String, keep: String) =
-      s"""${name}r AS (SELECT vec_id, sid FROM (
-         |  SELECT m.vec_id, c.sid,
-         |    ROW_NUMBER() OVER (PARTITION BY m.vec_id
-         |      ORDER BY list_dot_product(m.v, c.gv) / (m.nrm * c.gn) DESC, c.sid) AS rk
-         |  FROM m CROSS JOIN co c) WHERE rk <= $DefaultCoarseProbes),
-         |$name AS (SELECT vec_id, cid AS cell, v, nrm FROM (
-         |  SELECT m.vec_id, f.cid, m.v, m.nrm,
-         |    ROW_NUMBER() OVER (PARTITION BY m.vec_id
-         |      ORDER BY list_dot_product(m.v, f.cv) / (m.nrm * f.cn) DESC, f.cid) AS rk
-         |  FROM ${name}r r JOIN m ON m.vec_id = r.vec_id
-         |  JOIN fmap f ON f.sid = r.sid) WHERE rk <= $keep)""".stripMargin
+    // log-depth tree descent, the [[assignCellsTree]] mirror — the SQL
+    // unrolls all MaxLevels (degenerate single-node levels pass the beam
+    // straight through, see MaxLevels' doc), and asg/qasg SHARE the
+    // descent: they differ only in the final keep over the fine ranking
     val kExpr = kFixed.map(_.toString).getOrElse("greatest(8, COUNT(*) // 256)")
     val init =
       s"""params AS (SELECT COUNT(*) AS n, $kExpr AS k FROM m),
@@ -299,27 +315,54 @@ object IvfIndex {
          |c$it AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
          |  SELECT cid, [$cxs] AS cv FROM g$it))""".stripMargin
     }.mkString(",\n")
-    // coarse quantizer over the fine codebook ([[coarsen]] mirror):
-    // strided picks by cid rank (pure integer choices), then each fine
-    // cell's nearest super-cell by cosine
-    val coarseSql =
-      s"""crk AS (SELECT cid, cv, cn,
-         |    ROW_NUMBER() OVER (ORDER BY cid) - 1 AS r FROM cent),
-         |cprm AS (SELECT greatest(4, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS g,
-         |    COUNT(*) AS kk FROM cent),
-         |cstrv AS (SELECT greatest(1, kk // g) AS cstride FROM cprm),
-         |co AS (SELECT r // (SELECT cstride FROM cstrv) AS sid, cv AS gv, cn AS gn
-         |  FROM crk WHERE r % (SELECT cstride FROM cstrv) = 0),
-         |fmap AS (SELECT cid, cv, cn, sid FROM (
-         |  SELECT f.cid, f.cv, f.cn, c.sid,
-         |    ROW_NUMBER() OVER (PARTITION BY f.cid
-         |      ORDER BY list_dot_product(f.cv, c.gv) / (f.cn * c.gn) DESC, c.sid) AS rk
-         |  FROM cent f CROSS JOIN co c) WHERE rk = 1)""".stripMargin
+    // routing-tree levels over the fine codebook ([[buildTree]] mirror):
+    // strided picks by cid rank (pure integer choices), then each child
+    // node's nearest next-level parent by cosine (tie: lowest parent cid)
+    val levelSql = (1 to MaxLevels).map { l =>
+      val prev = if (l == 1) "cent" else s"lv${l - 1}"
+      s"""lv$l AS (SELECT cid, cv, cn FROM (
+         |  SELECT cid, cv, cn, ROW_NUMBER() OVER (ORDER BY cid) - 1 AS r FROM $prev)
+         |  WHERE r % $TreeFanout = 0),
+         |st$l AS (SELECT pcid, ccid, ccv, ccn FROM (
+         |  SELECT p.cid AS pcid, c.cid AS ccid, c.cv AS ccv, c.cn AS ccn,
+         |    ROW_NUMBER() OVER (PARTITION BY c.cid
+         |      ORDER BY list_dot_product(c.cv, p.cv) / (c.cn * p.cn) DESC, p.cid) AS rk
+         |  FROM $prev c CROSS JOIN lv$l p) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    // beam descent ([[assignCellsTree]] mirror): score the top level,
+    // keep DefaultBeam, expand each kept node to its children and re-rank
+    val descSql = {
+      val topStage =
+        s"""dsc$MaxLevels AS (SELECT vec_id, ccid FROM (
+           |  SELECT m.vec_id, p.cid AS ccid,
+           |    ROW_NUMBER() OVER (PARTITION BY m.vec_id
+           |      ORDER BY list_dot_product(m.v, p.cv) / (m.nrm * p.cn) DESC, p.cid) AS rk
+           |  FROM m CROSS JOIN lv$MaxLevels p) WHERE rk <= $DefaultBeam)""".stripMargin
+      val mids = (MaxLevels to 2 by -1).map { l =>
+        s"""dsc${l - 1} AS (SELECT vec_id, ccid FROM (
+           |  SELECT f.vec_id, s.ccid,
+           |    ROW_NUMBER() OVER (PARTITION BY f.vec_id
+           |      ORDER BY list_dot_product(m.v, s.ccv) / (m.nrm * s.ccn) DESC, s.ccid) AS rk
+           |  FROM dsc$l f JOIN st$l s ON s.pcid = f.ccid
+           |  JOIN m ON m.vec_id = f.vec_id) WHERE rk <= $DefaultBeam)""".stripMargin
+      }.mkString(",\n")
+      val fine =
+        s"""dscf AS (
+           |  SELECT f.vec_id, s.ccid AS cell,
+           |    ROW_NUMBER() OVER (PARTITION BY f.vec_id
+           |      ORDER BY list_dot_product(m.v, s.ccv) / (m.nrm * s.ccn) DESC, s.ccid) AS rk
+           |  FROM dsc1 f JOIN st1 s ON s.pcid = f.ccid
+           |  JOIN m ON m.vec_id = f.vec_id)""".stripMargin
+      s"$topStage,\n$mids,\n$fine"
+    }
     val finals =
       s"""cent AS (SELECT cid, cv, cn FROM c$iters),
-         |$coarseSql,
-         |${assignSql("asg", "1")},
-         |${assignSql("qasg", probes.toString)}""".stripMargin
+         |$levelSql,
+         |$descSql,
+         |asg AS (SELECT d.vec_id, d.cell, m.v, m.nrm FROM dscf d
+         |  JOIN m ON m.vec_id = d.vec_id WHERE d.rk <= 1),
+         |qasg AS (SELECT d.vec_id, d.cell, m.v, m.nrm FROM dscf d
+         |  JOIN m ON m.vec_id = d.vec_id WHERE d.rk <= $probes)""".stripMargin
     s"$init,\n$iterSql,\n$finals"
   }
 }

@@ -199,6 +199,18 @@ object Snapshots {
     *
     * Returns false iff another writer owns this version number.
     */
+  /** Manifest payload framing: `m1\n` marker + raw UTF-8 bytes. The
+    * original format was `DataOutputStream.writeUTF`, whose 2-byte length
+    * prefix caps a payload at 65535 bytes — an append-heavy table's
+    * '+'-joined segment list or a wide evolved schema's base64 JSON walks
+    * into that ceiling and every subsequent publish throws
+    * UTFDataFormatException, bricking the table. The marker is
+    * unambiguous against old manifests: an old file's third byte is the
+    * first payload char ('d' of "data_"), never '\n', so the compat read
+    * in [[readManifest]] can always tell the formats apart.
+    */
+  private val PayloadMarker = "m1\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
   private[io] def publishManifest(
       f: org.apache.hadoop.fs.FileSystem,
       dir: String,
@@ -208,8 +220,10 @@ object Snapshots {
     if (f.exists(target)) return false // cheap fast-path; atomicity rests on the promote below
     val tmp = new Path(manifestDir(dir), s".tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, false)
-    try out.writeUTF(dataName)
-    finally out.close()
+    try {
+      out.write(PayloadMarker)
+      out.write(dataName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
     val won = promoteNoOverwrite(f, tmp, target)
     // local link leaves tmp as a second name for the inode; a lost race
     // leaves the loser's tmp; a completed rename leaves nothing (no-op)
@@ -357,18 +371,20 @@ object Snapshots {
     // append/update churn, the OPTIMIZE contract every format has).
     if (!entry.get.segments.forall(dn => f.exists(statsPath(dir, dn))))
       return readVersion(spark, dir, v)
-    // mergeSchema: per-segment sidecars may carry different stats columns
-    // (different statsCols across commits); a sampled-schema union would
+    // Per-segment sidecars may carry different stats columns (different
+    // statsCols across commits); a sampled-schema union would
     // null-evaluate the keep filter and silently prune matching files.
     // Pruning additionally restricts to columns EVERY segment's sidecar
     // carries: a merged-in null from a sidecar that never computed the
     // column is indistinguishable from the exact all-null-column case, so
     // such columns fall back to unpruned (conservative, never lossy).
-    val stats = spark.read.option("mergeSchema", "true").parquet(
-      entry.get.segments.map(dn => statsPath(dir, dn).toString): _*)
-    val everywhere = entry.get.segments
-      .map(dn => spark.read.parquet(statsPath(dir, dn).toString).columns.toSet)
-      .reduce(_ intersect _)
+    // ONE footer read per sidecar: each frame's schema feeds both the
+    // intersection and the union (unionByName with allowMissing replaces
+    // a second mergeSchema scan of every sidecar on this hot planning path).
+    val sidecars = entry.get.segments
+      .map(dn => spark.read.parquet(statsPath(dir, dn).toString))
+    val everywhere = sidecars.map(_.columns.toSet).reduce(_ intersect _)
+    val stats = sidecars.reduce(_.unionByName(_, allowMissingColumns = true))
     val usable = bounds.filter { case (c, _) => everywhere.contains(s"min_$c") }
     if (usable.isEmpty) return readVersion(spark, dir, v)
     val keep = usable
@@ -400,12 +416,30 @@ object Snapshots {
   private def readManifest(
       f: org.apache.hadoop.fs.FileSystem,
       dir: String,
-      v: Long): Entry = {
+      v: Long): Entry =
+    Entry.parse(readManifestPayload(f, dir, v).split('|'))
+
+  /** The raw manifest payload string: `m1` framing (marker + UTF-8) with
+    * a compatibility read for pre-round-9 `writeUTF` manifests — see
+    * [[PayloadMarker]] for why the two are unambiguous.
+    */
+  private[io] def readManifestPayload(
+      f: org.apache.hadoop.fs.FileSystem,
+      dir: String,
+      v: Long): String = {
     val in = f.open(new Path(manifestDir(dir), v.toString))
-    val content =
-      try in.readUTF()
-      finally in.close()
-    Entry.parse(content.split('|'))
+    val bytes =
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+        bos.toByteArray
+      } finally in.close()
+    if (bytes.length >= PayloadMarker.length &&
+      PayloadMarker.indices.forall(i => bytes(i) == PayloadMarker(i)))
+      new String(bytes, PayloadMarker.length, bytes.length - PayloadMarker.length,
+        java.nio.charset.StandardCharsets.UTF_8)
+    else
+      new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes)).readUTF()
   }
 
   /** Scan-path manifest read: a manifest listed a moment ago may legally
@@ -677,10 +711,22 @@ object Snapshots {
     */
   def tableSchema(spark: SparkSession, dir: String): org.apache.spark.sql.types.StructType = {
     val f = fs(spark, dir)
-    val v = latestVersion(spark, dir).getOrElse(
-      throw new IllegalArgumentException(s"no published versions in $dir"))
-    val entry = manifestEntry(f, dir, v).get
-    entry.schema.getOrElse(segmentScan(spark, dir, entry).schema)
+    // the latest manifest can legally vanish between the listing and the
+    // open (a concurrent idempotent writer retracting its duplicate) —
+    // the same benign log churn every write loop retries on, so re-read
+    // the log instead of crashing the caller on a .get
+    var attempt = 0
+    while (attempt < 10) {
+      val v = latestVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no published versions in $dir"))
+      manifestEntry(f, dir, v) match {
+        case Some(entry) =>
+          return entry.schema.getOrElse(segmentScan(spark, dir, entry).schema)
+        case None => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"could not resolve the latest manifest in $dir after 10 attempts")
   }
 
   /** Fail a write whose dataframe shape diverges from the table's schema
@@ -896,8 +942,18 @@ object Snapshots {
         case None => Some(Entry(segName, Some(txnId), None))
         case Some(v) =>
           // a None entry = lost race with a retracting writer: retry
-          manifestEntry(f, dir, v).map(e =>
-            Entry(s"${e.data}+$segName", Some(txnId), e.dv, e.schema))
+          manifestEntry(f, dir, v).map { e =>
+            // re-gate EVERY attempt that chains on an entry: two
+            // initializing writers with divergent schemas both pass the
+            // empty-table gate above, and the v0-race loser would
+            // otherwise chain its divergent segment at v1 — exactly the
+            // silent null-fill corruption the gate exists to prevent.
+            // Fail loudly; the orphan segment is vacuum debris.
+            requireSchemaMatch(
+              df, e.schema.getOrElse(segmentScan(spark, dir, e).schema),
+              "appendRowsIdempotent")
+            Entry(s"${e.data}+$segName", Some(txnId), e.dv, e.schema)
+          }
       }
       payloadOpt match {
         case None => attempt += 1
@@ -921,6 +977,20 @@ object Snapshots {
                     "writer chained on the duplicate — the one-writer-per-txn sink " +
                     "contract was violated; the table needs manual repair")
               f.delete(new Path(manifestDir(dir), next.toString), false)
+              // the pre-retract check is check-THEN-delete: an out-of-contract
+              // writer can read our duplicate as latest in between and publish
+              // next+1 inheriting its segment. Re-verify AFTER the retract —
+              // inheritance is detectable (the chained entry carries segName),
+              // so the guard is a verified barrier, not best-effort narrowing.
+              val inherited = versions(spark, dir)
+                .filter(_ > next)
+                .filter(w => readManifestOpt(f, dir, w).exists(_.segments.contains(segName)))
+              if (inherited.nonEmpty)
+                throw new IllegalStateException(
+                  s"txn $txnId: version(s) ${inherited.mkString(",")} chained on the " +
+                    s"retracted duplicate v$next (segment $segName) — the " +
+                    "one-writer-per-txn sink contract was violated; the table " +
+                    "needs manual repair")
               return None
             }
             return Some(next)
@@ -1142,6 +1212,19 @@ object Snapshots {
                       "chained on the duplicate — the one-writer-per-txn sink contract " +
                       "was violated; the table needs manual repair")
                 f.delete(new Path(manifestDir(dir), next.toString), false)
+                // post-retract re-verify (the appendRowsIdempotent barrier):
+                // an out-of-contract writer reading our duplicate as latest in
+                // the check→delete window inherits our segment or our fresh DV
+                val inherited = versions(spark, dir)
+                  .filter(_ > next)
+                  .filter(w => readManifestOpt(f, dir, w).exists(e =>
+                    (hasInserts && e.segments.contains(segName)) ||
+                      (hasMatches && e.dv == dvOpt)))
+                if (inherited.nonEmpty)
+                  throw new IllegalStateException(
+                    s"txn $t: version(s) ${inherited.mkString(",")} chained on the " +
+                      s"retracted duplicate v$next — the one-writer-per-txn sink " +
+                      "contract was violated; the table needs manual repair")
                 return None
               }
             }

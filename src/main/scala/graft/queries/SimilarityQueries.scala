@@ -179,20 +179,21 @@ object SimilarityQueries {
 
   /** IVF ANN with TRAINED centroids: max(8, n/256) cells from 2 Lloyd's
     * iterations over a bounded sample ([[graft.ext.IvfIndex]]), corpus
-    * assigned to its nearest cell THROUGH the √k coarse-quantizer front
-    * (two-level routing — O(n·√k) assignment, the fix for the flat
-    * O(n·k) pass round 7 measured at 19.7×/decade), queries probe their
-    * 5 nearest routed cells (parameters calibrated to this corpus's
-    * measured isotropy — see [[graft.ext.IvfIndex.cellCount]]).
+    * assigned to its nearest cell THROUGH the log-depth routing tree
+    * (beam descent over strided-pick levels — O(n·log k) assignment, the
+    * fix for the two-level O(n·√k) pass round 8 measured at 12.8× for
+    * 10× data at sf10→sf100), queries probe their 5 nearest routed cells
+    * (parameters calibrated to this corpus's measured isotropy — see
+    * [[graft.ext.IvfIndex.cellCount]]).
     * At scale: training cost is O(sample * k) per iteration, centroids +
-    * coarse map broadcast as materialized models (k*dim doubles — the
-    * bounded KMeans-model artifact, like any ML model object), ranking
-    * windows over narrow (id, cell, cos) rows only, one shuffle on cell
-    * id, per-cell local top-k — corpus^2 never materializes.
-    * Routing + multi-probe recall loss is mirrored by the oracle, which
-    * replays the identical training iterations and the identical coarse
-    * route (integer-quantized centroid sums make them bit-deterministic
-    * cross-engine).
+    * tree steps broadcast as materialized models (k*dim doubles — the
+    * bounded KMeans-model artifact, like any ML model object), the whole
+    * descent runs under ONE vector-id partitioning (one shuffle), then
+    * one shuffle on cell id and per-cell local top-k — corpus² never
+    * materializes. Routing + multi-probe recall loss is mirrored by the
+    * oracle, which replays the identical training iterations and the
+    * identical tree route (integer-quantized centroid sums make them
+    * bit-deterministic cross-engine).
     */
   /** Recall@3 of the IVF index against the exact brute-force ground
     * truth — the standard ANN quality metric, and the audit that closes
@@ -221,12 +222,11 @@ object SimilarityQueries {
     val n = vec.count()
     val cent = graft.ext.IvfIndex.materialize(
       s, graft.ext.IvfIndex.trainCentroids(vec, "vec_id", 64, n, iters = 2))
-    val (centS, coarse) = graft.ext.IvfIndex.coarsen(s, cent)
-    val asg = graft.ext.IvfIndex.assignCellsTwoLevel(vec, "vec_id", centS, coarse,
-      graft.ext.IvfIndex.DefaultCoarseProbes, probes = 1)
+    val tree = graft.ext.IvfIndex.buildTree(s, cent)
+    val asg = graft.ext.IvfIndex.assignCellsTree(vec, "vec_id", tree, probes = 1)
     val qa = graft.ext.IvfIndex
-      .assignCellsTwoLevel(vec.filter(col("vec_id") < 10), "vec_id", centS, coarse,
-        graft.ext.IvfIndex.DefaultCoarseProbes, probes = graft.ext.IvfIndex.DefaultProbes)
+      .assignCellsTree(vec.filter(col("vec_id") < 10), "vec_id", tree,
+        probes = graft.ext.IvfIndex.DefaultProbes)
       .select(col("vec_id").as("query_id"), col("cell"), col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     val ivf3 = qa
@@ -252,12 +252,11 @@ object SimilarityQueries {
     val n = vec.count()
     val cent = graft.ext.IvfIndex.materialize(
       s, graft.ext.IvfIndex.trainCentroids(vec, "vec_id", 64, n, iters = 2))
-    val (centS, coarse) = graft.ext.IvfIndex.coarsen(s, cent)
-    val asg = graft.ext.IvfIndex.assignCellsTwoLevel(vec, "vec_id", centS, coarse,
-      graft.ext.IvfIndex.DefaultCoarseProbes, probes = 1)
+    val tree = graft.ext.IvfIndex.buildTree(s, cent)
+    val asg = graft.ext.IvfIndex.assignCellsTree(vec, "vec_id", tree, probes = 1)
     val q = graft.ext.IvfIndex
-      .assignCellsTwoLevel(vec.filter(col("vec_id") < 10), "vec_id", centS, coarse,
-        graft.ext.IvfIndex.DefaultCoarseProbes, probes = graft.ext.IvfIndex.DefaultProbes)
+      .assignCellsTree(vec.filter(col("vec_id") < 10), "vec_id", tree,
+        probes = graft.ext.IvfIndex.DefaultProbes)
       .select(col("vec_id").as("query_id"), col("cell"), col("v").as("qv"), col("nrm").as("qn"))
     val c = asg.select(col("vec_id").as("neighbor_id"), col("cell"), col("v").as("cv2"), col("nrm").as("cn2"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))

@@ -35,16 +35,15 @@ object IvfSweep {
         .withColumn("cos", Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
         .withColumn("rk", row_number().over(wb)).filter(col("rk") <= 3)
         .select("query_id", "neighbor_id"))
-    for (cp <- Seq(2, 3, 4, 6); probes <- Seq(5)) {
+    for (probes <- Seq(5)) {
       val k = IvfIndex.cellCount(n)
       val cent = IvfIndex.materialize(
         spark, IvfIndex.trainCentroidsK(vec, "vec_id", 64, n, k, iters = 2))
       val nCells = cent.count()
-      val (centS, coarse) = IvfIndex.coarsen(spark, cent)
-      val nCoarse = coarse.count()
-      val asg = IvfIndex.assignCellsTwoLevel(vec, "vec_id", centS, coarse, cp, probes = 1)
-      val q = IvfIndex.assignCellsTwoLevel(
-        vec.filter(col("vec_id") < 10), "vec_id", centS, coarse, cp, probes = probes)
+      val tree = IvfIndex.buildTree(spark, cent)
+      val asg = IvfIndex.assignCellsTree(vec, "vec_id", tree, probes = 1)
+      val q = IvfIndex.assignCellsTree(
+        vec.filter(col("vec_id") < 10), "vec_id", tree, probes = probes)
         .select(col("vec_id").as("query_id"), col("cell"), col("v").as("qv"), col("nrm").as("qn"))
       val c = asg.select(col("vec_id").as("neighbor_id"), col("cell"), col("v").as("cv"), col("nrm").as("cn"))
       val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
@@ -55,7 +54,8 @@ object IvfSweep {
           .select("query_id", "neighbor_id"))
       val hits = truth.map { case (qq, t) => (t & ivf.getOrElse(qq, Set.empty)).size }.sum
       val recall = hits.toDouble / truth.values.map(_.size).sum
-      println(f"k=$k%4d cells=$nCells coarse=$nCoarse cp=$cp probes=$probes recall@3=$recall%.3f")
+      println(f"k=$k%4d cells=$nCells start=${tree.start} beam=${IvfIndex.DefaultBeam} " +
+        f"probes=$probes recall@3=$recall%.3f")
     }
     spark.stop()
   }

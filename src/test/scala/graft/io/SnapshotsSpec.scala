@@ -177,8 +177,7 @@ class SnapshotsSpec extends SparkSpec {
     val winners = results.asScala.collect { case (i, true) => i }.toSeq
     assert(winners.size == 1, s"exactly one racer must win, got winners=$winners")
     // the published manifest carries the winner's content, not a loser's
-    val in = f.open(new Path(s"$dir/_manifests/0"))
-    val content = try in.readUTF() finally in.close()
+    val content = Snapshots.readManifestPayload(f, dir, 0L)
     assert(content == s"data_racer_${winners.head}",
       s"manifest content '$content' must be the winner's — an overwrite lost a commit")
     // and no tmp litter survives the stampede
@@ -322,5 +321,68 @@ class SnapshotsSpec extends SparkSpec {
   test("log compaction on an empty table is a no-op") {
     val dir = Files.createTempDirectory("snap_ckpt_empty").toString
     assert(Snapshots.checkpointLog(spark, dir).isEmpty)
+  }
+
+  test("manifest payloads past the old writeUTF 64 KB ceiling round-trip") {
+    // an append-heavy table's '+'-joined segment list (or a wide evolved
+    // schema's base64 JSON) legitimately exceeds 65535 bytes; the old
+    // writeUTF framing threw UTFDataFormatException on every subsequent
+    // publish — a bricked table. The m1 framing must carry it verbatim.
+    val dir = Files.createTempDirectory("snap_bigpayload").toString
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new Path(s"$dir/_manifests"))
+    val big = (0 until 9000).map(i => f"data_${i}%08d").mkString("+") // ~117 KB
+    assert(big.length > 65535)
+    assert(Snapshots.publishManifest(f, dir, 0L, big))
+    assert(Snapshots.readManifestPayload(f, dir, 0L) == big)
+  }
+
+  test("pre-m1 writeUTF manifests stay readable (wire compatibility)") {
+    val dir = Files.createTempDirectory("snap_oldwire").toString
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(7L).toDF("x").write.parquet(s"$dir/data_old00001")
+    f.mkdirs(new Path(s"$dir/_manifests"))
+    val out = f.create(new Path(s"$dir/_manifests/0"), false)
+    try out.writeUTF("data_old00001") finally out.close()
+    assert(Snapshots.readManifestPayload(f, dir, 0L) == "data_old00001")
+    assert(Snapshots.read(spark, dir).as[Long].collect().toSeq == Seq(7L))
+  }
+
+  test("racing initializers with divergent schemas: at most one schema lands") {
+    // two writers both see an empty table, both pass the pre-write gate;
+    // the v0-race loser must fail the IN-LOOP re-gate instead of chaining
+    // a divergent segment at v1 (silent null-fill corruption). Raced 8x:
+    // the loud outcome is deterministic even though the interleaving isn't.
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    (0 until 8).foreach { round =>
+      val dir = Files.createTempDirectory(s"snap_initrace$round").toString
+      val pool = Executors.newFixedThreadPool(2)
+      val start = new CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val oks = new java.util.concurrent.atomic.AtomicInteger(0)
+      def submit(body: => Unit): Unit = pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try { body; oks.incrementAndGet() }
+          catch { case t: Throwable => errs.add(t) }
+        }
+      })
+      submit(Snapshots.appendRowsIdempotent(spark, dir, Seq(1L).toDF("x"), s"a#$round"))
+      submit(Snapshots.appendRowsIdempotent(spark, dir, Seq("s").toDF("y"), s"b#$round"))
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+      // every failure must be the loud schema gate, never silent success
+      errs.forEach(t => assert(
+        t.getMessage != null && t.getMessage.contains("does not match the"),
+        s"unexpected failure class: $t"))
+      // the table must hold exactly ONE schema family: reading the latest
+      // version succeeds and its schema is one of the two writers' shapes
+      val got = Snapshots.read(spark, dir)
+      assert(got.schema.fields.map(_.name).toSeq == Seq("x") ||
+        got.schema.fields.map(_.name).toSeq == Seq("y"),
+        s"mixed-schema table: ${got.schema.simpleString}")
+      assert(got.count() == 1L, "a divergent segment chained onto the winner")
+    }
   }
 }

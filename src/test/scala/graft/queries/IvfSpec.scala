@@ -24,6 +24,34 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall@3 = $recall")
   }
 
+  /** The log-depth descent's scale contract ([[graft.ext.IvfIndex
+    * .assignCellsTree]] scaladoc): the first per-vector ranking window
+    * establishes hash-partitioning on the vector id and every later
+    * level is broadcast join + projection + local sort under that SAME
+    * partitioning — so the whole descent must plan exactly ONE
+    * hash-partitioning exchange regardless of tree depth. A regression
+    * that re-shuffles per level (e.g. a projection that drops the
+    * partitioning attribute) multiplies shuffle bytes by log k and fails
+    * here with the plan printed.
+    */
+  test("tree descent plans exactly one hash exchange at any depth") {
+    import org.apache.spark.sql.functions._
+    val vec = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select(col("vec_id"), graft.ext.Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", graft.ext.Vectors.l2Norm(col("v")))
+    val n = vec.count()
+    // force a DEEP tree (k=512 -> depth 4) so the assertion covers the
+    // multi-level path, not the sf0.1 default's single level
+    val cent = graft.ext.IvfIndex.materialize(
+      spark, graft.ext.IvfIndex.trainCentroidsK(vec, "vec_id", 64, n, k = 512L, iters = 1))
+    val tree = graft.ext.IvfIndex.buildTree(spark, cent)
+    assert(tree.start >= 3, s"expected a deep tree, got start=${tree.start}")
+    val asg = graft.ext.IvfIndex.assignCellsTree(vec, "vec_id", tree, probes = 1)
+    val plan = asg.queryExecution.executedPlan.toString
+    val nHash = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nHash == 1, s"descent should shuffle once, planned $nHash:\n$plan")
+  }
+
   /** Multi-probe LSH exists to buy back single-probe boundary loss: at
     * sf0.1 (adaptive 5-bit buckets) probing the bits+1 Hamming-1
     * neighborhood must strictly dominate single-probe recall@3.
