@@ -1278,6 +1278,103 @@ object Snapshots {
     Some(commitVersion(spark, readVersion(spark, dir, v), dir, maxRetries))
   }
 
+  /** A segment's live data bytes: the visible part files directly in the
+    * segment directory (the `_stats` sidecar and `_SUCCESS` markers are
+    * excluded — they are metadata, not row payload). One listing per
+    * segment — planning-time metadata, same class as the manifest read.
+    */
+  private def segmentBytes(
+      f: org.apache.hadoop.fs.FileSystem,
+      dir: String,
+      segName: String): Long =
+    f.listStatus(new Path(dir, segName))
+      .filter(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      .map(_.getLen).sum
+
+  /** Incremental bin-pack OPTIMIZE — the small-file compaction every
+    * streaming-ingested table needs within its first week: each
+    * micro-batch append leaves one segment, so after a 300-batch soak the
+    * manifest's data field is a 300-way '+'-list and every read unions
+    * 300 parquet directories. [[compactDeletes]]/[[commitVersion]] can
+    * collapse that, but at O(table) — they rewrite EVERYTHING. This
+    * rewrites ONLY the segments whose live bytes are below `targetBytes`
+    * (Delta OPTIMIZE's bin-packing contract): their DV-surviving rows
+    * land in ONE packed segment (sized to ~targetBytes files), segments
+    * already at weight are carried by POINTER, and the result is ONE
+    * publish. Cost: O(small-file bytes) read+written + O(1) publish —
+    * independent of the table's total size.
+    *
+    * Deletion vectors compose: the packed segment materializes its
+    * sources' survivors (their DV entries are consumed), and the new
+    * version's DV keeps exactly the entries naming kept segments' files —
+    * rebasing, not dropping, deletes. Time travel is untouched (old
+    * versions still reference the small segments; [[vacuum]] reaps them
+    * only once no manifest or checkpoint does). Declared-schema versions
+    * pack through the same alignment as any read, so a packed segment
+    * carries the evolved shape. OCC: a lost publish recomputes against
+    * the new latest (a racing append's fresh segment joins the next
+    * compaction); the stale packed dir is vacuum debris.
+    *
+    * No-op (None) when fewer than two segments qualify — packing one
+    * segment would rewrite bytes for zero file-count gain.
+    */
+  def compactSegments(
+      spark: SparkSession,
+      dir: String,
+      targetBytes: Long,
+      maxRetries: Int = 10): Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, dir)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = latestVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no published versions in $dir"))
+      manifestEntry(f, dir, v) match {
+        case None => attempt += 1 // lost race with a retracting writer
+        case Some(entry) =>
+          val sized = entry.segments.map(dn => dn -> segmentBytes(f, dir, dn))
+          val small = sized.filter(_._2 < targetBytes)
+          if (small.size < 2) return None
+          val kept = entry.segments.filterNot(small.map(_._1).toSet)
+          // the small segments' DV-surviving rows, aligned to the declared
+          // schema (a packed segment must carry the evolved shape)
+          val reader =
+            if (entry.schema.isDefined) spark.read.option("mergeSchema", "true")
+            else spark.read
+          val smallScan = reader.parquet(small.map(s => new Path(dir, s._1).toString): _*)
+          val survivors = alignToDeclared(
+            applyDv(spark, dir, smallScan, entry.dv), entry.schema)
+          val files = math.max(1L, (small.map(_._2).sum + targetBytes - 1) / targetBytes)
+          val segName = s"data_${java.util.UUID.randomUUID().toString.take(8)}"
+          survivors.coalesce(files.toInt).write.mode(SaveMode.ErrorIfExists)
+            .parquet(new Path(dir, segName).toString)
+          // rebase the DV onto the kept segments: packed rows already
+          // materialized their deletes, so entries naming a compacted
+          // file must not survive (they would be dangling paths)
+          val dvOpt = entry.dv.flatMap { d =>
+            val keptPred = kept
+              .map(s => col("file").contains(s"/$s/"))
+              .reduceOption(_ || _)
+              .getOrElse(org.apache.spark.sql.functions.lit(false))
+            val remaining = spark.read.parquet(new Path(dir, d).toString).filter(keptPred)
+            if (remaining.isEmpty) None
+            else {
+              val dvName = s"dv_${java.util.UUID.randomUUID().toString.take(8)}"
+              remaining.coalesce(1).write.mode(SaveMode.ErrorIfExists)
+                .parquet(new Path(dir, dvName).toString)
+              Some(dvName)
+            }
+          }
+          if (publishManifest(f, dir, v + 1,
+              Entry((kept :+ segName).mkString("+"), None, dvOpt, entry.schema).serialize))
+            return Some(v + 1)
+          attempt += 1 // lost the race: recompute; this packed dir is vacuum debris
+      }
+    }
+    throw new IllegalStateException(s"could not publish compaction after $maxRetries attempts")
+  }
+
   /** Z-order OPTIMIZE: rewrite the latest version clustered by the Morton
     * interleave of `cols` and commit it (with a stats sidecar on those
     * same columns) as a NEW version — the multi-dimensional sibling of

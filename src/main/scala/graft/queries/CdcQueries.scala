@@ -209,7 +209,34 @@ object CdcQueries {
       .orderBy("band")
   }
 
+  /** Bin-pack OPTIMIZE round-trip through the CORRECTNESS gate: commit a
+    * heavy orders slice, append three small slices (the streaming-ingest
+    * small-file shape), MoR-delete across ALL segments, then
+    * [[graft.io.Snapshots.compactSegments]] — the small segments' DV
+    * survivors pack into one new segment, the heavy segment is carried by
+    * pointer with its DV entries rebased — and read the table back. The
+    * oracle recomputes the end state from raw orders, so a compaction
+    * that loses rows, resurrects deleted ones, or drops a rebased DV
+    * entry hash-mismatches (SegmentCompactionSpec separately pins the
+    * layout contract: file counts, pointer-carry, OCC, vacuum).
+    */
+  private val lakehouseCompactRead: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cp").toString
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice").cast("double").as("price"))
+    graft.io.Snapshots.commitVersion(s, base.filter(col("o_orderkey") % 16 < 13), tmp)
+    Seq(13L, 14L, 15L).foreach(r =>
+      graft.io.Snapshots.appendRows(s, tmp, base.filter(col("o_orderkey") % 16 === r)))
+    graft.io.Snapshots.deleteWhere(s, tmp, col("price") >= 300000.0)
+    graft.io.Snapshots.compactSegments(s, tmp, targetBytes = 64L << 10)
+    graft.io.Snapshots.read(s, tmp)
+      .groupBy((col("o_orderkey") % 5).as("kb"))
+      .agg(count(lit(1)).as("n"), dsum(col("price")).as("price_sum"))
+      .orderBy("kb")
+  }
+
   val queries: Map[String, Q] = Map(
+    "lakehouse_compact_read" -> lakehouseCompactRead,
     "scd2_asof_lookup" -> scd2AsofLookup,
     "scd2_user_history" -> scd2UserHistory,
     "cdc_apply_upserts" -> cdcApplyUpserts,
@@ -273,6 +300,11 @@ object CdcQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS price_sum
         |FROM orders
         |WHERE epoch_ms(o_orderdate) BETWEEN 757382400000 AND 788918399999
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "lakehouse_compact_read" ->
+      """SELECT o_orderkey % 5 AS kb, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(12,2))) AS DOUBLE) AS price_sum
+        |FROM orders WHERE CAST(o_totalprice AS DOUBLE) < 300000.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "lakehouse_merge_read" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
