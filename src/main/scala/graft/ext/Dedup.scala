@@ -535,24 +535,30 @@ object Dedup {
     val toks = df
       .select(col(idCol).as("__id"), split(TextStats.normText(col(textCol)), " ").as("toks"))
       .withColumn("__n", size(col("toks")).cast(LongType))
+    // THE SHUFFLE GRAIN IS A 16-BYTE DIGEST, NEVER THE GRAM TEXT: a
+    // 12-token gram is ~100 B, and the round-8 sf10 decade run measured
+    // the text riding the candidate shuffles at 4.76 GB (59× the sf1
+    // bytes) once the duplicated-gram side outgrew AQE's broadcast
+    // threshold — which it legitimately does (it is O(duplicated mass),
+    // the flip is load-bearing, not a planning miss). The md5 digest is
+    // position-free and 6× narrower, and 128-bit equality is the same
+    // exactness class the correctness gate itself rests on (the oracle
+    // hash-compares rows; the oracle for THIS query deliberately stays at
+    // raw gram-text grain, so the digest is audited against ground truth
+    // at every SF, not assumed). One narrow hash-aggregation replaces the
+    // old three-pass hot-superset/verify dance.
     val grams = toks
       .filter(col("__n") >= k)
       .select(
         col("__id"),
         posexplode(expr(
           s"transform(sequence(0, size(toks) - $k), p -> array_join(slice(toks, p + 1, $k), ' '))")))
-      .select(col("__id"), col("pos").as("__p"), col("col").as("__gram"))
-      .withColumn("__gh", xxhash64(col("__gram")))
-    // candidate hashes: any hash seen twice (same doc or not) — a strict
-    // superset of the duplicated grams, filtered exactly in step 3
-    val hot = grams.groupBy("__gh").agg(count(lit(1)).as("__c")).filter(col("__c") >= 2)
-      .select("__gh")
-    val cand = grams.join(hot, Seq("__gh"), "left_semi")
-    val dup = cand.groupBy("__gram")
+      .select(col("__id"), col("pos").as("__p"), unhex(md5(col("col"))).as("__gm"))
+    val dup = grams.groupBy("__gm")
       .agg(countDistinct("__id").as("__df"))
       .filter(col("__df") >= 2)
-      .select("__gram")
-    val starts = cand.join(dup, Seq("__gram"), "left_semi").select("__id", "__p")
+      .select("__gm")
+    val starts = grams.join(dup, Seq("__gm"), "left_semi").select("__id", "__p")
     val covered = starts
       .select(col("__id"), explode(expr(s"sequence(__p, __p + ${k - 1})")).as("__ti"))
       .distinct()

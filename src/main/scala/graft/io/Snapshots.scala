@@ -687,9 +687,72 @@ object Snapshots {
     reader.parquet(entry.segments.map(new Path(dir, _).toString): _*)
   }
 
+  /** COLUMN MAPPING (rename/drop without rewriting data — Delta's column
+    * mapping move): each declared field may carry the PHYSICAL name its
+    * bytes live under in parquet, in the field's metadata under this key.
+    * Physical names are assigned once and never change: [[renameColumn]]
+    * changes only the logical name (metadata-only publish), [[dropColumn]]
+    * removes the field (old segments' physical column becomes ignored
+    * bytes), and a column added while a mapping exists gets a FRESH
+    * physical name when its logical name ever collides with a physical
+    * one — a dropped column's stale bytes can therefore never resurface
+    * under a re-added name. No metadata key ⇒ physical == logical (every
+    * pre-mapping table, unchanged byte-for-byte).
+    */
+  private val PhysicalKey = "graft.physical"
+
+  private def physicalName(fld: org.apache.spark.sql.types.StructField): String =
+    if (fld.metadata.contains(PhysicalKey)) fld.metadata.getString(PhysicalKey) else fld.name
+
+  /** The physical name for a NEW declared field: the logical name on a
+    * mapping-free table (today's byte-compatible behavior), else a fresh
+    * `p_<uuid>`. "Mapping history exists" — any field carrying
+    * [[PhysicalKey]] — forces the uuid path because a DROPPED column's
+    * physical name is no longer visible in the declared schema, and
+    * re-using it would resurface the stale bytes old segments still hold
+    * under that name ([[dropColumn]] pins the marker onto every surviving
+    * field for exactly this reason).
+    */
+  private def freshPhysical(
+      logical: String,
+      cur: org.apache.spark.sql.types.StructType): String =
+    if (cur.fields.exists(f =>
+        physicalName(f) == logical || f.metadata.contains(PhysicalKey)))
+      s"p_${java.util.UUID.randomUUID().toString.take(8)}"
+    else logical
+
+  /** Record `physical` on the field. The identity case (physical ==
+    * logical, no prior pin) stays metadata-free so a plain [[addColumn]]
+    * never creates mapping history; `force` pins even the identity —
+    * [[dropColumn]] needs the history marker on every surviving field.
+    */
+  private def withPhysical(
+      fld: org.apache.spark.sql.types.StructField,
+      physical: String,
+      force: Boolean = false): org.apache.spark.sql.types.StructField =
+    if (!force && physical == fld.name && !fld.metadata.contains(PhysicalKey)) fld
+    else fld.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(fld.metadata).putString(PhysicalKey, physical).build())
+
+  /** Rename a segment write's columns from the table's logical names to
+    * their physical ones — every segment-writing path (append, update
+    * rewrite, merge, compaction pack) goes through here so parquet always
+    * stores physical names. Identity (and plan-free) without a mapping.
+    */
+  private def toPhysical(
+      df: DataFrame,
+      declared: Option[org.apache.spark.sql.types.StructType]): DataFrame = declared match {
+    case None => df
+    case Some(st) =>
+      import org.apache.spark.sql.functions.col
+      if (st.fields.forall(f => physicalName(f) == f.name)) df
+      else df.select(st.fields.toSeq.map(f => col(f.name).as(physicalName(f))): _*)
+  }
+
   /** Project to the declared schema when one exists: declared column
-    * order, missing columns (pre-evolution segments) null-filled with the
-    * declared type; `keep` columns (the DV keys) pass through untouched.
+    * order, each field read from its PHYSICAL column, missing physicals
+    * (pre-evolution segments) null-filled with the declared type; `keep`
+    * columns (the DV keys) pass through untouched.
     */
   private def alignToDeclared(
       base: DataFrame,
@@ -700,7 +763,8 @@ object Snapshots {
       import org.apache.spark.sql.functions.{col, lit}
       val present = base.columns.toSet
       val cols = st.fields.toSeq.map { fld =>
-        if (present(fld.name)) col(fld.name)
+        val p = physicalName(fld)
+        if (present(p)) col(p).as(fld.name)
         else lit(null).cast(fld.dataType).as(fld.name)
       } ++ keep.map(col)
       base.select(cols: _*)
@@ -874,9 +938,12 @@ object Snapshots {
     // validate BEFORE writing the segment: a mismatched append must fail
     // loudly up front, not commit and let later multi-segment reads
     // silently null-fill the divergent columns
-    requireSchemaMatch(df, tableSchema(spark, dir), "appendRows")
+    val declared = tableSchema(spark, dir)
+    requireSchemaMatch(df, declared, "appendRows")
     val segName = s"data_${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.mode(SaveMode.ErrorIfExists).parquet(new Path(dir, segName).toString)
+    // physical names in parquet (stable across renames — see PhysicalKey)
+    toPhysical(df, Some(declared)).write.mode(SaveMode.ErrorIfExists)
+      .parquet(new Path(dir, segName).toString)
     var attempt = 0
     while (attempt < maxRetries) {
       val v = latestVersion(spark, dir).getOrElse(
@@ -927,10 +994,14 @@ object Snapshots {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
     // schema gate (first batch on an empty table DEFINES the schema)
-    if (latestVersion(spark, dir).isDefined)
-      requireSchemaMatch(df, tableSchema(spark, dir), "appendRowsIdempotent")
+    val declared0 = if (latestVersion(spark, dir).isDefined) {
+      val ts = tableSchema(spark, dir)
+      requireSchemaMatch(df, ts, "appendRowsIdempotent")
+      Some(ts)
+    } else None
     val segName = s"data_${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.mode(SaveMode.ErrorIfExists).parquet(new Path(dir, segName).toString)
+    toPhysical(df, declared0).write.mode(SaveMode.ErrorIfExists)
+      .parquet(new Path(dir, segName).toString)
     var attempt = 0
     while (attempt < maxRetries) {
       // re-check every iteration BEFORE choosing a version (the
@@ -1058,15 +1129,17 @@ object Snapshots {
             case (acc, (name, setCol)) => acc.withColumn(name, setCol)
           }
           val newNames = sets.map(_._1).distinct.filterNot(bare.columns.contains)
+          val curFields = entry.schema.map(_.fields.toSeq).getOrElse(bare.schema.fields.toSeq)
           val newSchema: Option[org.apache.spark.sql.types.StructType] =
             if (newNames.isEmpty) entry.schema
             else Some(org.apache.spark.sql.types.StructType(
-              entry.schema.map(_.fields.toSeq)
-                .getOrElse(bare.schema.fields.toSeq) ++
-                newNames.map(n => org.apache.spark.sql.types.StructField(
-                  n, rewritten.schema(n).dataType, nullable = true))))
+              curFields ++ newNames.map(n => withPhysical(
+                org.apache.spark.sql.types.StructField(
+                  n, rewritten.schema(n).dataType, nullable = true),
+                freshPhysical(n, org.apache.spark.sql.types.StructType(curFields))))))
           val segName = s"data_${java.util.UUID.randomUUID().toString.take(8)}"
-          rewritten.write.mode(SaveMode.ErrorIfExists).parquet(new Path(dir, segName).toString)
+          toPhysical(rewritten, newSchema).write.mode(SaveMode.ErrorIfExists)
+            .parquet(new Path(dir, segName).toString)
           if (publishManifest(f, dir, v + 1,
               Entry(s"${entry.data}+$segName", None, Some(dvName), newSchema).serialize))
             return Some(v + 1)
@@ -1103,8 +1176,12 @@ object Snapshots {
           val cur = entry.schema.getOrElse(segmentScan(spark, dir, entry).schema)
           require(!cur.fieldNames.contains(name),
             s"addColumn: column '$name' already exists in ${cur.simpleString}")
+          // fresh physical name when the logical one collides with an
+          // existing physical (rename/drop history) — see [[PhysicalKey]]
           val evolved = org.apache.spark.sql.types.StructType(
-            cur.fields :+ org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+            cur.fields :+ withPhysical(
+              org.apache.spark.sql.types.StructField(name, dataType, nullable = true),
+              freshPhysical(name, cur)))
           if (publishManifest(f, dir, v + 1,
               Entry(entry.data, None, entry.dv, Some(evolved)).serialize))
             return v + 1
@@ -1112,6 +1189,91 @@ object Snapshots {
       }
     }
     throw new IllegalStateException(s"could not publish addColumn after $maxRetries attempts")
+  }
+
+  /** Rename a column — metadata-only via COLUMN MAPPING: the declared
+    * field keeps its PHYSICAL name (pinned into the field metadata the
+    * first time a rename touches it) and only the logical name changes,
+    * so the publish is ONE manifest file on a table of any size. Reads
+    * map physical→logical per segment ([[alignToDeclared]]); writes map
+    * back ([[toPhysical]]); time travel below this version keeps the old
+    * name. Same OCC loop as every commit.
+    */
+  def renameColumn(
+      spark: SparkSession,
+      dir: String,
+      from: String,
+      to: String,
+      maxRetries: Int = 10): Long = {
+    val f = fs(spark, dir)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = latestVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no published versions in $dir"))
+      manifestEntry(f, dir, v) match {
+        case None => attempt += 1 // lost race with a retracting writer
+        case Some(entry) =>
+          val cur = entry.schema.getOrElse(segmentScan(spark, dir, entry).schema)
+          require(cur.fieldNames.contains(from),
+            s"renameColumn: no column '$from' in ${cur.simpleString}")
+          require(!cur.fieldNames.contains(to),
+            s"renameColumn: column '$to' already exists in ${cur.simpleString}")
+          val evolved = org.apache.spark.sql.types.StructType(cur.fields.map { fld =>
+            if (fld.name == from)
+              withPhysical(fld.copy(name = to), physicalName(fld))
+            else fld
+          })
+          if (publishManifest(f, dir, v + 1,
+              Entry(entry.data, None, entry.dv, Some(evolved)).serialize))
+            return v + 1
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(s"could not publish rename after $maxRetries attempts")
+  }
+
+  /** Drop a column — metadata-only: the declared schema loses the field;
+    * its physical bytes stay in the old segments as ignored columns (the
+    * merge-on-read trade every column-mapping format makes — a rewrite
+    * reclaims the space, never required for correctness). A column later
+    * re-added under the dropped name gets a FRESH physical name
+    * ([[freshPhysical]]), so the stale bytes can never resurface. At
+    * least one column must remain. Time travel below this version still
+    * reads the dropped column.
+    */
+  def dropColumn(
+      spark: SparkSession,
+      dir: String,
+      name: String,
+      maxRetries: Int = 10): Long = {
+    val f = fs(spark, dir)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = latestVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no published versions in $dir"))
+      manifestEntry(f, dir, v) match {
+        case None => attempt += 1 // lost race with a retracting writer
+        case Some(entry) =>
+          val cur = entry.schema.getOrElse(segmentScan(spark, dir, entry).schema)
+          require(cur.fieldNames.contains(name),
+            s"dropColumn: no column '$name' in ${cur.simpleString}")
+          require(cur.fields.length > 1,
+            s"dropColumn: cannot drop the last column '$name'")
+          // pin every SURVIVING field's physical name: from here on the
+          // table has rename/drop history, and [[freshPhysical]] guards
+          // re-adds against collision with any CURRENT physical — pinning
+          // keeps the invariant that a declared field's bytes are always
+          // found under its recorded physical name, whatever happened first
+          val evolved = org.apache.spark.sql.types.StructType(
+            cur.fields.filterNot(_.name == name)
+              .map(fld => withPhysical(fld, physicalName(fld), force = true)))
+          if (publishManifest(f, dir, v + 1,
+              Entry(entry.data, None, entry.dv, Some(evolved)).serialize))
+            return v + 1
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(s"could not publish dropColumn after $maxRetries attempts")
   }
 
   /** MERGE INTO — the atomic upsert write path (Delta MERGE with DVs does
@@ -1154,7 +1316,8 @@ object Snapshots {
     }
     val f = fs(spark, dir)
     if (txnId.exists(committedTxns(spark, dir).contains)) return None
-    requireSchemaMatch(source, tableSchema(spark, dir), "mergeInto")
+    val declared0 = tableSchema(spark, dir)
+    requireSchemaMatch(source, declared0, "mergeInto")
     keyCols.foreach(k => require(source.columns.contains(k),
       s"mergeInto: key column '$k' is not in the source schema"))
     // one source row per key — the "multiple source rows matched" ambiguity
@@ -1169,7 +1332,8 @@ object Snapshots {
     val hasInserts = !toWrite.isEmpty
     val segName = s"data_${java.util.UUID.randomUUID().toString.take(8)}"
     if (hasInserts)
-      toWrite.write.mode(SaveMode.ErrorIfExists).parquet(new Path(dir, segName).toString)
+      toPhysical(toWrite, Some(declared0)).write.mode(SaveMode.ErrorIfExists)
+        .parquet(new Path(dir, segName).toString)
     var attempt = 0
     while (attempt < maxRetries) {
       if (txnId.exists(committedTxns(spark, dir).contains)) return None
@@ -1292,6 +1456,17 @@ object Snapshots {
         !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
       .map(_.getLen).sum
 
+  /** Number of data segments the LATEST version unions — the
+    * fragmentation metric a caller (or a maintenance loop) checks to
+    * decide when to [[compactSegments]]. One manifest read.
+    */
+  def segmentCount(spark: SparkSession, dir: String): Int = {
+    val f = fs(spark, dir)
+    val v = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no published versions in $dir"))
+    manifestEntry(f, dir, v).map(_.segments.size).getOrElse(0)
+  }
+
   /** Incremental bin-pack OPTIMIZE — the small-file compaction every
     * streaming-ingested table needs within its first week: each
     * micro-batch append leaves one segment, so after a 300-batch soak the
@@ -1347,7 +1522,8 @@ object Snapshots {
             applyDv(spark, dir, smallScan, entry.dv), entry.schema)
           val files = math.max(1L, (small.map(_._2).sum + targetBytes - 1) / targetBytes)
           val segName = s"data_${java.util.UUID.randomUUID().toString.take(8)}"
-          survivors.coalesce(files.toInt).write.mode(SaveMode.ErrorIfExists)
+          toPhysical(survivors.coalesce(files.toInt), entry.schema)
+            .write.mode(SaveMode.ErrorIfExists)
             .parquet(new Path(dir, segName).toString)
           // rebase the DV onto the kept segments: packed rows already
           // materialized their deletes, so entries naming a compacted

@@ -235,8 +235,39 @@ object CdcQueries {
       .orderBy("kb")
   }
 
+  /** Column-mapping round-trip through the CORRECTNESS gate: build a
+    * THREE-segment table (commit + append under the original name,
+    * [[graft.io.Snapshots.renameColumn]] — metadata-only, physical name
+    * pinned — then a third append under the NEW logical name, whose
+    * segment stores the ORIGINAL physical bytes name), drop a column the
+    * query never needs, and read back through the mapping. The oracle
+    * recomputes from raw orders, so a read that loses the
+    * physical→logical indirection on any of the three heterogeneous
+    * segments (nulls, a misaligned column, resurfaced dropped bytes)
+    * hash-mismatches. SchemaEvolutionSpec pins the metadata-only/
+    * fresh-physical layout contract.
+    */
+  private val lakehouseRenameRead: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rn").toString
+    val base = orders(s, d).select(
+      col("o_orderkey"), col("o_totalprice").cast("double").as("price"),
+      col("o_orderpriority").as("prio"))
+    graft.io.Snapshots.commitVersion(s, base.filter(col("o_orderkey") % 3 === 0), tmp)
+    graft.io.Snapshots.appendRows(s, tmp, base.filter(col("o_orderkey") % 3 === 1))
+    graft.io.Snapshots.renameColumn(s, tmp, "price", "amount")
+    graft.io.Snapshots.appendRows(s, tmp,
+      base.filter(col("o_orderkey") % 3 === 2)
+        .withColumnRenamed("price", "amount"))
+    graft.io.Snapshots.dropColumn(s, tmp, "prio")
+    graft.io.Snapshots.read(s, tmp)
+      .groupBy((col("o_orderkey") % 4).as("kb"))
+      .agg(count(lit(1)).as("n"), dsum(col("amount")).as("amount_sum"))
+      .orderBy("kb")
+  }
+
   val queries: Map[String, Q] = Map(
     "lakehouse_compact_read" -> lakehouseCompactRead,
+    "lakehouse_rename_read" -> lakehouseRenameRead,
     "scd2_asof_lookup" -> scd2AsofLookup,
     "scd2_user_history" -> scd2UserHistory,
     "cdc_apply_upserts" -> cdcApplyUpserts,
@@ -301,6 +332,10 @@ object CdcQueries {
         |FROM orders
         |WHERE epoch_ms(o_orderdate) BETWEEN 757382400000 AND 788918399999
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "lakehouse_rename_read" ->
+      """SELECT o_orderkey % 4 AS kb, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(12,2))) AS DOUBLE) AS amount_sum
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "lakehouse_compact_read" ->
       """SELECT o_orderkey % 5 AS kb, COUNT(*) AS n,
         |  CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(12,2))) AS DOUBLE) AS price_sum

@@ -874,8 +874,9 @@ object DedupQueries {
     // the star-contraction route must land on the SAME transitive closure
     "dedup_clusters_star" -> clustersOracle,
     // ground-truth formulation: plain sliding 12-grams grouped by their
-    // TEXT (no hash prefilter — the engine's xxhash64 candidate stage is
-    // an internal optimization the oracle deliberately does not mirror)
+    // TEXT (no digest — the engine's md5-grain shuffle is an internal
+    // narrowing the oracle deliberately does NOT mirror, so the 128-bit
+    // equality assumption is audited against raw text at every SF)
     "dedup_substrings" ->
       s"""WITH base AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
         |tk0 AS (SELECT doc_id, t, string_split(t, ' ') AS tk,

@@ -111,6 +111,95 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir).count() == 4)
   }
 
+  test("rename -> append -> update -> restore -> vacuum + checkpoint round-trip") {
+    val dir = Files.createTempDirectory("evo_ren").toString
+    val v0 = Snapshots.commitVersion(
+      spark, (1L to 4L).map(i => (i, i * 10L)).toDF("id", "amount"), dir)
+    val dataBefore = new java.io.File(dir).list().filter(_.startsWith("data_")).toSet
+    // rename is metadata-only: no data dir appears
+    val vRen = Snapshots.renameColumn(spark, dir, "amount", "value")
+    assert(new java.io.File(dir).list().filter(_.startsWith("data_")).toSet == dataBefore,
+      "rename rewrote data")
+    assert(Snapshots.read(spark, dir).columns.toSeq == Seq("id", "value"))
+    // values ride the rename: the physical bytes are the same column
+    assert(Snapshots.read(spark, dir).orderBy("id").select("value")
+      .collect().map(_.getLong(0)).toSeq == Seq(10L, 20L, 30L, 40L))
+    // append must carry the NEW logical name; the OLD one is refused
+    intercept[IllegalArgumentException] {
+      Snapshots.appendRows(spark, dir, Seq((5L, 50L)).toDF("id", "amount"))
+    }
+    Snapshots.appendRows(spark, dir, Seq((5L, 50L)).toDF("id", "value"))
+    // update through the renamed column, predicate and SET both logical
+    Snapshots.updateWhere(spark, dir, col("value") >= 40L, Seq("value" -> lit(99L)))
+    assert(Snapshots.read(spark, dir).orderBy("id").select("value")
+      .collect().map(_.getLong(0)).toSeq == Seq(10L, 20L, 30L, 99L, 99L))
+    // restore below the rename brings the old NAME back
+    Snapshots.rollbackTo(spark, dir, v0)
+    assert(Snapshots.read(spark, dir).columns.toSeq == Seq("id", "amount"))
+    // the renamed versions stay time-travelable; vacuum keeps history
+    assert(Snapshots.readVersion(spark, dir, vRen).columns.toSeq == Seq("id", "value"))
+    assert(Snapshots.vacuum(spark, dir, minAgeMs = 0).isEmpty)
+    // checkpoint round-trips the mapping (metadata rides the schema JSON)
+    Snapshots.checkpointLog(spark, dir)
+    assert(Snapshots.readVersion(spark, dir, vRen).columns.toSeq == Seq("id", "value"))
+    assert(Snapshots.readVersion(spark, dir, vRen).orderBy("id").select("value")
+      .collect().map(_.getLong(0)).toSeq == Seq(10L, 20L, 30L, 40L))
+  }
+
+  test("dropColumn hides bytes; a re-added name never resurfaces them") {
+    val dir = Files.createTempDirectory("evo_drop").toString
+    Snapshots.commitVersion(
+      spark, Seq((1L, 10L, "x"), (2L, 20L, "y")).toDF("id", "secret", "tag"), dir)
+    val vDrop = Snapshots.dropColumn(spark, dir, "secret")
+    assert(Snapshots.read(spark, dir).columns.toSeq == Seq("id", "tag"))
+    // time travel below the drop still sees the column
+    assert(Snapshots.readVersion(spark, dir, vDrop - 1).columns.contains("secret"))
+    // re-add the SAME name: old segments must read it as NULL, not as the
+    // stale physical bytes (fresh-physical contract)
+    Snapshots.addColumn(spark, dir, "secret", org.apache.spark.sql.types.LongType)
+    val rows = Snapshots.read(spark, dir).orderBy("id").collect()
+    assert(rows.forall(_.isNullAt(2)),
+      s"stale dropped bytes resurfaced: ${rows.mkString(",")}")
+    // writes fill only the NEW column; appends carry the evolved shape
+    Snapshots.appendRows(spark, dir, Seq((3L, "z", 333L)).toDF("id", "tag", "secret"))
+    val after = Snapshots.read(spark, dir).orderBy("id").collect()
+    assert(after(2).getLong(2) == 333L && after(0).isNullAt(2))
+    // drop + rename compose: rename tag, drop nothing else breaks
+    Snapshots.renameColumn(spark, dir, "tag", "label")
+    assert(Snapshots.read(spark, dir).columns.toSeq == Seq("id", "label", "secret"))
+    assert(Snapshots.read(spark, dir).orderBy("id").select("label")
+      .collect().map(_.getString(0)).toSeq == Seq("x", "y", "z"))
+    // the last column cannot be dropped
+    Snapshots.dropColumn(spark, dir, "secret")
+    Snapshots.dropColumn(spark, dir, "label")
+    intercept[IllegalArgumentException] {
+      Snapshots.dropColumn(spark, dir, "id")
+    }
+  }
+
+  test("merge and compaction write through the column mapping") {
+    val dir = Files.createTempDirectory("evo_map_wr").toString
+    Snapshots.commitVersion(
+      spark, (1L to 6L).map(i => (i, i * 10L)).toDF("k", "amount"), dir)
+    Snapshots.renameColumn(spark, dir, "amount", "value")
+    // merge with the logical shape: update k=1, insert k=7, delete k=2
+    Snapshots.mergeInto(spark, dir,
+      Seq((1L, 111L), (7L, 70L), (2L, -1L)).toDF("k", "value"), Seq("k"),
+      deleteWhen = Some(col("value") < 0L))
+    val got = Snapshots.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 111L, 3L -> 30L, 4L -> 40L, 5L -> 50L, 6L -> 60L, 7L -> 70L))
+    // small appends + compaction: the packed segment stores PHYSICAL names
+    Snapshots.appendRows(spark, dir, Seq((8L, 80L)).toDF("k", "value"))
+    Snapshots.appendRows(spark, dir, Seq((9L, 90L)).toDF("k", "value"))
+    assert(Snapshots.compactSegments(spark, dir, targetBytes = 1L << 20).isDefined)
+    assert(Snapshots.segmentCount(spark, dir) == 1)
+    val after = Snapshots.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == got ++ Map(8L -> 80L, 9L -> 90L))
+    assert(Snapshots.read(spark, dir).columns.toSeq == Seq("k", "value"))
+  }
+
   test("checkpoint compaction round-trips the declared schema") {
     val dir = Files.createTempDirectory("evo_ck").toString
     Snapshots.commitVersion(spark, Seq((1L, "a")).toDF("id", "text"), dir)
