@@ -228,14 +228,25 @@ object IvfIndex {
     * frontier to the kept nodes' children (one broadcast join per level)
     * and re-ranks — O(beam·fanout·log₄ k) scored pairs per vector
     * instead of the two-level O(√k) that measured 12.8× for 10× data at
-    * sf10→sf100. Exactly ONE shuffle total: the first per-vector ranking
-    * window establishes hash-partitioning on the vector id, and every
-    * later stage is broadcast-join + projection + local sort under the
-    * same partitioning (Catalyst inserts no further exchanges — asserted
-    * by IvfSpec's plan check). A routing miss at any level loses that
-    * subtree — the same recall-for-cost trade as the fine probes
-    * themselves, swept (tools/IvfSweep) and mirrored exactly by the
-    * oracle, which replays the identical deterministic route.
+    * sf10→sf100.
+    *
+    * Plan shape, the part that actually decides the wall clock: the
+    * corpus is materialized ONCE, hash-partitioned and sorted by vector
+    * id (one exchange, total), and every level is then
+    * [narrow (id, node) frontier] ⋈ [that materialized corpus]
+    * ⋈ [broadcast child model] → cosine → NARROW (id, node, cos) ranking
+    * window — all exchange-free under the established partitioning, and
+    * every per-level sort is over ~beam·fanout 24-byte rows per vector.
+    * The first cut of this descent carried the 512-byte vector THROUGH
+    * the ranking windows instead: ~35 GB of wide local sort per level at
+    * sf100, measured 246.9 s for the whole lane vs 161.2 s for the
+    * round-8 two-level — an asymptotic win losing to a constant. Keeping
+    * windows narrow is the same lesson the two-level pass already
+    * recorded; IvfSpec pins the exchange count so a regression that
+    * re-shuffles per level fails loudly. A routing miss at any level
+    * loses that subtree — the same recall-for-cost trade as the fine
+    * probes themselves, swept (tools/IvfSweep) and mirrored exactly by
+    * the oracle, which replays the identical deterministic route.
     */
   def assignCells(vec: DataFrame, idCol: String, cent: DataFrame, probes: Int): DataFrame =
     assignCellsTree(vec, idCol, buildTree(vec.sparkSession, cent), probes)
@@ -249,26 +260,42 @@ object IvfIndex {
       idCol: String,
       tree: RoutingTree,
       probes: Int): DataFrame = {
-    val w = Window.partitionBy("__vid").orderBy(desc("cos_t"), asc("ccid"))
-    var fr = vec
+    val parts = vec.sparkSession.sessionState.conf.numShufflePartitions
+    // the ONE exchange + ONE materialization: id-partitioned, id-sorted,
+    // CACHED — InMemoryRelation preserves partitioning AND ordering (a
+    // localCheckpoint does not: Spark 4 reports UnknownPartitioning on
+    // the checkpointed RDD, measured — every level would re-exchange),
+    // so every level's re-attach join and ranking window below run
+    // exchange-free on the cached columnar copy, and the ContextCleaner
+    // reaps the cache when the plan goes unreferenced.
+    val v0 = vec
       .withColumnRenamed(idCol, "__vid")
+      .repartition(parts, col("__vid"))
+      .sortWithinPartitions("__vid")
+      .cache()
+    val w = Window.partitionBy("__vid").orderBy(desc("cos_t"), asc("ccid"))
+    var fr = v0
       .crossJoin(broadcast(tree.top.select(
         col("cid").as("ccid"), col("cv").as("ccv"), col("cn").as("ccn"))))
       .withColumn("cos_t", Vectors.dot(col("v"), col("ccv")) / (col("nrm") * col("ccn")))
+      .select("__vid", "ccid", "cos_t") // narrow BEFORE the rank
       .withColumn("rk_t", row_number().over(w))
       .filter(col("rk_t") <= DefaultBeam)
-      .select("__vid", "ccid", "v", "nrm")
+      .select("__vid", "ccid")
     for (lvl <- tree.start to 1 by -1) {
       val keep = if (lvl == 1) probes else DefaultBeam
       fr = fr
-        .select(col("__vid"), col("ccid").as("pcid"), col("v"), col("nrm"))
+        .select(col("__vid"), col("ccid").as("pcid"))
+        .join(v0, Seq("__vid")) // co-partitioned, v0 side pre-sorted
         .join(broadcast(tree.steps(lvl)), Seq("pcid"))
         .withColumn("cos_t", Vectors.dot(col("v"), col("ccv")) / (col("nrm") * col("ccn")))
+        .select("__vid", "ccid", "cos_t") // narrow BEFORE the rank
         .withColumn("rk_t", row_number().over(w))
         .filter(col("rk_t") <= keep)
-        .select("__vid", "ccid", "v", "nrm")
+        .select("__vid", "ccid")
     }
-    fr.select(col("__vid").as(idCol), col("ccid").as("cell"), col("v"), col("nrm"))
+    fr.join(v0, Seq("__vid"))
+      .select(col("__vid").as(idCol), col("ccid").as("cell"), col("v"), col("nrm"))
   }
 
   /** DuckDB image of the whole train+assign pipeline, generated so the

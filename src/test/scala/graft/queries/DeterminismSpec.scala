@@ -147,7 +147,9 @@ class DeterminismSpec extends SparkSpec {
     "qte_deciles",           // per-arm rankPicks decile value picks
     "rbo_leaderboard",       // two TakeOrdered rank frames, baked weights
     "silhouette_cells",      // trained centroids, micros-floored s per vector
-    "harrell_c_index")       // bounded cell-pair join, decimal38 weights
+    "harrell_c_index",       // bounded cell-pair join, decimal38 weights
+    "lakehouse_compact_read", // bin-pack OPTIMIZE: DV-rebased packed read
+    "lakehouse_rename_read") // column mapping: physical->logical across 3 segments
 
   test("query results are identical across shuffle-partition counts") {
     val conf = spark.conf
