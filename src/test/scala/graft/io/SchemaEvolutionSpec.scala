@@ -149,28 +149,28 @@ class SchemaEvolutionSpec extends SparkSpec {
   test("dropColumn hides bytes; a re-added name never resurfaces them") {
     val dir = Files.createTempDirectory("evo_drop").toString
     Snapshots.commitVersion(
-      spark, Seq((1L, 10L, "x"), (2L, 20L, "y")).toDF("id", "secret", "tag"), dir)
-    val vDrop = Snapshots.dropColumn(spark, dir, "secret")
+      spark, Seq((1L, 10L, "x"), (2L, 20L, "y")).toDF("id", "legacy_amt", "tag"), dir)
+    val vDrop = Snapshots.dropColumn(spark, dir, "legacy_amt")
     assert(Snapshots.read(spark, dir).columns.toSeq == Seq("id", "tag"))
     // time travel below the drop still sees the column
-    assert(Snapshots.readVersion(spark, dir, vDrop - 1).columns.contains("secret"))
+    assert(Snapshots.readVersion(spark, dir, vDrop - 1).columns.contains("legacy_amt"))
     // re-add the SAME name: old segments must read it as NULL, not as the
     // stale physical bytes (fresh-physical contract)
-    Snapshots.addColumn(spark, dir, "secret", org.apache.spark.sql.types.LongType)
+    Snapshots.addColumn(spark, dir, "legacy_amt", org.apache.spark.sql.types.LongType)
     val rows = Snapshots.read(spark, dir).orderBy("id").collect()
     assert(rows.forall(_.isNullAt(2)),
       s"stale dropped bytes resurfaced: ${rows.mkString(",")}")
     // writes fill only the NEW column; appends carry the evolved shape
-    Snapshots.appendRows(spark, dir, Seq((3L, "z", 333L)).toDF("id", "tag", "secret"))
+    Snapshots.appendRows(spark, dir, Seq((3L, "z", 333L)).toDF("id", "tag", "legacy_amt"))
     val after = Snapshots.read(spark, dir).orderBy("id").collect()
     assert(after(2).getLong(2) == 333L && after(0).isNullAt(2))
     // drop + rename compose: rename tag, drop nothing else breaks
     Snapshots.renameColumn(spark, dir, "tag", "label")
-    assert(Snapshots.read(spark, dir).columns.toSeq == Seq("id", "label", "secret"))
+    assert(Snapshots.read(spark, dir).columns.toSeq == Seq("id", "label", "legacy_amt"))
     assert(Snapshots.read(spark, dir).orderBy("id").select("label")
       .collect().map(_.getString(0)).toSeq == Seq("x", "y", "z"))
     // the last column cannot be dropped
-    Snapshots.dropColumn(spark, dir, "secret")
+    Snapshots.dropColumn(spark, dir, "legacy_amt")
     Snapshots.dropColumn(spark, dir, "label")
     intercept[IllegalArgumentException] {
       Snapshots.dropColumn(spark, dir, "id")
