@@ -54,7 +54,14 @@ object Bench {
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       // a crashed query reports -1, never a plausible-looking time
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // bound cache retention to ONE query: lanes that .cache() inside
+      // their plan (the IVF corpus materialization) would otherwise pin
+      // one corpus-sized InMemoryRelation PER INVOCATION for the whole
+      // suite × reps, leaning on LRU eviction mid-measurement. Outside
+      // the timed window; a no-op for the many queries that cache nothing.
+      spark.catalog.clearCache()
+      t
     }
     val tally = new ShuffleTally
     spark.sparkContext.addSparkListener(tally)

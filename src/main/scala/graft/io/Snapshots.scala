@@ -385,10 +385,27 @@ object Snapshots {
       .map(dn => spark.read.parquet(statsPath(dir, dn).toString))
     val everywhere = sidecars.map(_.columns.toSet).reduce(_ intersect _)
     val stats = sidecars.reduce(_.unionByName(_, allowMissingColumns = true))
-    val usable = bounds.filter { case (c, _) => everywhere.contains(s"min_$c") }
+    // Bounds arrive under TODAY's logical names, but sidecars were
+    // written in their commit's era and carry that era's column names —
+    // which equal the declared field's PHYSICAL name (physical names are
+    // pinned at first rename and never change). Looking up `min_$logical`
+    // directly would, after a rename chain that REUSES a prior name
+    // (rename b->c then a->b — legal, renameColumn only checks logical
+    // collisions), consult the WRONG column's min/max and silently drop
+    // files containing matching rows. Translate through the declared
+    // schema first; a column absent from the declared schema (or whose
+    // physical the sidecars never computed) falls back to unpruned —
+    // conservative, never lossy.
+    val declared = entry.get.schema
+    def physOf(c: String): String = declared
+      .flatMap(_.fields.find(_.name == c).map(physicalName))
+      .getOrElse(c)
+    val usable = bounds.toSeq
+      .map { case (c, b) => (physOf(c), b) }
+      .filter { case (p, _) => everywhere.contains(s"min_$p") }
     if (usable.isEmpty) return readVersion(spark, dir, v)
     val keep = usable
-      .map { case (c, (lo, hi)) => col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi) }
+      .map { case (p, (lo, hi)) => col(s"max_$p") >= lit(lo) && col(s"min_$p") <= lit(hi) }
       .reduce(_ && _)
     val files = stats.filter(keep).select("file").collect().map(_.getString(0)).toIndexedSeq
     if (files.isEmpty)
@@ -400,11 +417,9 @@ object Snapshots {
       // DV keys are absolute file paths, so the anti-join naturally
       // no-ops for rows of files the pruning already dropped — and an
       // evolved version's declared-schema alignment applies here too
-      val reader =
-        if (entry.get.schema.isDefined) spark.read.option("mergeSchema", "true")
-        else spark.read
       alignToDeclared(
-        applyDv(spark, dir, reader.parquet(files: _*), entry.get.dv),
+        applyDv(spark, dir, segmentReader(spark, entry.get.schema).parquet(files: _*),
+          entry.get.dv),
         entry.get.schema)
     }
   }
@@ -676,16 +691,37 @@ object Snapshots {
       entry.get.schema)
   }
 
-  /** Scan a version's data segments; declared-schema versions merge
-    * footers (heterogeneous post-evolution segments), plain versions keep
-    * the single-footer fast path byte-for-byte.
+  /** Scan a version's data segments. A declared-schema version reads with
+    * an EXPLICIT physical schema (each declared field requested under its
+    * physical name at its declared — possibly WIDENED — type): the parquet
+    * reader then null-fills physicals absent from pre-evolution segments,
+    * ignores dropped columns' stale bytes, and up-converts narrower file
+    * types in the vectorized path (int32→int64, float→double, decimal
+    * precision-up — the Spark 4 widening promotions), all WITHOUT the
+    * footer-merging job `mergeSchema` runs over every file at planning
+    * time — which, besides costing a pass over the footers, hard-fails on
+    * exactly the heterogeneity [[widenColumn]] creates (StructType.merge
+    * rejects int vs long). Plain versions keep the single-footer fast
+    * path byte-for-byte.
     */
-  private def segmentScan(spark: SparkSession, dir: String, entry: Entry): DataFrame = {
-    val reader =
-      if (entry.schema.isDefined) spark.read.option("mergeSchema", "true")
-      else spark.read
-    reader.parquet(entry.segments.map(new Path(dir, _).toString): _*)
-  }
+  private def segmentScan(spark: SparkSession, dir: String, entry: Entry): DataFrame =
+    segmentReader(spark, entry.schema)
+      .parquet(entry.segments.map(new Path(dir, _).toString): _*)
+
+  /** The reader for a (possibly evolved) version's segments: explicit
+    * physical-name/declared-type schema when a declared schema exists
+    * (see [[segmentScan]]), the plain footer-driven reader otherwise.
+    */
+  private def segmentReader(
+      spark: SparkSession,
+      declared: Option[org.apache.spark.sql.types.StructType]): org.apache.spark.sql.DataFrameReader =
+    declared match {
+      case None => spark.read
+      case Some(st) =>
+        spark.read.schema(org.apache.spark.sql.types.StructType(
+          st.fields.map(f => org.apache.spark.sql.types.StructField(
+            physicalName(f), f.dataType, nullable = true))))
+    }
 
   /** COLUMN MAPPING (rename/drop without rewriting data — Delta's column
     * mapping move): each declared field may carry the PHYSICAL name its
@@ -1002,6 +1038,9 @@ object Snapshots {
     val segName = s"data_${java.util.UUID.randomUUID().toString.take(8)}"
     toPhysical(df, declared0).write.mode(SaveMode.ErrorIfExists)
       .parquet(new Path(dir, segName).toString)
+    // lazily-written corrective segment for the mapped-winner case below:
+    // written at most once however many OCC retries chain on it
+    var physSeg: Option[String] = None
     var attempt = 0
     while (attempt < maxRetries) {
       // re-check every iteration BEFORE choosing a version (the
@@ -1023,7 +1062,25 @@ object Snapshots {
             requireSchemaMatch(
               df, e.schema.getOrElse(segmentScan(spark, dir, e).schema),
               "appendRowsIdempotent")
-            Entry(s"${e.data}+$segName", Some(txnId), e.dv, e.schema)
+            // the schema gate above is shape-only (names/types — metadata-
+            // insensitive by design), so it ALSO passes when we wrote our
+            // segment on the empty-table path (raw logical column names)
+            // but the v0 race was lost to a table whose declared schema
+            // carries a COLUMN MAPPING: chaining the logically-named
+            // segment would then store bytes reads never resolve (they
+            // look up physical names) — silent null-fill. Re-write the
+            // rows under the winner's physical names once and chain THAT
+            // segment; the logical-named original is vacuum debris.
+            val mapped = declared0.isEmpty &&
+              e.schema.exists(st => st.fields.exists(fl => physicalName(fl) != fl.name))
+            val seg = if (!mapped) segName else physSeg.getOrElse {
+              val s2 = s"data_${java.util.UUID.randomUUID().toString.take(8)}"
+              toPhysical(df, e.schema).write.mode(SaveMode.ErrorIfExists)
+                .parquet(new Path(dir, s2).toString)
+              physSeg = Some(s2)
+              s2
+            }
+            Entry(s"${e.data}+$seg", Some(txnId), e.dv, e.schema)
           }
       }
       payloadOpt match {
@@ -1053,13 +1110,16 @@ object Snapshots {
               // next+1 inheriting its segment. Re-verify AFTER the retract —
               // inheritance is detectable (the chained entry carries segName),
               // so the guard is a verified barrier, not best-effort narrowing.
+              // our segment as actually chained (the corrective physical
+              // rewrite above may have swapped segName for physSeg)
+              val ourSeg = payload.segments.last
               val inherited = versions(spark, dir)
                 .filter(_ > next)
-                .filter(w => readManifestOpt(f, dir, w).exists(_.segments.contains(segName)))
+                .filter(w => readManifestOpt(f, dir, w).exists(_.segments.contains(ourSeg)))
               if (inherited.nonEmpty)
                 throw new IllegalStateException(
                   s"txn $txnId: version(s) ${inherited.mkString(",")} chained on the " +
-                    s"retracted duplicate v$next (segment $segName) — the " +
+                    s"retracted duplicate v$next (segment $ourSeg) — the " +
                     "one-writer-per-txn sink contract was violated; the table " +
                     "needs manual repair")
               return None
@@ -1230,6 +1290,76 @@ object Snapshots {
       }
     }
     throw new IllegalStateException(s"could not publish rename after $maxRetries attempts")
+  }
+
+  /** The metadata-only type promotions [[widenColumn]] admits — exactly
+    * the set the Spark 4 vectorized parquet reader up-converts at scan
+    * time (the type-widening promotions), so old segments never need a
+    * rewrite: integral up-chain (byte→short→int→long), any integral or
+    * float→double, float→double, and decimal precision-up AT THE SAME
+    * SCALE (a scale change rescales stored values — that is a rewrite,
+    * not a widening). Everything else (string↔numeric, long→int, …) is
+    * refused: narrowing loses data and cross-family casts change bytes'
+    * meaning — callers rewrite through a full commit instead.
+    */
+  private[io] def isWidening(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val rank = Map[DataType, Int](ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    (from, to) match {
+      case (f, t) if rank.contains(f) && rank.contains(t) => rank(t) > rank(f)
+      case (f, DoubleType) if rank.contains(f) || f == FloatType => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+  }
+
+  /** Widen a column's type — metadata-only (ONE manifest publish on a
+    * table of any size, like [[renameColumn]]): the declared field's type
+    * becomes `to`, old segments keep their narrower bytes and the scan
+    * up-converts them ([[segmentReader]] requests the declared type; the
+    * parquet reader's widening promotions do the rest — no cast bolted
+    * above the scan, so filters on the column still push down). Only
+    * [[isWidening]] promotions are admitted; [[requireSchemaMatch]] stays
+    * strict, so post-widen appends must carry the WIDE type (narrow
+    * frames fail loudly — implicit re-narrowing is how silent truncation
+    * happens). Time travel below this version keeps the narrow type.
+    * Same OCC loop as every commit.
+    */
+  def widenColumn(
+      spark: SparkSession,
+      dir: String,
+      name: String,
+      to: org.apache.spark.sql.types.DataType,
+      maxRetries: Int = 10): Long = {
+    val f = fs(spark, dir)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = latestVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no published versions in $dir"))
+      manifestEntry(f, dir, v) match {
+        case None => attempt += 1 // lost race with a retracting writer
+        case Some(entry) =>
+          val cur = entry.schema.getOrElse(segmentScan(spark, dir, entry).schema)
+          val idx = cur.fieldNames.indexOf(name)
+          require(idx >= 0, s"widenColumn: no column '$name' in ${cur.simpleString}")
+          val from = cur.fields(idx).dataType
+          require(isWidening(from, to),
+            s"widenColumn: ${from.simpleString} -> ${to.simpleString} is not a " +
+              "widening promotion (narrowing/cross-family changes need a rewrite " +
+              "through a full commitVersion)")
+          val evolved = org.apache.spark.sql.types.StructType(cur.fields.map { fld =>
+            if (fld.name == name) fld.copy(dataType = to) else fld
+          })
+          if (publishManifest(f, dir, v + 1,
+              Entry(entry.data, None, entry.dv, Some(evolved)).serialize))
+            return v + 1
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(s"could not publish widenColumn after $maxRetries attempts")
   }
 
   /** Drop a column — metadata-only: the declared schema loses the field;
@@ -1462,9 +1592,22 @@ object Snapshots {
     */
   def segmentCount(spark: SparkSession, dir: String): Int = {
     val f = fs(spark, dir)
-    val v = latestVersion(spark, dir).getOrElse(
-      throw new IllegalArgumentException(s"no published versions in $dir"))
-    manifestEntry(f, dir, v).map(_.segments.size).getOrElse(0)
+    // a None entry = the latest manifest was retracted by a racing
+    // idempotent writer between the listing and the open — the same
+    // benign log churn tableSchema retries on. Mapping it to 0 would
+    // tell a maintenance loop the table has no fragmentation and skip a
+    // needed compaction that cycle; retry on the fresh listing instead.
+    var attempt = 0
+    while (attempt < 10) {
+      val v = latestVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no published versions in $dir"))
+      manifestEntry(f, dir, v) match {
+        case Some(entry) => return entry.segments.size
+        case None => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"could not resolve the latest manifest in $dir after 10 attempts")
   }
 
   /** Incremental bin-pack OPTIMIZE — the small-file compaction every
@@ -1514,10 +1657,8 @@ object Snapshots {
           val kept = entry.segments.filterNot(small.map(_._1).toSet)
           // the small segments' DV-surviving rows, aligned to the declared
           // schema (a packed segment must carry the evolved shape)
-          val reader =
-            if (entry.schema.isDefined) spark.read.option("mergeSchema", "true")
-            else spark.read
-          val smallScan = reader.parquet(small.map(s => new Path(dir, s._1).toString): _*)
+          val smallScan = segmentReader(spark, entry.schema)
+            .parquet(small.map(s => new Path(dir, s._1).toString): _*)
           val survivors = alignToDeclared(
             applyDv(spark, dir, smallScan, entry.dv), entry.schema)
           val files = math.max(1L, (small.map(_._2).sum + targetBytes - 1) / targetBytes)

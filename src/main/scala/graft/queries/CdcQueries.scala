@@ -265,7 +265,36 @@ object CdcQueries {
       .orderBy("kb")
   }
 
+  /** Type-widening round-trip through the CORRECTNESS gate: commit an
+    * INT-valued slice (the narrow era), [[graft.io.Snapshots.widenColumn]]
+    * to LONG (metadata-only — no data rewritten), append a slice whose
+    * values exceed INT range, then UPDATE a subset (the rewrite segment
+    * carries the wide type). The final read unions three heterogeneous
+    * segments — INT32 bytes up-converted by the scan, two LONG segments —
+    * and the oracle recomputes the same end state from raw orders, so a
+    * dropped widening (null-fill, truncation, or a crash on the
+    * int-vs-long footer clash) hash-mismatches. SchemaEvolutionSpec pins
+    * the metadata-only/restore/vacuum/checkpoint contract.
+    */
+  private val lakehouseWidenRead: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wd").toString
+    val base = orders(s, d).select(
+      col("o_orderkey"), (col("o_orderkey") % 997).cast("int").as("v"))
+    graft.io.Snapshots.commitVersion(s, base.filter(col("o_orderkey") % 3 < 2), tmp)
+    graft.io.Snapshots.widenColumn(s, tmp, "v", org.apache.spark.sql.types.LongType)
+    graft.io.Snapshots.appendRows(s, tmp,
+      base.filter(col("o_orderkey") % 3 === 2)
+        .select(col("o_orderkey"), (col("v").cast("long") + lit(3000000000L)).as("v")))
+    graft.io.Snapshots.updateWhere(s, tmp, col("v") % 7 === 0,
+      Seq("v" -> (col("v") + lit(10000000000L))))
+    graft.io.Snapshots.read(s, tmp)
+      .groupBy((col("o_orderkey") % 4).as("kb"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"))
+      .orderBy("kb")
+  }
+
   val queries: Map[String, Q] = Map(
+    "lakehouse_widen_read" -> lakehouseWidenRead,
     "lakehouse_compact_read" -> lakehouseCompactRead,
     "lakehouse_rename_read" -> lakehouseRenameRead,
     "scd2_asof_lookup" -> scd2AsofLookup,
@@ -332,6 +361,17 @@ object CdcQueries {
         |FROM orders
         |WHERE epoch_ms(o_orderdate) BETWEEN 757382400000 AND 788918399999
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "lakehouse_widen_read" ->
+      """WITH a AS (SELECT o_orderkey, CAST(o_orderkey % 997 AS BIGINT) AS v
+        |    FROM orders WHERE o_orderkey % 3 < 2),
+        |b AS (SELECT o_orderkey, o_orderkey % 997 + 3000000000 AS v
+        |    FROM orders WHERE o_orderkey % 3 = 2),
+        |ab AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+        |u AS (SELECT o_orderkey,
+        |    CASE WHEN v % 7 = 0 THEN v + 10000000000 ELSE v END AS v FROM ab)
+        |SELECT o_orderkey % 4 AS kb, COUNT(*) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS v_sum
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "lakehouse_rename_read" ->
       """SELECT o_orderkey % 4 AS kb, COUNT(*) AS n,
         |  CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(12,2))) AS DOUBLE) AS amount_sum

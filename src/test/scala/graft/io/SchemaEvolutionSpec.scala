@@ -200,6 +200,83 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir).columns.toSeq == Seq("k", "value"))
   }
 
+  test("widen -> append -> update -> restore -> vacuum + checkpoint round-trip") {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val dir = Files.createTempDirectory("evo_widen").toString
+    // the narrow era: INT columns
+    val v0 = Snapshots.commitVersion(
+      spark, (1 to 4).map(i => (i, i * 10)).toDF("id", "amount"), dir)
+    val dataBefore = new java.io.File(dir).list().filter(_.startsWith("data_")).toSet
+    // widen is metadata-only: ONE manifest file, zero data dirs
+    val vW = Snapshots.widenColumn(spark, dir, "amount", LongType)
+    assert(new java.io.File(dir).list().filter(_.startsWith("data_")).toSet == dataBefore,
+      "widen rewrote data")
+    // the scan up-converts the old INT32 bytes to LONG (no cast layer —
+    // the parquet reader itself widens, so pushdown survives)
+    val sch = Snapshots.read(spark, dir).schema
+    assert(sch("amount").dataType == LongType && sch("id").dataType == IntegerType)
+    assert(Snapshots.read(spark, dir).orderBy("id").select("amount")
+      .collect().map(_.getLong(0)).toSeq == Seq(10L, 20L, 30L, 40L))
+    // appends must carry the WIDE type: the narrow shape is refused
+    // loudly (implicit re-narrowing is how silent truncation happens)
+    intercept[IllegalArgumentException] {
+      Snapshots.appendRows(spark, dir, Seq((5, 50)).toDF("id", "amount"))
+    }
+    Snapshots.appendRows(spark, dir, Seq((5, 50L)).toDF("id", "amount"))
+    // the widened column now holds values the narrow type cannot
+    Snapshots.appendRows(spark, dir, Seq((6, 5000000000L)).toDF("id", "amount"))
+    // update across three heterogeneous segments (int, long, long)
+    Snapshots.updateWhere(spark, dir, col("amount") === 40L,
+      Seq("amount" -> lit(9999999999L)))
+    assert(Snapshots.read(spark, dir).orderBy("id").select("amount")
+      .collect().map(_.getLong(0)).toSeq ==
+      Seq(10L, 20L, 30L, 9999999999L, 50L, 5000000000L))
+    // non-widening promotions are refused: narrowing and cross-family
+    intercept[IllegalArgumentException] {
+      Snapshots.widenColumn(spark, dir, "amount", IntegerType)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.widenColumn(spark, dir, "id", StringType)
+    }
+    // restore below the widen brings the NARROW type back
+    Snapshots.rollbackTo(spark, dir, v0)
+    assert(Snapshots.read(spark, dir).schema("amount").dataType == IntegerType)
+    // widened versions stay time-travelable; vacuum keeps history
+    assert(Snapshots.readVersion(spark, dir, vW).schema("amount").dataType == LongType)
+    assert(Snapshots.vacuum(spark, dir, minAgeMs = 0).isEmpty)
+    // checkpoint round-trips the widened declared schema
+    Snapshots.checkpointLog(spark, dir)
+    assert(Snapshots.readVersion(spark, dir, vW).schema("amount").dataType == LongType)
+    assert(Snapshots.readVersion(spark, dir, vW).orderBy("id").select("amount")
+      .collect().map(_.getLong(0)).toSeq == Seq(10L, 20L, 30L, 40L))
+  }
+
+  test("widening composes with rename, decimal precision-up, and compaction") {
+    import org.apache.spark.sql.types.DecimalType
+    val dir = Files.createTempDirectory("evo_widen2").toString
+    val base = Seq((1, "19.99"), (2, "250.50")).toDF("id", "p")
+      .select(col("id"), col("p").cast("decimal(5,2)").as("price"))
+    Snapshots.commitVersion(spark, base, dir)
+    // decimal precision-up at the SAME scale is a widening; a scale
+    // change is a rewrite and must be refused
+    intercept[IllegalArgumentException] {
+      Snapshots.widenColumn(spark, dir, "price", DecimalType(12, 4))
+    }
+    Snapshots.widenColumn(spark, dir, "price", DecimalType(12, 2))
+    // rename after widen: mapping pins physical 'price' under logical 'amount'
+    Snapshots.renameColumn(spark, dir, "price", "amount")
+    // a value past decimal(5,2)'s range lands fine post-widen
+    Snapshots.appendRows(spark, dir, Seq((3, "1234567890.12")).toDF("id", "p")
+      .select(col("id"), col("p").cast("decimal(12,2)").as("amount")))
+    // compaction packs the heterogeneous segments through mapping + widening
+    assert(Snapshots.compactSegments(spark, dir, targetBytes = 1L << 20).isDefined)
+    assert(Snapshots.segmentCount(spark, dir) == 1)
+    val got = Snapshots.read(spark, dir).orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getDecimal(1).toPlainString)).toSeq
+    assert(got == Seq((1, "19.99"), (2, "250.50"), (3, "1234567890.12")), got.toString)
+    assert(Snapshots.read(spark, dir).schema("amount").dataType == DecimalType(12, 2))
+  }
+
   test("checkpoint compaction round-trips the declared schema") {
     val dir = Files.createTempDirectory("evo_ck").toString
     Snapshots.commitVersion(spark, Seq((1L, "a")).toDF("id", "text"), dir)

@@ -385,4 +385,85 @@ class SnapshotsSpec extends SparkSpec {
       assert(got.count() == 1L, "a divergent segment chained onto the winner")
     }
   }
+
+  test("pruned read translates bounds through column mapping after rename chains") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("snap_prunemap").toString
+    // two clustered files: a in [0,9] / [100,109]; b is always a+1000
+    val df = spark.range(0, 10).select(col("id").as("a"), (col("id") + 1000L).as("b"))
+      .union(spark.range(100, 110).select(col("id").as("a"), (col("id") + 1000L).as("b")))
+    Snapshots.commitVersionWithStats(
+      spark, df.repartitionByRange(2, col("a")), dir, Seq("a", "b"))
+    // rename chain REUSING a prior name: b->c then a->b — today's logical
+    // "b" is physically "a", while the sidecar's min_b/max_b describe the
+    // OLD b. A lookup keyed by the logical name consults the wrong
+    // column's stats and silently drops files containing matching rows.
+    Snapshots.renameColumn(spark, dir, "b", "c")
+    Snapshots.renameColumn(spark, dir, "a", "b")
+    val v = Snapshots.versions(spark, dir).max
+    // bounds on today's b = old a: [100,109] lives only in the high file,
+    // whose old-b stats are [1100,1109] — the logical-name lookup would
+    // reject BOTH files (their old-b mins exceed 109) and return nothing
+    val hi = Snapshots.readVersionPruned(spark, dir, v, Map("b" -> (100L, 109L)))
+    assert(hi.filter(col("b").between(100L, 109L)).count() == 10L)
+    // and the translation still PRUNES (not a silent unpruned fallback)
+    val lo = Snapshots.readVersionPruned(spark, dir, v, Map("b" -> (0L, 9L)))
+    assert(lo.select(input_file_name()).distinct().count() == 1L)
+    assert(lo.filter(col("b").between(0L, 9L)).count() == 10L)
+  }
+
+  test("segmentCount resolves through retraction churn, never reporting 0") {
+    val dir = Files.createTempDirectory("snap_segcnt").toString
+    Snapshots.commitVersion(spark, Seq(1L).toDF("x"), dir)
+    Snapshots.appendRows(spark, dir, Seq(2L).toDF("x")) // v1: 2 segments
+    Snapshots.appendRows(spark, dir, Seq(3L).toDF("x")) // v2: 3 segments
+    // simulate a racing idempotent writer retracting the latest manifest:
+    // the fresh listing must resolve v1's 2 segments — a 0 would tell a
+    // maintenance loop "no fragmentation" and skip a needed compaction
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(s"$dir/_manifests/2"), false)
+    assert(Snapshots.segmentCount(spark, dir) == 2)
+  }
+
+  test("idempotent append losing the v0 race to a MAPPED table lands physical names") {
+    import org.apache.spark.sql.functions._
+    import java.util.concurrent.{Executors, TimeUnit}
+    val dir = Files.createTempDirectory("snap_mapwin").toString
+    // B sees the EMPTY table (declared0 = None), then stalls inside its
+    // segment write — exactly the window in which A lands a table whose
+    // declared schema carries a column mapping
+    val block = udf { (x: Long) =>
+      MapWinGate.started.countDown()
+      MapWinGate.proceed.await(60, TimeUnit.SECONDS)
+      x
+    }
+    val dfB = spark.range(0, 1).select(block(lit(100L)).as("z"), lit(200L).as("y"))
+    val pool = Executors.newFixedThreadPool(1)
+    val res = pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+      def call(): Option[Long] =
+        Snapshots.appendRowsIdempotent(spark, dir, dfB, "txn_mapped_v0race")
+    })
+    assert(MapWinGate.started.await(60, TimeUnit.SECONDS))
+    // A: creates the table and renames x->z — logical z now maps to
+    // physical x, so B's raw logically-named segment would store bytes
+    // reads never resolve (silent null-fill on z)
+    Snapshots.commitVersion(spark, Seq((1L, 2L)).toDF("x", "y"), dir)
+    Snapshots.renameColumn(spark, dir, "x", "z")
+    MapWinGate.proceed.countDown()
+    assert(res.get(120, TimeUnit.SECONDS).isDefined)
+    pool.shutdown()
+    val got = Snapshots.read(spark, dir).orderBy("y").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (100L, 200L)),
+      s"B's rows must resolve under the mapping, got $got")
+  }
+}
+
+/** Latches for the mapped-v0-race spec, held in a static object so the
+  * blocking UDF's closure captures nothing non-serializable.
+  */
+private[io] object MapWinGate {
+  import java.util.concurrent.CountDownLatch
+  val started = new CountDownLatch(1)
+  val proceed = new CountDownLatch(1)
 }
