@@ -25,7 +25,7 @@ import org.apache.spark.sql.types._
   */
 object IvfIndex {
 
-  /** SCALE NOTE (two measured boundaries, both now closed): round 7's
+  /** SCALE NOTE (three measured boundaries, all now closed): round 7's
     * FLAT assignment scored every (vector, cell) pair — O(n²/256) with
     * the n/256 cell rule, measured 19.7× for 10× data at sf1→sf10.
     * Round 8's two-level coarse quantizer (√k super-cells) cut that to
@@ -35,13 +35,17 @@ object IvfIndex {
     * [[TreeFanout]] over the fine codebook, cosine parent maps, and a
     * greedy beam-[[DefaultBeam]] descent — O(n·log k) corpus-side work
     * (the NSW/ANNOY-style coarse front every production ANN system
-    * converges on). The remaining model-side boundary: parent maps are
-    * built by flat nearest-among-next-level scoring, Σ|lvl|·|lvl+1| ≈
-    * 0.27·k² pairs — distributed, bounded, and negligible below ~5M
-    * vectors (16M pairs at sf100's k=8000), but the next rung past ~1e8
-    * vectors is routed insertion (build each parent map by descending
-    * the already-built upper tree, HNSW-style) over this same routing
-    * contract; recorded here rather than silently shipped.
+    * converges on). Round 10 closed the last boundary, the MODEL side:
+    * parent maps were built by flat nearest-among-next-level scoring,
+    * Σ|lvl|·|lvl+1| ≈ 0.27·k² pairs — negligible below ~5M vectors but
+    * a real quadratic at the 1e8–1e9 vectors 100 TB implies. [[buildTree]]
+    * now builds levels TOP-DOWN by ROUTED INSERTION (HNSW-style): each
+    * level's parent map is found by descending the already-built upper
+    * tree under the same beam contract, so construction is
+    * O(k·beam·fanout·log k) total. Routed and flat coincide whenever the
+    * descent's frontier covers the whole parent level (k ≲ 128 — every
+    * oracle-gated SF), and RoutedBuildSpec pins the selective regime
+    * (k=512) against a driver-side reference replay.
     *
     * Cell count targeting ~256 vectors per cell (min 8 cells). With
     * probes fixed (default 5), per-query candidate work is ~probes*256
@@ -180,14 +184,43 @@ object IvfIndex {
     * (cid, cv, cn). Levels are strided picks (every [[TreeFanout]]-th
     * node by cid rank — pure integer choices computed driver-side from
     * the bounded model, so both engines choose the same rows); each
-    * level-(ℓ-1) node then maps to its nearest level-ℓ parent by cosine
-    * (tie: lowest parent cid) — one bounded Spark job per level
-    * (Σ|lvl|·|lvl+1| ≈ 0.27·k² scored pairs total, distributed,
-    * model-side — see the scale note above). Each step is
-    * re-materialized as a local relation so assignment plans broadcast
-    * bounded models instead of re-running the derivation.
+    * level-(ℓ-1) node then maps to a nearby level-ℓ parent by cosine
+    * (tie: lowest parent cid).
+    *
+    * ROUTED INSERTION (round 10 — the flat Σ|lvl|·|lvl+1| ≈ 0.27·k²
+    * nearest-among-next-level scoring was the suite's last named
+    * quadratic): steps are built TOP-DOWN, and level ℓ's parent map is
+    * found by descending the ALREADY-BUILT upper steps (start..ℓ+1) with
+    * the same beam-[[DefaultBeam]] contract [[assignCellsTree]] uses for
+    * vectors — rank the whole top level, keep the beam, expand each kept
+    * node to its step children, re-rank — so construction is
+    * O(k·beam·fanout·log k) scored pairs total. For ℓ = start the
+    * descent degenerates to flat ranking against the whole top level,
+    * and whenever the expanding frontier covers the entire parent level
+    * (every level ≤ beam·fanout ⇒ k ≲ 128 — all oracle-gated SFs)
+    * routed ≡ flat exactly; RoutedBuildSpec pins the selective regime
+    * against a driver-side reference replay. A node whose beam-routed
+    * frontier dies (every kept parent childless at the next step) drops
+    * out of the tree with its subtree — the standard HNSW
+    * reachability-for-cost trade, deterministic and mirrored exactly by
+    * the oracle's unrolled SQL. Each step is re-materialized as a local
+    * relation so descent plans broadcast bounded models instead of
+    * re-running the derivation, and every ranking window here is over
+    * narrow (ccid, fcid, cos) rows — the child vector re-attaches by a
+    * co-partitioned join, the same wide-sort lesson the corpus descent
+    * records.
     */
-  def buildTree(s: org.apache.spark.sql.SparkSession, cent: DataFrame): RoutingTree = {
+  def buildTree(s: org.apache.spark.sql.SparkSession, cent: DataFrame): RoutingTree =
+    buildTree(s, cent, DefaultBeam)
+
+  /** As the 2-arg form with an explicit insertion beam — the sweep knob
+    * (tools/IvfSweep); production call sites and the oracle stay on
+    * [[DefaultBeam]].
+    */
+  def buildTree(
+      s: org.apache.spark.sql.SparkSession,
+      cent: DataFrame,
+      beam: Int): RoutingTree = {
     import scala.jdk.CollectionConverters._
     val fine = cent.collect().sortBy(_.getLong(0)) // by cid — cent is a bounded local relation
     // levels(0) = fine codebook; shrink by TreeFanout until 1 node or MaxLevels
@@ -199,24 +232,44 @@ object IvfIndex {
     // start = highest level with >1 node (capped at MaxLevels); levels
     // above it are single-node and provably pass the beam through
     val start = math.max(1, levels.lastIndexWhere(_.length > 1))
+    val parts = s.sessionState.conf.numShufflePartitions
     def local(rows: Array[org.apache.spark.sql.Row]): DataFrame =
       s.createDataFrame(rows.toSeq.asJava, cent.schema)
     val top = local(levels(start))
-    val wm = Window.partitionBy("ccid").orderBy(desc("cos_p"), asc("pcid"))
-    val steps = (1 to start).map { l =>
-      val child = local(levels(l - 1))
-        .select(col("cid").as("ccid"), col("cv").as("ccv"), col("cn").as("ccn"))
-        .repartition(s.sessionState.conf.numShufflePartitions)
-      val parent = local(levels(l))
-        .select(col("cid").as("pcid"), col("cv").as("pv"), col("cn").as("pn"))
-      materialize(s, child
-        .crossJoin(broadcast(parent))
-        .withColumn("cos_p", Vectors.dot(col("ccv"), col("pv")) / (col("ccn") * col("pn")))
+    val wm = Window.partitionBy("ccid").orderBy(desc("cos_p"), asc("fcid"))
+    val built = new Array[DataFrame](start + 1)
+    for (l <- start to 1 by -1) {
+      // fresh local relation per use — self-join-safe attribute ids
+      def child: DataFrame = local(levels(l - 1))
+        .select(col("cid").as("ccid"), col("cv").as("chv"), col("cn").as("chn"))
+        .repartition(parts, col("ccid"))
+      // initial frontier: rank the whole top level per child (for
+      // l == start this IS the final ranking — routed ≡ flat at the top)
+      var fr = child
+        .crossJoin(broadcast(top.select(
+          col("cid").as("fcid"), col("cv").as("fv"), col("cn").as("fn"))))
+        .withColumn("cos_p", Vectors.dot(col("chv"), col("fv")) / (col("chn") * col("fn")))
+        .select("ccid", "fcid", "cos_p") // narrow BEFORE the rank
         .withColumn("rk_p", row_number().over(wm))
-        .filter(col("rk_p") === 1)
-        .select("pcid", "ccid", "ccv", "ccn"))
+      for (u <- start until l by -1) { // descend the built steps to level l
+        val stepU = built(u).select(
+          col("pcid").as("fcid"), col("ccid").as("ncid"),
+          col("ccv").as("nv"), col("ccn").as("nn"))
+        fr = fr.filter(col("rk_p") <= beam)
+          .select("ccid", "fcid")
+          .join(broadcast(stepU), Seq("fcid"))
+          .join(child, Seq("ccid")) // co-partitioned by ccid (post-window)
+          .withColumn("cos_p", Vectors.dot(col("chv"), col("nv")) / (col("chn") * col("nn")))
+          .select(col("ccid"), col("ncid").as("fcid"), col("cos_p")) // narrow
+          .withColumn("rk_p", row_number().over(wm))
+      }
+      built(l) = materialize(s, fr.filter(col("rk_p") === 1)
+        .join(child, Seq("ccid"))
+        .select(col("fcid").as("pcid"), col("ccid"),
+          col("chv").as("ccv"), col("chn").as("ccn")))
     }
-    RoutingTree(top, top +: steps, start) // steps(0) pads; steps(l) serves level l
+    // steps(0) pads; steps(l) serves level l
+    RoutingTree(top, top +: (1 to start).map(built), start)
   }
 
   /** Assign every vector to its `probes` nearest cells (probes=1 builds
@@ -254,12 +307,36 @@ object IvfIndex {
   /** As [[assignCells]] with an explicit pre-[[buildTree]]'d model — call
     * sites that assign twice (corpus build + query expansion) build the
     * tree once and share it.
+    *
+    * CACHE RETENTION (caller-facing): the id-partitioned corpus below is
+    * `.cache()`d and stays pinned for the LIFETIME OF THE RETURNED PLAN —
+    * it cannot be unpersisted here because the result still references it
+    * lazily, and an InMemoryRelation is the only materialization that
+    * preserves partitioning+ordering across the descent levels (a
+    * localCheckpoint reports UnknownPartitioning in Spark 4, measured —
+    * every level would re-exchange). The ContextCleaner reaps it once the
+    * plan goes unreferenced; a long-lived session running MANY invocations
+    * (a bench sweep) should bound retention explicitly by calling
+    * `spark.catalog.clearCache()` between independent invocations once
+    * each result is materialized — Verify/Bench do exactly that.
     */
   def assignCellsTree(
       vec: DataFrame,
       idCol: String,
       tree: RoutingTree,
-      probes: Int): DataFrame = {
+      probes: Int): DataFrame =
+    assignCellsTree(vec, idCol, tree, probes, DefaultBeam)
+
+  /** As the 4-arg form with an explicit descent beam — the sweep knob
+    * (tools/IvfSweep); production call sites and the oracle stay on
+    * [[DefaultBeam]].
+    */
+  def assignCellsTree(
+      vec: DataFrame,
+      idCol: String,
+      tree: RoutingTree,
+      probes: Int,
+      beam: Int): DataFrame = {
     val parts = vec.sparkSession.sessionState.conf.numShufflePartitions
     // the ONE exchange + ONE materialization: id-partitioned, id-sorted,
     // CACHED — InMemoryRelation preserves partitioning AND ordering (a
@@ -280,10 +357,10 @@ object IvfIndex {
       .withColumn("cos_t", Vectors.dot(col("v"), col("ccv")) / (col("nrm") * col("ccn")))
       .select("__vid", "ccid", "cos_t") // narrow BEFORE the rank
       .withColumn("rk_t", row_number().over(w))
-      .filter(col("rk_t") <= DefaultBeam)
+      .filter(col("rk_t") <= beam)
       .select("__vid", "ccid")
     for (lvl <- tree.start to 1 by -1) {
-      val keep = if (lvl == 1) probes else DefaultBeam
+      val keep = if (lvl == 1) probes else beam
       fr = fr
         .select(col("__vid"), col("ccid").as("pcid"))
         .join(v0, Seq("__vid")) // co-partitioned, v0 side pre-sorted
@@ -343,18 +420,45 @@ object IvfIndex {
          |  SELECT cid, [$cxs] AS cv FROM g$it))""".stripMargin
     }.mkString(",\n")
     // routing-tree levels over the fine codebook ([[buildTree]] mirror):
-    // strided picks by cid rank (pure integer choices), then each child
-    // node's nearest next-level parent by cosine (tie: lowest parent cid)
+    // strided picks by cid rank (pure integer choices)
     val levelSql = (1 to MaxLevels).map { l =>
       val prev = if (l == 1) "cent" else s"lv${l - 1}"
-      s"""lv$l AS (SELECT cid, cv, cn FROM (
+      s"""lv$l AS MATERIALIZED (SELECT cid, cv, cn FROM (
          |  SELECT cid, cv, cn, ROW_NUMBER() OVER (ORDER BY cid) - 1 AS r FROM $prev)
-         |  WHERE r % $TreeFanout = 0),
-         |st$l AS (SELECT pcid, ccid, ccv, ccn FROM (
-         |  SELECT p.cid AS pcid, c.cid AS ccid, c.cv AS ccv, c.cn AS ccn,
-         |    ROW_NUMBER() OVER (PARTITION BY c.cid
-         |      ORDER BY list_dot_product(c.cv, p.cv) / (c.cn * p.cn) DESC, p.cid) AS rk
-         |  FROM $prev c CROSS JOIN lv$l p) WHERE rk = 1)""".stripMargin
+         |  WHERE r % $TreeFanout = 0)""".stripMargin
+    }.mkString(",\n")
+    // parent maps by ROUTED INSERTION, TOP-DOWN ([[buildTree]] mirror):
+    // cent/lv/st are MATERIALIZED because DuckDB inlines plain CTEs per
+    // reference — with 55 bs stages each referencing model CTEs, inlining
+    // multiplies the upstream tree combinatorially (measured: "too many
+    // open files" on the embeddings scan); materializing pins each model
+    // relation to ONE evaluation, which is also what the Scala side's
+    // materialize() does
+    // st$l's children descend the already-defined upper steps with the
+    // same beam contract — rank vs the (single-node past the natural
+    // depth, provably pass-through) top, keep the beam, expand via each
+    // st$u, re-rank — and the parent is the rank-1 of the level-l
+    // frontier. bs${l}_$u = the frontier of st$l's build at level u.
+    val stepSql = (MaxLevels to 1 by -1).map { l =>
+      val prev = if (l == 1) "cent" else s"lv${l - 1}"
+      val init =
+        s"""bs${l}_$MaxLevels AS (SELECT ccid, fcid, rk FROM (
+           |  SELECT c.cid AS ccid, p.cid AS fcid,
+           |    ROW_NUMBER() OVER (PARTITION BY c.cid
+           |      ORDER BY list_dot_product(c.cv, p.cv) / (c.cn * p.cn) DESC, p.cid) AS rk
+           |  FROM $prev c CROSS JOIN lv$MaxLevels p) WHERE rk <= $DefaultBeam)""".stripMargin
+      val expands = (MaxLevels to l + 1 by -1).map { u =>
+        s"""bs${l}_${u - 1} AS (SELECT ccid, fcid, rk FROM (
+           |  SELECT f.ccid, s.ccid AS fcid,
+           |    ROW_NUMBER() OVER (PARTITION BY f.ccid
+           |      ORDER BY list_dot_product(c.cv, s.ccv) / (c.cn * s.ccn) DESC, s.ccid) AS rk
+           |  FROM bs${l}_$u f JOIN st$u s ON s.pcid = f.fcid
+           |  JOIN $prev c ON c.cid = f.ccid) WHERE rk <= $DefaultBeam)""".stripMargin
+      }
+      val fin =
+        s"""st$l AS MATERIALIZED (SELECT f.fcid AS pcid, c.cid AS ccid, c.cv AS ccv, c.cn AS ccn
+           |  FROM bs${l}_$l f JOIN $prev c ON c.cid = f.ccid WHERE f.rk = 1)""".stripMargin
+      (init +: expands :+ fin).mkString(",\n")
     }.mkString(",\n")
     // beam descent ([[assignCellsTree]] mirror): score the top level,
     // keep DefaultBeam, expand each kept node to its children and re-rank
@@ -383,8 +487,9 @@ object IvfIndex {
       s"$topStage,\n$mids,\n$fine"
     }
     val finals =
-      s"""cent AS (SELECT cid, cv, cn FROM c$iters),
+      s"""cent AS MATERIALIZED (SELECT cid, cv, cn FROM c$iters),
          |$levelSql,
+         |$stepSql,
          |$descSql,
          |asg AS (SELECT d.vec_id, d.cell, m.v, m.nrm FROM dscf d
          |  JOIN m ON m.vec_id = d.vec_id WHERE d.rk <= 1),
