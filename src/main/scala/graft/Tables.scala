@@ -48,6 +48,40 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Scale-adaptive respread of a LOW-SPLIT scan (optimization guide
+    * §1.2/§6, the `sim_topk_pq` round-6 lesson generalized): a parquet
+    * file is split at ROW-GROUP grain, so a small single-row-group table
+    * arrives as ONE scan task and every downstream narrow operation
+    * serializes on one core no matter how many the session has (measured
+    * at sf0.1: the dedup_substrings gram pass ran 1.2 s on 1 of 32
+    * cores). Repartition BY THE ROW KEY to the session's shuffle
+    * parallelism — but only when the scan actually has fewer splits, so
+    * on a production many-row-group table this is a provable no-op (the
+    * gate reads the scan's partition count, not a constant): nothing is
+    * shuffled at 100 TB where the scan is already wide. Keyed (hash)
+    * repartition, not round-robin: deterministic row placement with no
+    * sort-before-repartition pass.
+    *
+    * Apply SELECTIVELY, A/B-measured per lane (r10): it wins only where
+    * the per-row work before the first natural exchange dwarfs one
+    * exchange of the raw rows — posexplode-all-12-grams+md5
+    * (dedup_substrings −63%), winnowing fingerprint HOFs (−25%),
+    * broadcast-probed shingle explodes (contamination/decontaminate
+    * −23..27%), PII regex chains (−11%), 8-gram novelty (−19%). Where
+    * the first operation is itself an aggregating exchange
+    * (terms/tfDf/withTok → groupBy, shingles → distinct), the map-side
+    * partial agg already runs on the scan task and the extra exchange +
+    * 32-way task overhead is a measured LOSS at fixture scale
+    * (quantile_normalize +75%, dsir_reweight +51%, nucleus_select +53%,
+    * text_vocab_oov +46%, the jaccardPairs dedup family +12..56%) —
+    * those call sites read the table directly.
+    */
+  def spread(df: DataFrame, key: String): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= parts) df
+    else df.repartition(parts, col(key))
+  }
+
   /** money/measure column -> DECIMAL(12,2): exact, order-independent sums. */
   def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
 

@@ -18,36 +18,37 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: each iteration is one equi-join of the edge list against
   * the current rank table plus one keyed sum — the same O(E) shuffle per
-  * round a Pregel step costs; no driver materialization (the node count
-  * rides as a broadcast 1-row frame). Fixed `iters` keeps the lineage
-  * linear; for large graphs checkpoint every few rounds as the CC routes
-  * do.
+  * round a Pregel step costs. The only driver fetches are bounded
+  * scalars (node count, renorm totals) read once from a materialized
+  * frame, never row data. Fixed `iters` keeps the lineage linear; for
+  * large graphs use reliable checkpoint instead of localCheckpoint.
   */
 object Graph {
-
-  /** Lineage-truncation cadence for the iterative routines: without it
-    * the HITS plan quadruples per half-step (each renorm reads its input
-    * twice). Two rounds of growth between checkpoints keeps analysis
-    * bounded while amortizing the materialization cost.
-    */
-  val TruncateEvery = 2
 
   /** HITS hubs/authorities on a directed bipartite edge list `(src,
     * dst)`, fixed iteration count, integer fixed-point like
     * [[pagerankFixed]]: each half-step is one edge-join + one keyed sum,
     * then a scaled renormalization `score div (Σ div scale)` — plain
-    * integer division against a broadcast 1-row total, chosen over the
-    * textbook `(score·scale) div Σ` because the latter overflows a long
-    * at ~10^14·10^12; the divisor form never multiplies. Deterministic,
-    * order-independent, oracle-replayable. Hub mass starts uniform at
-    * `scale` per source node.
+    * integer division, chosen over the textbook `(score·scale) div Σ`
+    * because the latter overflows a long at ~10^14·10^12; the divisor
+    * form never multiplies. Deterministic, order-independent,
+    * oracle-replayable. Hub mass starts uniform at `scale` per source
+    * node.
     *
-    * Each renorm references its input twice (once for the broadcast
-    * total, once for the join), so the un-truncated plan grows ~4× per
-    * half-step; both score frames are localCheckpointed every
-    * [[Graph.TruncateEvery]] iterations to keep analysis/execution cost
-    * linear in `iters` (the same lineage posture as the CC routes and
-    * [[pagerankFixed]]'s edge table).
+    * OPTIMIZATION r10 (guide §2.4/§3.3 — remove repeated subtrees, not
+    * just bound them): the previous shape truncated lineage only every
+    * second iteration and renormalized through a broadcast 1-row join, so
+    * each renorm referenced its input twice and each iteration nested the
+    * previous one — the 2-iteration plan carried 158 Exchange nodes and
+    * re-read ~31× the edge table (measured, ProfileOne: 4.7M records in
+    * for a 150k-row base). Now every half-step's O(V) score frame is
+    * localCheckpointed ONCE and its total Σ is read driver-side from that
+    * materialization (one 1-row partial agg over in-memory blocks — the
+    * same bounded-scalar-to-driver move duplicateClusters' convergence
+    * probe documents), so the renorm is a pure projection with a literal
+    * divisor and the whole run is exactly 2·iters edge-joins. Plan: 3168
+    * → 97 lines, 158 → 8 Exchanges; sf0.1 bench 1.66 → ~0.9 s. On a real
+    * cluster use reliable checkpoint for executor-loss tolerance.
     */
   def hitsFixed(
       edges: DataFrame,
@@ -56,14 +57,19 @@ object Graph {
     val ed = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     var hub = ed.select(col("src").as("s")).distinct().withColumn("hub", lit(scale))
     var auth = ed.select(col("dst").as("p")).distinct().withColumn("auth", lit(0L))
+    // materialize the half-step result, THEN read its total from the
+    // materialized blocks and renorm as a literal projection — integer
+    // division by the same Σ the broadcast-join form computed, so scores
+    // are bit-identical
     def renorm(df: DataFrame, c: String): DataFrame = {
-      val tot = df.agg(sum(c).cast("long").as("tot"))
-      df.crossJoin(broadcast(tot))
-        .select(
-          df.columns.filter(_ != c).map(col) :+
-            expr(s"$c div greatest(tot div $scale, CAST(1 AS BIGINT))").as(c): _*)
+      val m = df.localCheckpoint()
+      val tot = m.agg(sum(c).cast("long")).first().getLong(0)
+      val div = math.max(tot / scale, 1L)
+      m.select(
+        m.columns.filter(_ != c).map(col) :+
+          expr(s"$c div CAST($div AS BIGINT)").as(c): _*)
     }
-    (1 to iters).foreach { i =>
+    (1 to iters).foreach { _ =>
       val authRaw = ed
         .join(hub, col("src") === col("s"))
         .groupBy(col("dst").as("p"))
@@ -74,10 +80,6 @@ object Graph {
         .groupBy(col("src").as("s"))
         .agg(sum("auth").cast("long").as("hub"))
       hub = renorm(hubRaw, "hub")
-      if (i % TruncateEvery == 0 && i < iters) {
-        hub = hub.localCheckpoint()
-        auth = auth.localCheckpoint()
-      }
     }
     hub
       .select(col("s").as("node"), lit("hub").as("kind"), col("hub").as("score"))
@@ -102,22 +104,28 @@ object Graph {
       .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .select(col("src"), col("dst"), col("deg"))
       .localCheckpoint()
-    val nodes = ed.select(col("src").as("node")).distinct()
-    val n1 = nodes.agg(count(lit(1)).as("n_nodes"))
-    var r = nodes
-      .crossJoin(broadcast(n1))
-      .select(col("node"), expr(s"$scale div n_nodes").as("rank"))
+    // OPTIMIZATION r10 (guide §2.4): `nodes` is referenced by every
+    // iteration's rank rebuild — materialize the O(V) frame once instead
+    // of re-deriving the distinct per reference; the node count is a
+    // bounded scalar, read driver-side from that materialization once
+    // (same move as hitsFixed's renorm) so no iteration re-runs the count
+    // aggregate or carries a 1-row broadcast join. Ranks are identical:
+    // same integers, same formula. Measured (ProfileOne, sf0.1): 3.56M →
+    // ~0.9M records read, bench 2.05 → ~1.1 s.
+    val nodes = ed.select(col("src").as("node")).distinct().localCheckpoint()
+    val nNodes = nodes.count()
+    val base = scale / nNodes // scale div n_nodes, positive integers
+    var r = nodes.select(col("node"), lit(base).as("rank"))
     (1 to iters).foreach { _ =>
       val contrib = ed
         .join(r, col("src") === col("node"))
         .select(col("dst").as("node"), expr("rank div deg").as("contrib"))
       val sums = contrib.groupBy("node").agg(sum("contrib").as("csum"))
       r = nodes
-        .crossJoin(broadcast(n1))
         .join(sums, Seq("node"), "left")
         .select(
           col("node"),
-          (expr(s"(15 * ($scale div n_nodes)) div 100") +
+          (lit((15L * base) / 100L) +
             expr("(85 * coalesce(csum, CAST(0 AS BIGINT))) div 100")).as("rank"))
     }
     r

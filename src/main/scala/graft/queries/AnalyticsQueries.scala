@@ -72,6 +72,15 @@ object AnalyticsQueries {
     * are plain equi-joins (shuffle or broadcast, AQE's choice).
     */
   private val graphTriangles: Q = (s, d) => {
+    // OPTIMIZATION r10, examined and deliberately left LAZY: the plan
+    // text shows 83 Exchanges from `und`/`oriented` fan-out, but AQE's
+    // runtime exchange reuse already collapses the identical subtrees
+    // (measured, ProfileOne: 16 jobs / 600k records / 2.7 s cpu — one
+    // real derivation). Eager localCheckpoints here were TRIED and made
+    // the lane SLOWER (wall 2.0 → 4.4 s): they serialize construction
+    // into sequential jobs and pay block writes, to dedup work that was
+    // already deduped. Contrast hits/pagerank, where per-iteration
+    // subtrees DIFFER and reuse cannot fire — there truncation won.
     val und = copurchaseEdges(s, d, 5).distinct()
     // undirected degree: each endpoint sees the edge once
     val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))

@@ -170,7 +170,8 @@ object CorpusQueries {
     */
   private val contaminationAudit: Q = (s, d) => {
     val sh = graft.ext.Dedup.wordShingles(
-      documents(s, d).select(col("doc_id"), TextStats.normText(col("text")).as("t")),
+      spread(documents(s, d), "doc_id") // r10 guide §1.2: shingle explode on a 1-split scan
+        .select(col("doc_id"), TextStats.normText(col("text")).as("t")),
       "doc_id", "t", 5)
     CorpusOps
       .contamination(
@@ -187,7 +188,7 @@ object CorpusQueries {
     * the scrub by hashing the redacted text and counting matches.
     */
   private val piiRedaction: Q = (s, d) => {
-    val dirty = documents(s, d)
+    val dirty = spread(documents(s, d), "doc_id") // r10: regex redaction on a 1-split scan
       .withColumn(
         "dirty",
         concat(
@@ -242,7 +243,8 @@ object CorpusQueries {
     */
   private val decontaminateDrop: Q = (s, d) => {
     val sh = graft.ext.Dedup.wordShingles(
-      documents(s, d).select(col("doc_id"), TextStats.normText(col("text")).as("t")),
+      spread(documents(s, d), "doc_id") // r10: shingle explode on a 1-split scan
+        .select(col("doc_id"), TextStats.normText(col("text")).as("t")),
       "doc_id", "t", 5)
     val hits = CorpusOps.contamination(
       sh.filter(col("doc_id") % 97 =!= 0),
@@ -494,7 +496,8 @@ object CorpusQueries {
   private val corpusBuildE2e: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val sh = graft.ext.Dedup.wordShingles(
-      documents(s, d).select(col("doc_id"), TextStats.normText(col("text")).as("t")),
+      spread(documents(s, d), "doc_id") // r10: shingle explode on a 1-split scan
+        .select(col("doc_id"), TextStats.normText(col("text")).as("t")),
       "doc_id", "t", 5)
     val hits = CorpusOps.contamination(
       sh.filter(col("doc_id") % 97 =!= 0),

@@ -33,7 +33,18 @@ object DedupQueries {
         .select((col("doc_id") + 100000).as("doc_id"), col("text")))
   }
 
-  /** normalized documents + first-word-dropped near-copies for every 7th. */
+  /** normalized documents + first-word-dropped near-copies for every 7th.
+    * Deliberately NOT [[graft.Tables.spread]] (r10): every consumer's
+    * first real operation is wordShingles' distinct() — an exchange
+    * whose map side dedups the exploded shingles — so the corpus text is
+    * re-spread by that aggregation anyway, and A/B at sf0.1 (min-of-7,
+    * same JVM conditions, canary-flat) measured the extra up-front text
+    * exchange as a pure LOSS on the jaccardPairs family:
+    * dedup_ngram_jaccard 1.78→2.78 s, containment 1.94→2.57,
+    * clusters 2.48→3.30, quality_shift 2.43→2.72. Contrast
+    * [[repeatedSubstringRewrite]], where spread wins 63% because the
+    * per-doc 12-gram+md5 pass dwarfs one text exchange.
+    */
   private def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d)
       .select(col("doc_id"), TextStats.normText(col("text")).as("t"))
@@ -537,7 +548,7 @@ object DedupQueries {
           slice(col("toks"), off + 1, size(col("toks")).cast(LongType) - off)),
         " ")
     }
-    documents(s, d)
+    spread(documents(s, d), "doc_id")
       .select(col("doc_id"), TextStats.normText(col("text")).as("t"))
       .withColumn("toks", split(col("t"), " "))
       .withColumn(

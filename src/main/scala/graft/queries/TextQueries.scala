@@ -51,7 +51,7 @@ object TextQueries {
     * WinnowingSpec.
     */
   private val winnowing: Q = (s, d) =>
-    documents(s, d)
+    spread(documents(s, d), "doc_id") // r10 guide §1.2: heavy per-doc HOF on a 1-split scan
       .withColumn("t", normText(col("text")))
       // explode_outer + count(fp): sources whose docs all fingerprint to
       // empty still appear with n_fp = 0 instead of vanishing
@@ -627,7 +627,7 @@ object TextQueries {
     * novelty to measure).
     */
   private val ngramNovelty: Q = (s, d) => {
-    val docs = documents(s, d).select(
+    val docs = spread(documents(s, d), "doc_id").select( // r10: 8-gram explode on a 1-split scan
       col("doc_id"),
       coalesce(TextStats.normText(col("text")), lit("")).as("t"))
     val sh = graft.ext.Dedup.wordShingles(docs, "doc_id", "t", 8)
